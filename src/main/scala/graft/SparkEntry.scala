@@ -17,8 +17,14 @@ object SparkEntry {
     operators.Relational.q12(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.Dedup.queries ++
+      operators.Similarity.queries ++
+      operators.TextOps.queries
 
   def oracleSql: Map[String, String] =
-    operators.Relational.oracleSql
+    operators.Relational.oracleSql ++
+      operators.Dedup.oracleSql ++
+      operators.Similarity.oracleSql ++
+      operators.TextOps.oracleSql
 }

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * the LLM-training-pipeline surface (SURVEY.md §2F EXT / north star).
+  *
+  * Scale posture: every near-dup variant is LSH-banded — candidates come
+  * from an equi-join on band keys (shuffle on bk, O(n·bands) rows), never
+  * an O(n²) cross product. Only the pair VERIFICATION (exact Jaccard /
+  * Hamming) runs on the banded candidate set. At 100 TB the same plan
+  * holds: band keys partition uniformly (md5-derived), the per-band
+  * bucket join is the only wide op, and signature computation is a
+  * narrow per-row pass.
+  *
+  * Everything is oracle-checked: hashing is the engine-portable md5
+  * scheme from [[graft.functions.PortableHash]], so DuckDB computes
+  * bit-identical signatures, band keys, and verified pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- x01
+  /** Exact dedup (ref A11 `INSERT OR IGNORE` unique-key semantics,
+    * phone_message_producer.py:133-151): hash-groupBy on normalized text.
+    * Output: corpus size before/after dedup. */
+  def x01(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(lower(col("text")).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("h")).as("uniq"))
+
+  val x01Sql: String =
+    """SELECT count(*) AS total, count(DISTINCT md5(lower(text))) AS uniq
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------- shared LSH core
+  /** MinHash+LSH near-dup pairs over a shingled corpus.
+    *
+    * @param sh       (doc_id, sg: array<string>) distinct shingles per doc
+    * @param seed     offsets the permutation constants so word-level and
+    *                 char-level variants draw independent hash families
+    * @param r        rows per band; nBands bands of r signature slots
+    * @param thresh   exact-Jaccard verification threshold
+    */
+  private def lshPairs(sh: DataFrame, seed: Int, r: Int, nBands: Int,
+      thresh: Double): DataFrame = {
+    val nPerm = r * nBands
+    val hv = sh.withColumn("hv",
+      expr(s"transform(sg, x -> ${sparkH60("x")} % $P)"))
+    val sigCols = (0 until nPerm).map { j =>
+      expr(s"array_min(transform(hv, h -> (${permA(seed + j)} * h + ${permB(seed + j)}) % $P))")
+    }
+    val sig = hv.select(col("doc_id"), col("sg"), array(sigCols: _*).as("sig"))
+    val bandCol = explode(array((0 until nBands).map { bn =>
+      concat_ws("_", lit(bn) +: (0 until r).map(k =>
+        element_at(col("sig"), bn * r + k + 1)): _*)
+    }: _*))
+    val bands = sig.select(col("doc_id"), bandCol.as("bk"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("sg").as("sga"))
+    val sb = sh.select(col("doc_id").as("b"), col("sg").as("sgb"))
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("jac",
+        expr("size(array_intersect(sga, sgb)) / cast(size(array_union(sga, sgb)) as double)"))
+      .filter(col("jac") >= thresh)
+      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+  }
+
+  /** DuckDB mirror of [[lshPairs]] — same constants, same band layout. */
+  private def lshSql(shingleSql: String, seed: Int, r: Int, nBands: Int,
+      thresh: Double): String = {
+    val sigEntries = (0 until r * nBands).map { j =>
+      s"list_min(list_transform(hv, h -> (${permA(seed + j)} * h + ${permB(seed + j)}) % $P))"
+    }.mkString("[", ", ", "]")
+    val bandKey = "concat_ws('_', bn, " +
+      (0 until r).map(k => s"sig[$r*bn+${k + 1}]").mkString(", ") + ")"
+    s"""WITH sh AS (SELECT doc_id, $shingleSql AS sg FROM documents),
+       |hvt AS (SELECT doc_id, sg,
+       |  list_transform(sg, x -> ${duckH60("x")} % $P) AS hv FROM sh),
+       |sig AS (SELECT doc_id, sg, $sigEntries AS sig FROM hvt),
+       |bands AS (SELECT doc_id, $bandKey AS bk
+       |  FROM sig, (SELECT unnest(range(0, $nBands)) AS bn) t),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |v AS (SELECT a, b,
+       |  len(list_intersect(sa.sg, sb.sg)) / CAST(len(list_distinct(list_concat(sa.sg, sb.sg))) AS DOUBLE) AS jac
+       |  FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)
+       |SELECT a, b, round(jac, 6) AS jac FROM v WHERE jac >= $thresh""".stripMargin
+  }
+
+  /** Word 3-gram shingles, distinct. Spark side. */
+  private def wordShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3))))").as("sg"))
+
+  private val wordShinglesSql: String =
+    """list_distinct(list_transform(range(1, greatest(len(string_split(lower(text),' '))-1, 2)),
+      |    i -> concat_ws(' ', string_split(lower(text),' ')[i], string_split(lower(text),' ')[i+1], string_split(lower(text),' ')[i+2])))""".stripMargin
+
+  // ---------------------------------------------------------------- x02
+  /** MinHash+LSH near-dup pairs on word 3-gram shingles, verified with
+    * exact Jaccard ≥ 0.8. 16 permutations in 8 bands × 2 rows
+    * (≥99.9% recall at j=0.8). */
+  def x02(s: SparkSession, d: String): DataFrame =
+    lshPairs(wordShingles(s, d), seed = 0, r = 2, nBands = 8, thresh = 0.8)
+
+  val x02Sql: String = lshSql(wordShinglesSql, 0, 2, 8, 0.8)
+
+  // ---------------------------------------------------------------- x04
+  /** Character 8-gram MinHash+LSH near-dup (catches word-reordering
+    * edits that word shingles miss), verified Jaccard ≥ 0.7. */
+  def x04(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(1, greatest(length(t)-7, 1)), i -> substr(t, i, 8)))").as("sg"))
+    lshPairs(sh, seed = 100, r = 2, nBands = 8, thresh = 0.7)
+  }
+
+  val x04Sql: String = lshSql(
+    """list_distinct(list_transform(range(1, greatest(len(lower(text))-6, 2)),
+      |    i -> substr(lower(text), i, 8)))""".stripMargin,
+    100, 2, 8, 0.7)
+
+  // ---------------------------------------------------------------- x03
+  /** SimHash near-dup: 32-bit signature from word-occurrence bit votes;
+    * pairs at Hamming distance ≤ 3. Banding on 4 disjoint 8-bit chunks
+    * is EXACT for hd ≤ 3 (pigeonhole: 3 flipped bits leave ≥1 chunk
+    * untouched), so the banded plan returns precisely the brute-force
+    * answer without the O(n²) join. */
+  def x03(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("hw", expr(s"transform(w, x -> ${sparkH60("x")} % 4294967296)"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 31), j ->
+          |  aggregate(hw, 0L, (acc, h) -> acc + CASE WHEN (h div shiftleft(1L, j)) % 2 = 1 THEN 1 ELSE -1 END))""".stripMargin))
+      .withColumn("sim", expr(
+        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + CASE WHEN element_at(bits, j+1) > 0 THEN shiftleft(1L, j) ELSE 0L END)"))
+      .select(col("doc_id"), col("sim"))
+    val chunks = docs.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        concat_ws("_", lit(c), expr(s"(sim div shiftleft(1L, ${8 * c})) % 256"))): _*)).as("ck"))
+    chunks.alias("x")
+      .join(chunks.alias("y"),
+        col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        expr("bit_count(x.sim ^ y.sim)").as("hd"))
+      .distinct()
+      .filter(col("hd") <= 3)
+  }
+
+  val x03Sql: String = {
+    val h = duckH60("x")
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |hw AS (SELECT doc_id, list_transform(w, x -> $h % 4294967296) AS hw FROM ws),
+       |bits AS (SELECT doc_id, list_transform(range(0, 32), j ->
+       |  list_sum(list_transform(hw, h -> CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END))) AS bits FROM hw),
+       |sims AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+       |  CASE WHEN bits[j+1] > 0 THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sim FROM bits),
+       |chunks AS (SELECT doc_id, sim, concat_ws('_', c, (sim // (1::BIGINT << (8*c))) % 256) AS ck
+       |  FROM sims, (SELECT unnest(range(0, 4)) AS c) t),
+       |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.sim, y.sim)) AS hd
+       |  FROM chunks x JOIN chunks y ON x.ck = y.ck AND x.doc_id < y.doc_id)
+       |SELECT a, b, hd FROM pairs WHERE hd <= 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- x05
+  /** Embedding-cosine near-dup: pairs with cosine ≥ 0.4 (the synthetic
+    * embeddings top out near 0.5). Exact all-pairs — acceptable at the
+    * fixture's 2k–5k vectors; the scale path for this shape is the
+    * LSH-bucketed ANN (Similarity.x07). */
+  def x05(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("a") < col("b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (na * nb)"))
+      .filter(col("cos") >= 0.4)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  val x05Sql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+      |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_dedup_exact" -> (x01 _),
+    "x02_dedup_minhash" -> (x02 _),
+    "x03_dedup_simhash" -> (x03 _),
+    "x04_dedup_chargram" -> (x04 _),
+    "x05_dedup_embed" -> (x05 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x01_dedup_exact" -> x01Sql,
+    "x02_dedup_minhash" -> x02Sql,
+    "x03_dedup_simhash" -> x03Sql,
+    "x04_dedup_chargram" -> x04Sql,
+    "x05_dedup_embed" -> x05Sql,
+  )
+}

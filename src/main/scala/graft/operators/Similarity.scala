@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (dim-64 float vectors) — north-star similarity-search surface.
+  *
+  * x06 is the exact brute-force baseline (crossJoin + top-k window);
+  * x07 is the scale path: sign-random-projection LSH buckets so the
+  * join is an equi-join on bucket id instead of a cross product. The
+  * 8 hyperplanes are deterministic constants derived from the portable
+  * md5 hash on the JVM and embedded as literals into BOTH the Spark
+  * plan and the DuckDB oracle, so bucket assignments are identical
+  * across engines.
+  */
+object Similarity {
+
+  /** Query set: the first 10 vectors rank all others by cosine. */
+  private val NQueries = 10
+  private val TopK = 10
+
+  /** Hyperplane components in [-1, 1], 3 decimal places (exact in
+    * binary-to-decimal round trip on both engines). */
+  private[operators] val planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until 8).map { i =>
+      (0 until 64).map { d =>
+        ((PortableHash.h60(s"hp_${i}_$d") % 2001) - 1000) / 1000.0
+      }
+    }
+
+  private def fmt(x: Double): String = f"$x%.3f"
+
+  /** Normalized vectors: (vec_id, v: array<double>, nrm). */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+
+  private val cosExpr =
+    "aggregate(zip_with(vq, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (nq * nrm)"
+
+  private def rank(cand: DataFrame): DataFrame =
+    cand
+      .withColumn("score", round(expr(cosExpr), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+
+  // ---------------------------------------------------------------- x06
+  /** Exact top-k cosine: every query vector against the whole corpus.
+    * O(q·n) — the correctness baseline x07 is measured against. */
+  def x06(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+    rank(q.crossJoin(e).filter(col("vec_id") =!= col("qid")))
+  }
+
+  val x06Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |c AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |  round(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm), 6) AS score
+       |  FROM n q JOIN n e ON e.vec_id <> q.vec_id WHERE q.vec_id < $NQueries)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+
+  // ---------------------------------------------------------------- x07
+  /** LSH-bucketed ANN: 8 sign-random-projection bits partition the
+    * corpus into ≤256 buckets; each query ranks only its own bucket.
+    * The candidate join is an equi-join on bucket id — at 100 TB this
+    * shuffles O(n) rows on a uniform key instead of exploding n·q
+    * pairs. Recall is bucket-bounded (reported vs x06 in tests). */
+  def x07(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val bkt = (0 until 8).map { i =>
+      val dot = s"aggregate(zip_with(v, array(${planes(i).map(fmt).mkString(", ")}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+      when(expr(dot) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val eb = e.withColumn("bkt", bkt)
+    val q = eb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("v").as("vq"),
+        col("nrm").as("nq"), col("bkt").as("qbkt"))
+    rank(q.join(eb, col("bkt") === col("qbkt") && col("vec_id") =!= col("qid")))
+  }
+
+  val x07Sql: String = {
+    val planeRows = (0 until 8).map { i =>
+      s"($i, [${planes(i).map(fmt).mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |planes(i, pv) AS (VALUES
+       |    $planeRows),
+       |b AS (SELECT vec_id, v, nrm, CAST(sum(CASE
+       |    WHEN list_sum(list_transform(range(1, 65), d -> v[d] * pv[d])) >= 0
+       |    THEN (1::BIGINT << i) ELSE 0 END) AS INT) AS bkt
+       |  FROM n, planes GROUP BY vec_id, v, nrm),
+       |c AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |  round(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm), 6) AS score
+       |  FROM b q JOIN b e ON q.bkt = e.bkt AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x06_ann_brute" -> (x06 _),
+    "x07_ann_lsh" -> (x07 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x06_ann_brute" -> x06Sql,
+    "x07_ann_lsh" -> x07Sql,
+  )
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — language ID, quality
+  * scoring, token counting, fingerprinting (north-star LLM-pipeline
+  * surface). All are narrow per-row expression pipelines (no shuffle at
+  * all), so they scale embarrassingly: at 100 TB each partition scans,
+  * computes, and writes with zero exchange.
+  */
+object TextOps {
+
+  private val StopEn = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val StopDe = Seq("der", "die", "und", "das", "ein", "ist")
+  private val StopEs = Seq("el", "la", "los", "las", "una", "de", "es")
+  private val StopFr = Seq("le", "les", "des", "une", "du", "et", "est")
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def withWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("w", split(col("t"), " "))
+
+  // ---------------------------------------------------------------- x08
+  /** Stopword-marker language ID: score each language by marker-word
+    * hits, argmax with a fixed priority order, 'und' when nothing hits. */
+  def x08(s: SparkSession, d: String): DataFrame =
+    withWords(s, d)
+      .withColumn("s_en", expr(s"size(filter(w, x -> x IN ${inList(StopEn)}))"))
+      .withColumn("s_de", expr(s"size(filter(w, x -> x IN ${inList(StopDe)}))"))
+      .withColumn("s_es", expr(s"size(filter(w, x -> x IN ${inList(StopEs)}))"))
+      .withColumn("s_fr", expr(s"size(filter(w, x -> x IN ${inList(StopFr)}))"))
+      .withColumn("pred_lang", expr(
+        """CASE WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+          |     WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+          |     WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+          |     WHEN s_fr > 0 THEN 'fr'
+          |     ELSE 'und' END""".stripMargin))
+      .select(col("doc_id"), col("pred_lang"),
+        greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")).as("hits"))
+
+  val x08Sql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id,
+       |  len(list_filter(w, x -> x IN ${inList(StopEn)})) AS s_en,
+       |  len(list_filter(w, x -> x IN ${inList(StopDe)})) AS s_de,
+       |  len(list_filter(w, x -> x IN ${inList(StopEs)})) AS s_es,
+       |  len(list_filter(w, x -> x IN ${inList(StopFr)})) AS s_fr
+       |  FROM ws)
+       |SELECT doc_id,
+       |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr) AND s_en > 0 THEN 'en'
+       |       WHEN s_de >= greatest(s_es, s_fr) AND s_de > 0 THEN 'de'
+       |       WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       |       WHEN s_fr > 0 THEN 'fr'
+       |       ELSE 'und' END AS pred_lang,
+       |  CAST(greatest(s_en, s_de, s_es, s_fr) AS INT) AS hits
+       |FROM sc""".stripMargin
+
+  // ---------------------------------------------------------------- x09
+  /** Quality score: token count, stopword ratio, chars-per-token,
+    * combined into a bounded [0,1] heuristic. Ratios are rounded BEFORE
+    * entering the score so both engines combine identical inputs. */
+  def x09(s: SparkSession, d: String): DataFrame =
+    withWords(s, d)
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("stop_ratio", round(
+        expr(s"size(filter(w, x -> x IN ${inList(StopEn)}))") /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("chars_per_token",
+        round(length(col("t")) / col("n_tokens").cast("double"), 6))
+      .withColumn("score", round(
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("chars_per_token") / lit(8.0), lit(1.0)) * 0.2, 6))
+      .select("doc_id", "n_tokens", "stop_ratio", "chars_per_token", "score")
+
+  val x09Sql: String =
+    s"""WITH ws AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w FROM documents),
+       |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+       |  round(len(list_filter(w, x -> x IN ${inList(StopEn)})) / CAST(len(w) AS DOUBLE), 6) AS stop_ratio,
+       |  round(len(t) / CAST(len(w) AS DOUBLE), 6) AS chars_per_token
+       |  FROM ws)
+       |SELECT doc_id, n_tokens, stop_ratio, chars_per_token,
+       |  round(least(n_tokens / 100.0, 1.0) * 0.5 + (1.0 - stop_ratio) * 0.3 +
+       |        least(chars_per_token / 8.0, 1.0) * 0.2, 6) AS score
+       |FROM m""".stripMargin
+
+  // ---------------------------------------------------------------- x10
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * ([a-z]+ runs | digit runs | any other non-space char). */
+  def x10(s: SparkSession, d: String): DataFrame =
+    withWords(s, d)
+      .withColumn("ws_tokens", size(col("w")))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .select("doc_id", "ws_tokens", "re_tokens")
+
+  val x10Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
+      |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- x11
+  /** Document fingerprint: min portable-hash over word 5-gram shingles
+    * (a 1-permutation MinHash — equal fingerprints ⇒ shared rare
+    * shingle, the cheap pre-filter for near-dup candidate generation). */
+  def x11(s: SparkSession, d: String): DataFrame =
+    withWords(s, d)
+      .withColumn("fp", expr(
+        s"array_min(transform(sequence(1, greatest(size(w)-4, 1)), i -> ${sparkH60("concat_ws(' ', slice(w, i, 5))")}))"))
+      .select("doc_id", "fp")
+
+  val x11Sql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |  list_min(list_transform(range(1, greatest(len(w)-3, 2)),
+       |    i -> ${duckH60("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])")})) AS fp
+       |FROM ws""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x08_lang_id" -> (x08 _),
+    "x09_quality_score" -> (x09 _),
+    "x10_token_count" -> (x10 _),
+    "x11_fingerprint" -> (x11 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x08_lang_id" -> x08Sql,
+    "x09_quality_score" -> x09Sql,
+    "x10_token_count" -> x10Sql,
+    "x11_fingerprint" -> x11Sql,
+  )
+}
