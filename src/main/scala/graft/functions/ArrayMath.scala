@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Dot product of two numeric arrays (float or double elements, mixed
+  * allowed), accumulated in double, strictly in ascending index order.
+  *
+  * Why a custom Catalyst expression instead of
+  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)`:
+  * higher-order functions are interpreted per row (lambda closures, no
+  * whole-stage codegen) and allocate two intermediate arrays per call —
+  * measured ~100× slower inside the all-pairs similarity joins. This
+  * expression generates a tight primitive loop inside whole-stage
+  * codegen, which is what keeps the cosine operators viable at scale.
+  *
+  * The strict ascending accumulation order matters for oracle parity:
+  * DuckDB's `list_sum(list_transform(...))` folds in the same order, so
+  * results are bit-identical, not just close.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product expects array<float|double>, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
+        else s"$a.getDouble(i)"
+      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
+        else s"$b.getDouble(i)"
+      s"""
+         |int n = Math.min($a.numElements(), $b.numElements());
+         |double acc = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  acc += $lGet * $rGet;
+         |}
+         |${ev.value} = acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Size of the intersection of two SORTED ascending distinct long
+  * arrays, via a codegen'd merge scan — O(n+m) with zero allocation.
+  * Used by the near-dup verifiers: `array_intersect` on string arrays
+  * hashes every element per pair, which dominated the whole LSH
+  * pipeline (~50s for 300k candidate pairs); this is ~10× cheaper.
+  * Inputs MUST be sorted distinct (sort_array(collect_set(...))).
+  */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_size expects array<bigint>, got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val n = x.numElements(); val m = y.numElements()
+    while (i < n && j < m) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = $a.numElements(); int m = $b.numElements();
+         |int i = 0; int j = 0; int c = 0;
+         |while (i < n && j < m) {
+         |  long xv = $a.getLong(i); long yv = $b.getLong(j);
+         |  if (xv == yv) { c++; i++; j++; }
+         |  else if (xv < yv) { i++; }
+         |  else { j++; }
+         |}
+         |${ev.value} = c;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayMath {
+  /** Column-level dot product; accepts array<float> / array<double>. */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  /** L2 norm via dot(v, v). */
+  def l2norm(v: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dot(v, v))
+
+  /** |a ∩ b| for sorted distinct long arrays. */
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectSize(
+      Bridge.expression(a), Bridge.expression(b)))
+}

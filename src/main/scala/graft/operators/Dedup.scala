@@ -38,24 +38,35 @@ object Dedup {
   // ------------------------------------------------- shared LSH core
   /** MinHash+LSH near-dup pairs over a shingled corpus.
     *
-    * @param sh       (doc_id, sg: array<string>) distinct shingles per doc
-    * @param seed     offsets the permutation constants so word-level and
-    *                 char-level variants draw independent hash families
-    * @param r        rows per band; nBands bands of r signature slots
-    * @param thresh   exact-Jaccard verification threshold
+    * One groupBy per doc produces BOTH the nPerm min-hash signature
+    * slots (codegen'd min-aggregates with map-side partials) and the
+    * sorted distinct 60-bit shingle-hash set used for verification.
+    * Banded candidates come from an equi-join on band keys; each
+    * candidate pair is verified with an O(n+m) merge-scan intersect
+    * ([[graft.functions.SortedIntersectSize]]) — Jaccard is computed
+    * over the hashed shingle sets (a 60-bit hash collision altering the
+    * count has probability ~n²/2^61 per doc — negligible, and the DuckDB
+    * oracle computes the identical quantity).
+    *
+    * @param hv   (doc_id, hf) — one row per shingle OCCURRENCE, full
+    *             60-bit portable hash. Duplicates are fine: min-hash is
+    *             duplicate-insensitive and the verify set dedups.
+    * @param seed offsets the permutation constants so word-level and
+    *             char-level variants draw independent hash families
+    * @param r    rows per band; nBands bands of r signature slots
+    * @param thresh exact-Jaccard verification threshold
     */
-  private def lshPairs(sh: DataFrame, seed: Int, r: Int, nBands: Int,
-      thresh: Double): DataFrame = {
+  private def lshPairs(hv: DataFrame, seed: Int, r: Int,
+      nBands: Int, thresh: Double): DataFrame = {
     val nPerm = r * nBands
-    val hv = sh.withColumn("hv",
-      expr(s"transform(sg, x -> ${sparkH60("x")} % $P)"))
-    val sigCols = (0 until nPerm).map { j =>
-      expr(s"array_min(transform(hv, h -> (${permA(seed + j)} * h + ${permB(seed + j)}) % $P))")
-    }
-    val sig = hv.select(col("doc_id"), col("sg"), array(sigCols: _*).as("sig"))
+    val aggs = sort_array(collect_set(col("hf"))).as("hs") +:
+      (0 until nPerm).map { j =>
+        min((col("hf") % P * permA(seed + j) + permB(seed + j)) % P).as(s"m$j")
+      }
+    val sig = hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCol = explode(array((0 until nBands).map { bn =>
       concat_ws("_", lit(bn) +: (0 until r).map(k =>
-        element_at(col("sig"), bn * r + k + 1)): _*)
+        col(s"m${bn * r + k}")): _*)
     }: _*))
     val bands = sig.select(col("doc_id"), bandCol.as("bk"))
     val cand = bands.alias("x")
@@ -63,71 +74,83 @@ object Dedup {
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("a"), col("sg").as("sga"))
-    val sb = sh.select(col("doc_id").as("b"), col("sg").as("sgb"))
+    val sa = sig.select(col("doc_id").as("a"), col("hs").as("hsa"))
+    val sb = sig.select(col("doc_id").as("b"), col("hs").as("hsb"))
+    import graft.functions.ArrayMath
     cand.join(sa, "a").join(sb, "b")
-      .withColumn("jac",
-        expr("size(array_intersect(sga, sgb)) / cast(size(array_union(sga, sgb)) as double)"))
+      .withColumn("inter", ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+      .withColumn("jac", col("inter") /
+        (size(col("hsa")) + size(col("hsb")) - col("inter")).cast("double"))
       .filter(col("jac") >= thresh)
       .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
   }
 
-  /** DuckDB mirror of [[lshPairs]] — same constants, same band layout. */
+  /** DuckDB mirror of [[lshPairs]] — same constants, same band layout,
+    * same hashed-set Jaccard. @param shingleSql yields the (possibly
+    * duplicated) shingle LIST for one document row. */
   private def lshSql(shingleSql: String, seed: Int, r: Int, nBands: Int,
       thresh: Double): String = {
-    val sigEntries = (0 until r * nBands).map { j =>
-      s"list_min(list_transform(hv, h -> (${permA(seed + j)} * h + ${permB(seed + j)}) % $P))"
-    }.mkString("[", ", ", "]")
+    val minCols = (0 until r * nBands).map { j =>
+      s"min((hf % $P * ${permA(seed + j)} + ${permB(seed + j)}) % $P) AS m$j"
+    }.mkString(",\n  ")
     val bandKey = "concat_ws('_', bn, " +
       (0 until r).map(k => s"sig[$r*bn+${k + 1}]").mkString(", ") + ")"
-    s"""WITH sh AS (SELECT doc_id, $shingleSql AS sg FROM documents),
-       |hvt AS (SELECT doc_id, sg,
-       |  list_transform(sg, x -> ${duckH60("x")} % $P) AS hv FROM sh),
-       |sig AS (SELECT doc_id, sg, $sigEntries AS sig FROM hvt),
+    val sigList = (0 until r * nBands).map(j => s"m$j").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, $shingleSql AS sg FROM documents),
+       |hv AS (SELECT doc_id, ${duckH60("s")} AS hf
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM base)),
+       |sig AS (SELECT doc_id, list_sort(list(DISTINCT hf)) AS hs,
+       |  $minCols
+       |  FROM hv GROUP BY doc_id),
+       |sig2 AS (SELECT doc_id, hs, $sigList AS sig FROM sig),
        |bands AS (SELECT doc_id, $bandKey AS bk
-       |  FROM sig, (SELECT unnest(range(0, $nBands)) AS bn) t),
+       |  FROM sig2, (SELECT unnest(range(0, $nBands)) AS bn) t),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
-       |v AS (SELECT a, b,
-       |  len(list_intersect(sa.sg, sb.sg)) / CAST(len(list_distinct(list_concat(sa.sg, sb.sg))) AS DOUBLE) AS jac
-       |  FROM cand JOIN sh sa ON sa.doc_id = cand.a JOIN sh sb ON sb.doc_id = cand.b)
-       |SELECT a, b, round(jac, 6) AS jac FROM v WHERE jac >= $thresh""".stripMargin
+       |v AS (SELECT a, b, len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |    len(sa.hs) AS la, len(sb.hs) AS lb
+       |  FROM cand JOIN sig2 sa ON sa.doc_id = cand.a JOIN sig2 sb ON sb.doc_id = cand.b),
+       |j AS (SELECT a, b, inter / CAST(la + lb - inter AS DOUBLE) AS jac FROM v)
+       |SELECT a, b, round(jac, 6) AS jac FROM j WHERE jac >= $thresh""".stripMargin
   }
 
-  /** Word 3-gram shingles, distinct. Spark side. */
-  private def wordShingles(s: SparkSession, d: String): DataFrame =
+  /** Word 3-gram shingle-occurrence hashes, one row each (codegen'd). */
+  private def wordShingleHashes(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(size(w)-2, 1)), i -> concat_ws(' ', slice(w, i, 3))))").as("sg"))
+      .selectExpr("doc_id", "w",
+        "explode(sequence(1, greatest(size(w)-2, 1))) AS i")
+      .select(col("doc_id"),
+        h60(expr("concat_ws(' ', slice(w, i, 3))")).as("hf"))
 
   private val wordShinglesSql: String =
-    """list_distinct(list_transform(range(1, greatest(len(string_split(lower(text),' '))-1, 2)),
-      |    i -> concat_ws(' ', string_split(lower(text),' ')[i], string_split(lower(text),' ')[i+1], string_split(lower(text),' ')[i+2])))""".stripMargin
+    """list_transform(range(1, greatest(len(string_split(lower(text),' '))-1, 2)),
+      |    i -> concat_ws(' ', string_split(lower(text),' ')[i], string_split(lower(text),' ')[i+1], string_split(lower(text),' ')[i+2]))""".stripMargin
 
   // ---------------------------------------------------------------- x02
   /** MinHash+LSH near-dup pairs on word 3-gram shingles, verified with
-    * exact Jaccard ≥ 0.8. 16 permutations in 8 bands × 2 rows
-    * (≥99.9% recall at j=0.8). */
+    * exact hashed-shingle Jaccard >= 0.8. 16 permutations in 8 bands x 2
+    * rows (>=99.9% recall at j=0.8). */
   def x02(s: SparkSession, d: String): DataFrame =
-    lshPairs(wordShingles(s, d), seed = 0, r = 2, nBands = 8, thresh = 0.8)
+    lshPairs(wordShingleHashes(s, d), seed = 0, r = 2, nBands = 8, thresh = 0.8)
 
   val x02Sql: String = lshSql(wordShinglesSql, 0, 2, 8, 0.8)
 
   // ---------------------------------------------------------------- x04
   /** Character 8-gram MinHash+LSH near-dup (catches word-reordering
-    * edits that word shingles miss), verified Jaccard ≥ 0.7. */
+    * edits that word shingles miss), verified Jaccard >= 0.7. */
   def x04(s: SparkSession, d: String): DataFrame = {
-    val sh = Tables.documents(s, d)
+    val hv = Tables.documents(s, d)
       .select(col("doc_id"), lower(col("text")).as("t"))
-      .select(col("doc_id"), expr(
-        "array_distinct(transform(sequence(1, greatest(length(t)-7, 1)), i -> substr(t, i, 8)))").as("sg"))
-    lshPairs(sh, seed = 100, r = 2, nBands = 8, thresh = 0.7)
+      .selectExpr("doc_id", "t",
+        "explode(sequence(1, greatest(length(t)-7, 1))) AS i")
+      .select(col("doc_id"), h60(expr("substr(t, i, 8)")).as("hf"))
+    lshPairs(hv, seed = 100, r = 2, nBands = 8, thresh = 0.7)
   }
 
   val x04Sql: String = lshSql(
-    """list_distinct(list_transform(range(1, greatest(len(lower(text))-6, 2)),
-      |    i -> substr(lower(text), i, 8)))""".stripMargin,
+    """list_transform(range(1, greatest(len(lower(text))-6, 2)),
+      |    i -> substr(lower(text), i, 8))""".stripMargin,
     100, 2, 8, 0.7)
 
   // ---------------------------------------------------------------- x03
@@ -137,18 +160,25 @@ object Dedup {
     * untouched), so the banded plan returns precisely the brute-force
     * answer without the O(n²) join. */
   def x03(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .withColumn("hw", expr(s"transform(w, x -> ${sparkH60("x")} % 4294967296)"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 31), j ->
-          |  aggregate(hw, 0L, (acc, h) -> acc + CASE WHEN (h div shiftleft(1L, j)) % 2 = 1 THEN 1 ELSE -1 END))""".stripMargin))
-      .withColumn("sim", expr(
-        "aggregate(sequence(0, 31), 0L, (acc, j) -> acc + CASE WHEN element_at(bits, j+1) > 0 THEN shiftleft(1L, j) ELSE 0L END)"))
-      .select(col("doc_id"), col("sim"))
-    val chunks = docs.select(col("doc_id"), col("sim"),
+    // Explode words so md5 runs once per occurrence; the 32 bit-vote
+    // counters are plain conditional-sum aggregates (codegen'd, partial
+    // map-side) instead of interpreted nested lambdas.
+    val hw = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+      .select(col("doc_id"), (h60(col("wd")) % 4294967296L).as("h"))
+    val bitAggs = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1, 1)
+        .otherwise(-1)).as(s"b$j")
+    }
+    val sims = hw.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 32).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+    val chunks = sims.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(c =>
-        concat_ws("_", lit(c), expr(s"(sim div shiftleft(1L, ${8 * c})) % 256"))): _*)).as("ck"))
+        concat_ws("_", lit(c),
+          shiftright(col("sim"), 8 * c).bitwiseAND(255L))): _*)).as("ck"))
     chunks.alias("x")
       .join(chunks.alias("y"),
         col("x.ck") === col("y.ck") && col("x.doc_id") < col("y.doc_id"))
@@ -179,14 +209,14 @@ object Dedup {
     * fixture's 2k–5k vectors; the scale path for this shape is the
     * LSH-bucketed ANN (Similarity.x07). */
   def x05(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayMath
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", ArrayMath.l2norm(col("v")))
     val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (na * nb)"))
+      .withColumn("cos", ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.4)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }

@@ -34,18 +34,20 @@ object Similarity {
 
   private def fmt(x: Double): String = f"$x%.3f"
 
-  /** Normalized vectors: (vec_id, v: array<double>, nrm). */
+  import graft.functions.ArrayMath
+
+  /** Normalized vectors: (vec_id, v: array<double>, nrm). The cast and
+    * the codegen'd dot product (see [[graft.functions.DotProduct]]) keep
+    * the whole cosine pipeline inside whole-stage codegen. */
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"))
-
-  private val cosExpr =
-    "aggregate(zip_with(vq, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x) / (nq * nrm)"
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", ArrayMath.l2norm(col("v")))
 
   private def rank(cand: DataFrame): DataFrame =
     cand
-      .withColumn("score", round(expr(cosExpr), 6))
+      .withColumn("score", round(
+        ArrayMath.dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 6))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
       .filter(col("rn") <= TopK)
@@ -81,8 +83,8 @@ object Similarity {
   def x07(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val bkt = (0 until 8).map { i =>
-      val dot = s"aggregate(zip_with(v, array(${planes(i).map(fmt).mkString(", ")}), (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-      when(expr(dot) >= 0, lit(1 << i)).otherwise(lit(0))
+      val planeLit = array(planes(i).map(x => lit(x)): _*)
+      when(ArrayMath.dot(col("v"), planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val eb = e.withColumn("bkt", bkt)
     val q = eb.filter(col("vec_id") < NQueries)
