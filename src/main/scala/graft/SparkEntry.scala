@@ -20,11 +20,15 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.TextOps.queries
+      operators.TextOps.queries ++
+      operators.StreamingQueries.queries ++
+      multimodal.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
-      operators.TextOps.oracleSql
+      operators.TextOps.oracleSql ++
+      operators.StreamingQueries.oracleSql ++
+      multimodal.Multimodal.oracleSql
 }

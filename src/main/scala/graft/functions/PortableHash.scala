@@ -37,9 +37,11 @@ object PortableHash {
   /** JVM mirror of h60 — used to precompute deterministic constants
     * (e.g. LSH hyperplane components) embedded as literals into BOTH the
     * Spark plan and the DuckDB oracle SQL. */
-  def h60(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def h60(s: String): Long =
+    h60(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  def h60(bytes: Array[Byte]): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     java.lang.Long.parseLong(
       d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
   }

@@ -1,0 +1,130 @@
+package graft.operators
+
+import graft.Tables
+import graft.streaming._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming operators exposed through the driver contract by REPLAYING
+  * the events fixture through real Structured Streaming machinery
+  * (MemoryStream source -> stateful operators -> memory sink) and
+  * returning the sink table. The replay collects the fixture to feed the
+  * source — that is the test-harness boundary, not the engine's data
+  * path (the production path is readStream from Kafka/files; see
+  * [[graft.streaming.Generator.stream]]).
+  *
+  * s01/s02 are oracle-checked: the streaming answer must hash-match the
+  * equivalent batch SQL over the same fixture, which pins down the
+  * stateful semantics (watermark, timers, out-of-order handling), not
+  * just "it produced rows".
+  */
+object StreamingQueries {
+
+  /** events-fixture -> MessageStatus mapping: user_id keys a message
+    * lifecycle, 'purchase' plays the terminal `delivered`, everything
+    * else is a `sent` heartbeat. */
+  private def toMessages(s: SparkSession, d: String): Dataset[MessageStatus] = {
+    import s.implicits._
+    Tables.events(s, d).selectExpr(
+      "cast(user_id as string) AS messageId",
+      "CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status",
+      "user_id AS phoneNumber",
+      s"element_at(array('verizon', 'att', 't-mobile'), cast(user_id % 3 + 1 as int)) AS carrier",
+      "unix_millis(ts) AS timestamp").as[MessageStatus]
+  }
+
+  private def carrierSql: String =
+    "['verizon', 'att', 't-mobile'][CAST(user_id % 3 + 1 AS INT)]"
+
+  /** Drive a streaming Dataset built from a MemoryStream to completion:
+    * feed the whole fixture, then two sentinel batches that push the
+    * watermark past every deadline so all event-time timers fire. */
+  private def replay[T: org.apache.spark.sql.Encoder](
+      s: SparkSession,
+      data: Seq[T],
+      sentinels: Seq[Seq[T]],
+      build: Dataset[T] => DataFrame,
+      outputMode: String): DataFrame = {
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val src = MemoryStream[T]
+    val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = build(src.toDS()).writeStream
+      .format("memory").queryName(qn).outputMode(outputMode).start()
+    src.addData(data)
+    q.processAllAvailable()
+    sentinels.foreach { b =>
+      src.addData(b)
+      q.processAllAvailable()
+    }
+    q.stop()
+    s.table(qn)
+  }
+
+  /** s01 — the E1 detector replayed over the fixture. Timeout = 24h
+    * (same knob as Q15). */
+  def s01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val timeoutMs = Relational.TimeoutMs
+    val msgs = toMessages(s, d).collect().toSeq
+    val maxTs = msgs.map(_.timestamp).max
+    val sent1 = MessageStatus("sentinel", "delivered", 0L, "none",
+      maxTs + timeoutMs + 3600000L)
+    val sent2 = sent1.copy(timestamp = sent1.timestamp + timeoutMs + 3600000L)
+    replay[MessageStatus](s, msgs, Seq(Seq(sent1), Seq(sent2)),
+      ds => UndeliveredDetector.alerts(ds, timeoutMs).toDF(),
+      "append")
+      .filter(col("messageId") =!= "sentinel")
+  }
+
+  val s01Sql: String =
+    s"""SELECT CAST(user_id AS VARCHAR) AS messageId,
+       |  user_id AS phoneNumber,
+       |  $carrierSql AS carrier,
+       |  first_sent AS sentTime,
+       |  first_sent + ${Relational.TimeoutMs} AS deadline
+       |FROM (
+       |  SELECT user_id,
+       |    epoch_ms(min(ts) FILTER (WHERE event_type <> 'purchase')) AS first_sent,
+       |    epoch_ms(min(ts) FILTER (WHERE event_type = 'purchase')) AS first_delivered
+       |  FROM events GROUP BY user_id)
+       |WHERE first_sent IS NOT NULL
+       |  AND (first_delivered IS NULL
+       |       OR first_delivered > first_sent + ${Relational.TimeoutMs})""".stripMargin
+
+  /** s02 — the E2 windowed monitoring view replayed as a stream
+    * (complete mode, 1h tumbling windows by carrier x status). */
+  def s02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val msgs = toMessages(s, d).collect().toSeq
+    replay[MessageStatus](s, msgs, Seq.empty,
+      ds => WindowedCounts.byCarrier(ds, "1 hour", "2 minutes"),
+      "complete")
+  }
+
+  val s02Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS win_start,
+       |  $carrierSql AS carrier,
+       |  CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status,
+       |  count(*) AS cnt
+       |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** s03 — the deterministic reference-parity generator (10k message
+    * lifecycles => sent/heartbeat/delivered transcript). */
+  def s03(s: SparkSession, d: String): DataFrame =
+    Generator.batch(s, 10000L)
+
+  val s03Sql: String = Generator.batchSql(10000L)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_undelivered_stream" -> (s01 _),
+    "s02_windowed_stream" -> (s02 _),
+    "s03_generator" -> (s03 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_undelivered_stream" -> s01Sql,
+    "s02_windowed_stream" -> s02Sql,
+    "s03_generator" -> s03Sql,
+  )
+}
