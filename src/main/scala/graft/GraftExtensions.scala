@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{DotProduct, SortedIntersectSize}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering graft's custom Catalyst expressions as
+  * SQL functions, so the full surface is reachable from `spark.sql(...)`
+  * as well as the Column API:
+  *
+  *   spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")
+  *
+  * Enable with
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * or programmatically via [[GraftExtensions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+  }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  private[graft] val registrations
+      : Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("dot_product",
+      info("dot_product",
+        "dot_product(a, b) - double dot product of two float/double arrays"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("sorted_intersect_size",
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |a ∩ b| for sorted distinct bigint arrays"),
+      (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))),
+  )
+
+  /** Register on an already-built session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, i, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), i, builder)
+    }
+}

@@ -60,7 +60,11 @@ object Similarity {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
-    rank(q.crossJoin(e).filter(col("vec_id") =!= col("qid")))
+    // broadcast the QUERY side: the corpus streams through executors
+    // (it cannot broadcast at scale), each partition scoring its rows
+    // against the in-memory query set; WindowGroupLimit then keeps the
+    // per-partition top-k before the single small shuffle on qid.
+    rank(e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid")))
   }
 
   val x06Sql: String =

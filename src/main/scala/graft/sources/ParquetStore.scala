@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table write paths replacing the reference's SQLite store (C3):
+  * columnar parquet instead of a row store; the B-tree indexes'
+  * filter-acceleration role (A15) is played by partition pruning +
+  * parquet min/max row-group skipping.
+  */
+object ParquetStore {
+
+  /** A10 — append (INSERT INTO messages ...,
+    * phone_message_producer.py:189-194). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** A11 — insert-if-absent on a unique key (INSERT OR IGNORE,
+    * phone_message_producer.py:133-151): dedup the incoming batch on
+    * the key, then anti-join against what the table already holds.
+    * At scale both sides stay distributed (shuffle on the key); with a
+    * transactional table format the same statement is a MERGE. */
+  def insertIfAbsent(spark: SparkSession, df: DataFrame, path: String,
+      key: String): Unit = {
+    val fresh = df.dropDuplicates(key)
+    val toWrite =
+      if (!exists(spark, path)) fresh
+      else {
+        val existing = spark.read.parquet(path).select(key)
+        fresh.join(existing, Seq(key), "left_anti")
+      }
+    toWrite.write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** A12/A13 counters as a derived view instead of point UPDATEs: the
+    * reference mutates total_messages_sent/delivered per row
+    * (phone_message_producer.py:197-233); columnar-idiomatic form is a
+    * groupBy recount, which is exactly what the UPDATE maintained. */
+  def counters(messages: DataFrame): DataFrame =
+    messages.groupBy("phoneNumber")
+      .agg(
+        count(lit(1)).as("total_messages_sent"),
+        count(when(col("status") === "delivered", 1))
+          .as("total_messages_delivered"))
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

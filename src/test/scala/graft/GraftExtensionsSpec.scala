@@ -1,0 +1,29 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val dot = spark.sql(
+      "SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head.getDouble(0)
+    assert(dot == 11.0)
+    val inter = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 7L))")
+      .head.getInt(0)
+    assert(inter == 2)
+  }
+
+  test("extensions class wires into a fresh session") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[1]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // same JVM: builder returns the active session; registration still
+    // must leave the function resolvable
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT dot_product(array(1.0D), array(2.0D))")
+      .head.getDouble(0) == 2.0)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regression guards: the properties that make these
+  * queries survive a 100× scale-up. A correctness-preserving edit that
+  * loses one of these (pushdown, pruning, broadcast side, top-k fusion)
+  * is a performance bug the oracle gate cannot see. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(SimpleMode)
+
+  test("q01 projection is pruned at the parquet scan") {
+    val p = plan(Relational.q01(spark, sf))
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"))
+  }
+
+  test("q03 filter is pushed to the parquet reader") {
+    val p = plan(Relational.q03(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), Not(EqualTo(o_orderstatus,F))]"))
+  }
+
+  test("q02 and q16 compile to TakeOrderedAndProject (no global sort)") {
+    assert(plan(Relational.q02(spark, sf)).contains("TakeOrderedAndProject"))
+    assert(plan(Relational.q16(spark, sf)).contains("TakeOrderedAndProject"))
+  }
+
+  test("q07 broadcast-joins the dimension side") {
+    val p = plan(Relational.q07(spark, sf))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("partial_count"))
+  }
+
+  test("x06 streams the corpus and broadcasts the query set") {
+    val p = plan(Similarity.x06(spark, sf))
+    // BuildRight must be the filtered (vec_id < 10) query relation
+    val buildSide = p.substring(p.indexOf("BroadcastExchange"))
+    assert(buildSide.contains("LessThan(vec_id,10)"),
+      "query set (small side) must be the broadcast build side")
+    assert(p.contains("WindowGroupLimit"), "partial top-k must precede the shuffle")
+    assert(p.contains("dotproduct"), "cosine must use the codegen'd expression")
+  }
+
+  test("x02 signature aggregation is partial before the shuffle") {
+    val p = plan(Dedup.x02(spark, sf))
+    assert(p.contains("partial_min"))
+  }
+}
