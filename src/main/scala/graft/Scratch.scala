@@ -2,34 +2,35 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Ad-hoc drive main (not part of the driver contract). */
+/** Ad-hoc profiling main (not part of the driver contract). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    val cpus = sys.env.getOrElse("CPUS", "32")
+    val parts = sys.env.getOrElse("PARTS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", sys.env.getOrElse("PFIRST", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
-
-    // drive the Avro wire + Kafka frame path through the public API
-    val msgs = streaming.Generator.batch(spark, 20L).as[streaming.MessageStatus]
-    val framed = sources.KafkaIO.frame(msgs)
-    framed.show(3, truncate = true)
-    val back = sources.KafkaIO.unframe(framed).collect().toSet
-    println(s"[drive] avro roundtrip equal: ${back == msgs.collect().toSet} (n=${back.size})")
-
-    // drive ParquetStore insert-if-absent
-    val dir = java.nio.file.Files.createTempDirectory("drive").toString + "/t"
-    sources.ParquetStore.insertIfAbsent(spark, Seq((1L,"a"),(2L,"b")).toDF("k","v"), dir, "k")
-    sources.ParquetStore.insertIfAbsent(spark, Seq((2L,"X"),(3L,"c")).toDF("k","v"), dir, "k")
-    val rows = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
-    println(s"[drive] store rows: $rows")
-
-    // drive SQL registration
-    GraftExtensions.register(spark)
-    println("[drive] sql dot = " + spark.sql("SELECT dot_product(array(1.0D,2.0D), array(3.0D,4.0D))").head.getDouble(0))
+    val d = "/root/testdata/sf0.1"
+    SparkEntry.entry(spark).count()
+    Tables.events(spark, d).count()
+    def t(name: String)(f: => Any): Unit = {
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[t] $name: ${runs.min}%.3f")
+    }
+    t("q05_cold_plan")(operators.Relational.q05(spark, d).count())
+    val cached = operators.Relational.q05(spark, d)
+    t("q05_same_df")(cached.count())
+    t("q01")(operators.Relational.q01(spark, d).count())
+    t("q13")(operators.Relational.q13(spark, d).count())
+    t("x02")(operators.Dedup.x02(spark, d).count())
+    t("x04")(operators.Dedup.x04(spark, d).count())
     spark.stop()
   }
 }

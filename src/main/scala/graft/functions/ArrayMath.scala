@@ -143,6 +143,48 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The portable 60-bit md5-prefix hash as a direct codegen'd expression:
+  * md5 digest -> first 8 bytes big-endian >>> 4, which equals
+  * parseLong(hexDigest.substring(0, 15), 16) without materializing and
+  * re-parsing the 32-char hex string (the `conv(substring(md5(...)))`
+  * formulation). Same value as PortableHash.h60 everywhere — this is
+  * purely the fast path for shingle-hashing loops.
+  */
+case class Md5Prefix60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"md5_prefix60 expects binary, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    Md5Prefix60.hash(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Prefix60.hash($c)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object Md5Prefix60 {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def hash(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    (java.nio.ByteBuffer.wrap(dig).getLong >>> 4)
+  }
+}
+
 object ArrayMath {
   /** Column-level dot product; accepts array<float> / array<double>. */
   def dot(a: Column, b: Column): Column =

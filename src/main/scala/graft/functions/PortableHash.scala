@@ -22,9 +22,11 @@ object PortableHash {
     * `(a*h + b) % P` never overflows in either engine. */
   val P: Long = 1000000007L
 
-  /** 60-bit md5-prefix hash as a Column. */
+  /** 60-bit md5-prefix hash as a Column (codegen'd fast path —
+    * [[Md5Prefix60]] — value-identical to the conv/substring form). */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graft.Bridge.column(Md5Prefix60(
+      org.apache.spark.sql.graft.Bridge.expression(c.cast("binary"))))
 
   /** SQL fragment (Spark dialect) for h60 of expression `e`. */
   def sparkH60(e: String): String =

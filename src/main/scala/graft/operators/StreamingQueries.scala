@@ -47,18 +47,26 @@ object StreamingQueries {
       build: Dataset[T] => DataFrame,
       outputMode: String): DataFrame = {
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
-    val src = MemoryStream[T]
-    val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = build(src.toDS()).writeStream
-      .format("memory").queryName(qn).outputMode(outputMode).start()
-    src.addData(data)
-    q.processAllAvailable()
-    sentinels.foreach { b =>
-      src.addData(b)
+    // The stateful shuffle inherits spark.sql.shuffle.partitions as its
+    // state-partition count; the replay keys are few (fixture user_ids),
+    // so 8 partitions cut per-partition state-store commit overhead
+    // without losing parallelism. Restored afterwards.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val src = MemoryStream[T]
+      val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = build(src.toDS()).writeStream
+        .format("memory").queryName(qn).outputMode(outputMode).start()
+      src.addData(data)
       q.processAllAvailable()
-    }
-    q.stop()
-    s.table(qn)
+      sentinels.foreach { b =>
+        src.addData(b)
+        q.processAllAvailable()
+      }
+      q.stop()
+      s.table(qn)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** s01 — the E1 detector replayed over the fixture. Timeout = 24h
