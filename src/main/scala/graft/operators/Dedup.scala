@@ -162,7 +162,10 @@ object Dedup {
     * is EXACT for hd ≤ 3 (pigeonhole: 3 flipped bits leave ≥1 chunk
     * untouched), so the banded plan returns precisely the brute-force
     * answer without the O(n²) join. */
-  def x03(s: SparkSession, d: String): DataFrame = {
+  /** 32-bit SimHash signature per doc (exposed for the banding
+    * exactness test). */
+  private[operators] def simhashSignatures(s: SparkSession, d: String)
+      : DataFrame = {
     // Explode words so md5 runs once per occurrence; the 32 bit-vote
     // counters are plain conditional-sum aggregates (codegen'd, partial
     // map-side) instead of interpreted nested lambdas.
@@ -173,11 +176,15 @@ object Dedup {
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1, 1)
         .otherwise(-1)).as(s"b$j")
     }
-    val sims = hw.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    hw.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"),
         (0 until 32).map(j =>
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("sim"))
+  }
+
+  def x03(s: SparkSession, d: String): DataFrame = {
+    val sims = simhashSignatures(s, d)
     val chunks = sims.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(c =>
         concat_ws("_", lit(c),

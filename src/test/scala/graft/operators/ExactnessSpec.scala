@@ -1,0 +1,22 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExactnessSpec extends SparkSpec {
+
+  test("simhash chunk banding returns EXACTLY the brute-force hd<=3 pairs") {
+    val sims = Dedup.simhashSignatures(spark, sf)
+    val a = sims.select(col("doc_id").as("a"), col("sim").as("sa"))
+    val b = sims.select(col("doc_id").as("b"), col("sim").as("sb"))
+    val brute = a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .withColumn("hd", expr("bit_count(sa ^ sb)"))
+      .filter(col("hd") <= 3)
+      .select("a", "b", "hd")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val banded = Dedup.x03(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+  }
+}

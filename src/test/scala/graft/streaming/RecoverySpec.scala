@@ -1,0 +1,72 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** B12 parity: the reference reloads its active/delivered sets from
+  * SQLite on restart (phone_message_producer.py:366-372); here the
+  * checkpointed state store replays the same role — keyed state must
+  * survive a stop/start of the query. */
+class RecoverySpec extends SparkSpec {
+
+  private val T0 = 1700000000000L
+  private val Timeout = 120000L
+
+  test("detector state survives a query restart via checkpoint") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("ckpt")
+    val ckpt = tmp.resolve("cp").toString
+    val out = tmp.resolve("out").toString
+    val src = MemoryStream[MessageStatus]
+    def start() = UndeliveredDetector.alerts(src.toDS(), Timeout).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // phase 1: two in-flight keys, one resolves in time; then STOP
+    val q1 = start()
+    src.addData(Seq(
+      MessageStatus("a", "sent", 1L, "att", T0),
+      MessageStatus("b", "sent", 2L, "verizon", T0),
+      MessageStatus("b", "delivered", 2L, "verizon", T0 + 30000)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: restart from the checkpoint; only the watermark moves
+    val q2 = start()
+    val s1 = MessageStatus("sentinel", "delivered", 0L, "none", T0 + 10 * Timeout)
+    src.addData(Seq(s1))
+    q2.processAllAvailable()
+    src.addData(Seq(s1.copy(timestamp = s1.timestamp + 10 * Timeout)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val alerts = spark.read.parquet(out).as[UndeliveredAlert]
+      .collect().filterNot(_.messageId == "sentinel")
+    // key "a" was only in pre-restart state: alerting proves recovery
+    assert(alerts.map(_.messageId).toSeq == Seq("a"))
+    assert(alerts.head.sentTime == T0)
+  }
+
+  test("monitor listener observes progress and bounded state") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val l = Monitor.attach(spark)
+    try {
+      val src = MemoryStream[MessageStatus]
+      val qn = "mon_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = UndeliveredDetector.alerts(src.toDS(), Timeout).writeStream
+        .format("memory").queryName(qn).outputMode("append").start()
+      src.addData((0 until 500).map(i =>
+        MessageStatus(s"m$i", "sent", i.toLong, "att", T0 + i)))
+      q.processAllAvailable()
+      q.stop()
+      assert(l.lastSnapshot.isDefined)
+      assert(l.totalInputRows == 500)
+      assert(l.maxStateRows == 500) // one state row per in-flight key
+      assert(l.lastError.isEmpty)
+    } finally spark.streams.removeListener(l)
+  }
+}
