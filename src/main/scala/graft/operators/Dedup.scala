@@ -82,7 +82,10 @@ object Dedup {
       .withColumn("jac", col("inter") /
         (size(col("hsa")) + size(col("hsb")) - col("inter")).cast("double"))
       .filter(col("jac") >= thresh)
-      .select(col("a"), col("b"), round(col("jac"), 6).as("jac"))
+      // floor micro-units, not round(): round half-ties on exact
+      // rational values diverge across engines (see TextOps.x09)
+      .select(col("a"), col("b"),
+        floor(col("jac") * 1000000).cast("long").as("jac_u"))
   }
 
   /** DuckDB mirror of [[lshPairs]] — same constants, same band layout,
@@ -111,7 +114,7 @@ object Dedup {
        |    len(sa.hs) AS la, len(sb.hs) AS lb
        |  FROM cand JOIN sig2 sa ON sa.doc_id = cand.a JOIN sig2 sb ON sb.doc_id = cand.b),
        |j AS (SELECT a, b, inter / CAST(la + lb - inter AS DOUBLE) AS jac FROM v)
-       |SELECT a, b, round(jac, 6) AS jac FROM j WHERE jac >= $thresh""".stripMargin
+       |SELECT a, b, CAST(floor(jac * 1000000) AS BIGINT) AS jac_u FROM j WHERE jac >= $thresh""".stripMargin
   }
 
   /** Word 3-gram shingle-occurrence hashes, one row each (codegen'd). */
@@ -228,7 +231,8 @@ object Dedup {
     a.crossJoin(b).filter(col("a") < col("b"))
       .withColumn("cos", ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= 0.4)
-      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .select(col("a"), col("b"),
+        floor(col("cos") * 1000000).cast("long").as("cos_u"))
   }
 
   val x05Sql: String =
@@ -237,7 +241,7 @@ object Dedup {
       |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
       |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |SELECT a, b, round(cos, 6) AS cos FROM p WHERE cos >= 0.4""".stripMargin
+      |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p WHERE cos >= 0.4""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),

@@ -129,7 +129,7 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        (floor(avg(col("l_discount")) * 1000000) / 1000000.0).as("avg_disc"),
         count(lit(1)).as("cnt"))
 
   /** Q13 — event-time tumbling window count (ref B13/E2 monitoring views).
@@ -240,7 +240,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  floor(avg(l_discount) * 1000000) / 1000000.0 AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q13_window_hourly" ->

@@ -46,8 +46,9 @@ object Similarity {
 
   private def rank(cand: DataFrame): DataFrame =
     cand
-      .withColumn("score", round(
-        ArrayMath.dot(col("vq"), col("v")) / (col("nq") * col("nrm")), 6))
+      .withColumn("score", floor(
+        ArrayMath.dot(col("vq"), col("v")) / (col("nq") * col("nrm"))
+          * 1000000).cast("long"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
       .filter(col("rn") <= TopK)
@@ -71,7 +72,7 @@ object Similarity {
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |c AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-       |  round(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm), 6) AS score
+       |  CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) * 1000000) AS BIGINT) AS score
        |  FROM n q JOIN n e ON e.vec_id <> q.vec_id WHERE q.vec_id < $NQueries)
        |SELECT qid, vec_id, score,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
@@ -110,7 +111,7 @@ object Similarity {
        |    THEN (1::BIGINT << i) ELSE 0 END) AS INT) AS bkt
        |  FROM n, planes GROUP BY vec_id, v, nrm),
        |c AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
-       |  round(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm), 6) AS score
+       |  CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) * 1000000) AS BIGINT) AS score
        |  FROM b q JOIN b e ON q.bkt = e.bkt AND e.vec_id <> q.vec_id
        |  WHERE q.vec_id < $NQueries)
        |SELECT qid, vec_id, score,

@@ -63,31 +63,38 @@ object TextOps {
 
   // ---------------------------------------------------------------- x09
   /** Quality score: token count, stopword ratio, chars-per-token,
-    * combined into a bounded [0,1] heuristic. Ratios are rounded BEFORE
-    * entering the score so both engines combine identical inputs. */
+    * combined into a bounded heuristic. All ratios are emitted as
+    * FLOOR-based micro-units (x*1e6 floored): round() half-ties at the
+    * rounding scale resolve differently across engines (Spark HALF_UPs
+    * the exact binary value; DuckDB rounds the multiplied double), and
+    * these token ratios DO land on exact scale-6 ties — observed at
+    * sf0.1. floor(x*1e6) is a pure IEEE multiply+floor, bit-identical
+    * everywhere. */
   def x09(s: SparkSession, d: String): DataFrame =
     withWords(s, d)
       .withColumn("n_tokens", size(col("w")))
-      .withColumn("stop_ratio", round(
+      .withColumn("stop_ratio_u", floor(
         expr(s"size(filter(w, x -> x IN ${inList(StopEn)}))") /
-          col("n_tokens").cast("double"), 6))
-      .withColumn("chars_per_token",
-        round(length(col("t")) / col("n_tokens").cast("double"), 6))
-      .withColumn("score", round(
-        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-          (lit(1.0) - col("stop_ratio")) * 0.3 +
-          least(col("chars_per_token") / lit(8.0), lit(1.0)) * 0.2, 6))
-      .select("doc_id", "n_tokens", "stop_ratio", "chars_per_token", "score")
+          col("n_tokens").cast("double") * 1000000).cast("long"))
+      .withColumn("cpt_u",
+        floor(length(col("t")) / col("n_tokens").cast("double") * 1000000)
+          .cast("long"))
+      .withColumn("score_u", floor(
+        (least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+          (lit(1.0) - col("stop_ratio_u") / lit(1000000.0)) * 0.3 +
+          least(col("cpt_u") / lit(1000000.0) / 8.0, lit(1.0)) * 0.2)
+          * 1000000).cast("long"))
+      .select("doc_id", "n_tokens", "stop_ratio_u", "cpt_u", "score_u")
 
   val x09Sql: String =
     s"""WITH ws AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w FROM documents),
        |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
-       |  round(len(list_filter(w, x -> x IN ${inList(StopEn)})) / CAST(len(w) AS DOUBLE), 6) AS stop_ratio,
-       |  round(len(t) / CAST(len(w) AS DOUBLE), 6) AS chars_per_token
+       |  CAST(floor(len(list_filter(w, x -> x IN ${inList(StopEn)})) / CAST(len(w) AS DOUBLE) * 1000000) AS BIGINT) AS stop_ratio_u,
+       |  CAST(floor(len(t) / CAST(len(w) AS DOUBLE) * 1000000) AS BIGINT) AS cpt_u
        |  FROM ws)
-       |SELECT doc_id, n_tokens, stop_ratio, chars_per_token,
-       |  round(least(n_tokens / 100.0, 1.0) * 0.5 + (1.0 - stop_ratio) * 0.3 +
-       |        least(chars_per_token / 8.0, 1.0) * 0.2, 6) AS score
+       |SELECT doc_id, n_tokens, stop_ratio_u, cpt_u,
+       |  CAST(floor((least(n_tokens / 100.0, 1.0) * 0.5 + (1.0 - stop_ratio_u / 1000000.0) * 0.3 +
+       |        least(cpt_u / 1000000.0 / 8.0, 1.0) * 0.2) * 1000000) AS BIGINT) AS score_u
        |FROM m""".stripMargin
 
   // ---------------------------------------------------------------- x10

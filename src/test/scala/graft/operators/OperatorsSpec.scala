@@ -33,7 +33,7 @@ class OperatorsSpec extends SparkSpec {
     val rows = Dedup.x02(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.8)
+      assert(r.getLong(2) >= 800000L) // jac_u micro-units
     }
   }
 
