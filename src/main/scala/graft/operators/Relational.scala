@@ -184,7 +184,42 @@ object Relational {
       .limit(50)
       .select("o_orderkey")
 
+  /** Q17 — ranking window function (beyond the reference's surface; a
+    * real analytics engine needs analytic windows): top-3 orders per
+    * customer by price. WindowGroupLimit keeps per-partition top-k
+    * before the shuffle. */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  /** Q18 — ROLLUP aggregation (subtotals + grand total in one pass). */
+  def q18(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q19 — set difference: high-balance customers who have no pending
+    * ('P') order. EXCEPT compiles to a left-anti join on all columns. */
+  def q19(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 1000)
+      .select(col("c_custkey").as("k"))
+    val pending = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k"))
+    rich.except(pending)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_window_rank" -> (q17 _),
+    "q18_rollup" -> (q18 _),
+    "q19_set_except" -> (q19 _),
     "q01_scan_project" -> (q01 _),
     "q02_topk" -> (q02 _),
     "q03_filter_neq" -> (q03 _),
@@ -205,6 +240,20 @@ object Relational {
 
   /** DuckDB-dialect oracle SQL, column-name-identical to the plans above. */
   val oracleSql: Map[String, String] = Map(
+    "q17_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q18_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q19_set_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+        |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
     "q01_scan_project" ->
       "SELECT c_custkey, c_mktsegment FROM customer",
     "q02_topk" ->
