@@ -216,10 +216,40 @@ object Relational {
     rich.except(pending)
   }
 
+  /** Q20 — session windows (gap-based sessionization, the canonical
+    * user-activity operator): 30-minute inactivity gap per user. Spark's
+    * session_window operator; the oracle derives identical islands via
+    * lag + cumulative-sum (gaps-and-islands). */
+  def q20(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("user_id"),
+        unix_millis(col("session_window.start")).as("sess_start_ms"),
+        unix_millis(col("session_window.end")).as("sess_end_ms"),
+        col("cnt"))
+
+  /** Q21 — salting demo: two-phase aggregation over a salted key. The
+    * plan shuffles (key, salt) first so one hot key spreads over
+    * `salt` reducers, then combines the partials — the classic
+    * skew-resistant rewrite (AQE's skew-join handles the join case;
+    * this is the aggregation case). Result is identical to a plain
+    * GROUP BY, which is exactly what the oracle checks. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("cnt"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q17_window_rank" -> (q17 _),
     "q18_rollup" -> (q18 _),
     "q19_set_except" -> (q19 _),
+    "q20_session_window" -> (q20 _),
+    "q21_salted_agg" -> (q21 _),
     "q01_scan_project" -> (q01 _),
     "q02_topk" -> (q02 _),
     "q03_filter_neq" -> (q03 _),
@@ -254,6 +284,26 @@ object Relational {
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
         |EXCEPT
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q20_session_window" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |islands AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                        ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM ordered)
+        |SELECT user_id,
+        |  epoch_ms(min(ts)) AS sess_start_ms,
+        |  epoch_ms(max(ts)) + 1800000 AS sess_end_ms,
+        |  count(*) AS cnt
+        |FROM islands GROUP BY user_id, sess_id""".stripMargin,
+    "q21_salted_agg" ->
+      "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "q01_scan_project" ->
       "SELECT c_custkey, c_mktsegment FROM customer",
     "q02_topk" ->

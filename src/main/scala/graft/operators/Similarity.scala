@@ -120,13 +120,67 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x12
+  private val NCentroids = 16
+  private val NProbe = 2
+
+  /** IVF-style ANN: a deterministic coarse quantizer (16 corpus vectors
+    * chosen by portable hash stand in for k-means centroids) partitions
+    * the corpus into cells; queries probe their 2 nearest cells and rank
+    * only those members. The scale shape of a real IVF index: assignment
+    * is an O(n·K) narrow pass (centroids broadcast), search is an
+    * equi-join on cell id — no cross product. Centroid quality (k-means
+    * iterations) only moves recall, not the plan. */
+  def x12(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val ctr = e
+      .withColumn("hk", graft.functions.PortableHash.h60(
+        concat(lit("ctr_"), col("vec_id").cast("string"))))
+      .orderBy(col("hk").asc, col("vec_id").asc).limit(NCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val scored = e.crossJoin(broadcast(ctr))
+      .withColumn("cos_c",
+        ArrayMath.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)))
+    val assign = scored.filter(col("crn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
+    val probes = scored.filter(col("vec_id") < NQueries && col("crn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("v").as("vq"),
+        col("nrm").as("nq"), col("cid"))
+    rank(probes.join(assign, Seq("cid")).filter(col("vec_id") =!= col("qid")))
+  }
+
+  val x12Sql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |hk AS (SELECT vec_id, v, nrm, ${PortableHash.duckH60("concat('ctr_', vec_id)")} AS hk FROM n),
+       |ctr AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM hk
+       |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $NCentroids),
+       |sc0 AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+       |    list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
+       |  FROM n CROSS JOIN ctr c),
+       |sc AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS crn FROM sc0),
+       |assign AS (SELECT vec_id, v, nrm, cid FROM sc WHERE crn = 1),
+       |probe AS (SELECT vec_id AS qid, v AS vq, nrm AS nq, cid FROM sc
+       |  WHERE crn <= $NProbe AND vec_id < $NQueries),
+       |c AS (SELECT p.qid, a.vec_id,
+       |    CAST(floor(list_sum(list_transform(range(1, 65), i -> p.vq[i] * a.v[i])) / (p.nq * a.nrm) * 1000000) AS BIGINT) AS score
+       |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_brute" -> (x06 _),
     "x07_ann_lsh" -> (x07 _),
+    "x12_ann_ivf" -> (x12 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x06_ann_brute" -> x06Sql,
     "x07_ann_lsh" -> x07Sql,
+    "x12_ann_ivf" -> x12Sql,
   )
 }
