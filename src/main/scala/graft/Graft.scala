@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.streaming.{MessageStatus, UndeliveredAlert}
+
+/** Public library facade — DataFrame-in/DataFrame-out entry points for
+  * every capability, independent of the test fixtures. A user of the
+  * reference system programs against this surface:
+  *
+  * {{{
+  * import graft.Graft
+  * val dups   = Graft.nearDupPairs(myDocs)              // (a, b, jac_u)
+  * val knn    = Graft.annTopK(myVectors, Seq(1L, 2L))   // (qid, vec_id, score, rn)
+  * val langs  = Graft.languageId(myDocs)                // (doc_id, pred_lang, hits)
+  * val alerts = Graft.undeliveredAlerts(stream, 120000) // streaming Dataset
+  * }}}
+  *
+  * Expected schemas: documents = (doc_id: long, text: string);
+  * embeddings = (vec_id: long, embedding: array<float|double>);
+  * message streams = [[graft.streaming.MessageStatus]].
+  */
+object Graft {
+
+  // ---- deduplication ------------------------------------------------
+  /** MinHash+LSH near-duplicate pairs on word 3-gram shingles. */
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    operators.Dedup.nearDupWordPairs(docs, threshold)
+
+  /** Character-8-gram variant (catches word reordering). */
+  def nearDupCharPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
+    operators.Dedup.nearDupCharPairs(docs, threshold)
+
+  /** SimHash pairs within a Hamming radius (exact via chunk banding). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    operators.Dedup.simhashPairs(docs, maxHamming)
+
+  /** All-pairs embedding-cosine near-duplicates. */
+  def embeddingDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
+    operators.Dedup.embeddingDupPairs(embeddings, threshold)
+
+  // ---- similarity search -------------------------------------------
+  /** Exact top-k cosine neighbors for the given query vector ids. */
+  def annTopK(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
+    operators.Similarity.annBrute(embeddings, queryIds)
+
+  // ---- text analysis ------------------------------------------------
+  def languageId(docs: DataFrame): DataFrame = operators.TextOps.languageId(docs)
+  def qualityScore(docs: DataFrame): DataFrame = operators.TextOps.qualityScore(docs)
+  def tokenCounts(docs: DataFrame): DataFrame = operators.TextOps.tokenCounts(docs)
+  def fingerprints(docs: DataFrame): DataFrame = operators.TextOps.fingerprints(docs)
+
+  // ---- streaming ----------------------------------------------------
+  /** The north-star stateful timeout detector (works on batch or
+    * streaming Datasets; streaming needs a watermark-capable source). */
+  def undeliveredAlerts(stream: Dataset[MessageStatus], timeoutMs: Long,
+      watermarkDelay: String = "1 minute"): Dataset[UndeliveredAlert] =
+    streaming.UndeliveredDetector.alerts(stream, timeoutMs, watermarkDelay)
+
+  /** Relational twin of the detector (identical answer set). */
+  def undeliveredAlertsBatch(ds: Dataset[MessageStatus], timeoutMs: Long)
+      : Dataset[UndeliveredAlert] =
+    streaming.UndeliveredDetector.alertsBatch(ds, timeoutMs)
+
+  /** Tumbling carrier/status monitoring counts. */
+  def windowedCounts(ds: Dataset[MessageStatus]): DataFrame =
+    streaming.WindowedCounts.byCarrier(ds)
+}

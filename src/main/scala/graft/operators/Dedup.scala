@@ -118,8 +118,8 @@ object Dedup {
   }
 
   /** Word 3-gram shingle-occurrence hashes, one row each (codegen'd). */
-  private def wordShingleHashes(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[graft] def wordShingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .selectExpr("doc_id", "w",
         "explode(sequence(1, greatest(size(w)-2, 1))) AS i")
@@ -134,16 +134,21 @@ object Dedup {
   /** MinHash+LSH near-dup pairs on word 3-gram shingles, verified with
     * exact hashed-shingle Jaccard >= 0.8. 16 permutations in 8 bands x 2
     * rows (>=99.9% recall at j=0.8). */
+  /** Library entry: near-dup pairs over any (doc_id, text) DataFrame. */
+  def nearDupWordPairs(docs: DataFrame, thresh: Double = 0.8): DataFrame =
+    lshPairs(wordShingleHashes(docs), seed = 0, r = 2, nBands = 8, thresh)
+
   def x02(s: SparkSession, d: String): DataFrame =
-    lshPairs(wordShingleHashes(s, d), seed = 0, r = 2, nBands = 8, thresh = 0.8)
+    nearDupWordPairs(Tables.documents(s, d))
 
   val x02Sql: String = lshSql(wordShinglesSql, 0, 2, 8, 0.8)
 
   // ---------------------------------------------------------------- x04
   /** Character 8-gram MinHash+LSH near-dup (catches word-reordering
     * edits that word shingles miss), verified Jaccard >= 0.7. */
-  def x04(s: SparkSession, d: String): DataFrame = {
-    val hv = Tables.documents(s, d)
+  /** Library entry: char-8-gram near-dup pairs over (doc_id, text). */
+  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame = {
+    val hv = docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .selectExpr("doc_id", "t",
         "explode(sequence(1, greatest(length(t)-7, 1))) AS i")
@@ -151,8 +156,11 @@ object Dedup {
     // r=3 x 5 bands: random pairs (char-8 jaccard ~0.1) collide with
     // P ~ 0.5% instead of ~8% under r=2, cutting candidate volume ~15x;
     // true near-dups (j >= 0.9) still collide with P > 99.99%.
-    lshPairs(hv, seed = 100, r = 3, nBands = 5, thresh = 0.7)
+    lshPairs(hv, seed = 100, r = 3, nBands = 5, thresh)
   }
+
+  def x04(s: SparkSession, d: String): DataFrame =
+    nearDupCharPairs(Tables.documents(s, d))
 
   val x04Sql: String = lshSql(
     """list_transform(range(1, greatest(len(lower(text))-6, 2)),
@@ -168,11 +176,14 @@ object Dedup {
   /** 32-bit SimHash signature per doc (exposed for the banding
     * exactness test). */
   private[operators] def simhashSignatures(s: SparkSession, d: String)
-      : DataFrame = {
+      : DataFrame = simhashSignaturesOf(Tables.documents(s, d))
+
+  /** Library entry: 32-bit SimHash per (doc_id, text) row. */
+  def simhashSignaturesOf(docs: DataFrame): DataFrame = {
     // Explode words so md5 runs once per occurrence; the 32 bit-vote
     // counters are plain conditional-sum aggregates (codegen'd, partial
     // map-side) instead of interpreted nested lambdas.
-    val hw = Tables.documents(s, d)
+    val hw = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
       .select(col("doc_id"), (h60(col("wd")) % 4294967296L).as("h"))
     val bitAggs = (0 until 32).map { j =>
@@ -186,8 +197,9 @@ object Dedup {
           .reduce(_ + _).as("sim"))
   }
 
-  def x03(s: SparkSession, d: String): DataFrame = {
-    val sims = simhashSignatures(s, d)
+  /** Library entry: SimHash near-dup pairs (Hamming <= maxHd). */
+  def simhashPairs(docs: DataFrame, maxHd: Int = 3): DataFrame = {
+    val sims = simhashSignaturesOf(docs)
     val chunks = sims.select(col("doc_id"), col("sim"),
       explode(array((0 until 4).map(c =>
         concat_ws("_", lit(c),
@@ -198,8 +210,11 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         expr("bit_count(x.sim ^ y.sim)").as("hd"))
       .distinct()
-      .filter(col("hd") <= 3)
+      .filter(col("hd") <= maxHd)
   }
+
+  def x03(s: SparkSession, d: String): DataFrame =
+    simhashPairs(Tables.documents(s, d))
 
   val x03Sql: String = {
     val h = duckH60("x")
@@ -221,19 +236,23 @@ object Dedup {
     * embeddings top out near 0.5). Exact all-pairs — acceptable at the
     * fixture's 2k–5k vectors; the scale path for this shape is the
     * LSH-bucketed ANN (Similarity.x07). */
-  def x05(s: SparkSession, d: String): DataFrame = {
+  /** Library entry: all-pairs cosine near-dup over (vec_id, embedding). */
+  def embeddingDupPairs(emb: DataFrame, thresh: Double = 0.4): DataFrame = {
     import graft.functions.ArrayMath
-    val e = Tables.embeddings(s, d)
+    val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", ArrayMath.l2norm(col("v")))
     val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).filter(col("a") < col("b"))
       .withColumn("cos", ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= thresh)
       .select(col("a"), col("b"),
         floor(col("cos") * 1000000).cast("long").as("cos_u"))
   }
+
+  def x05(s: SparkSession, d: String): DataFrame =
+    embeddingDupPairs(Tables.embeddings(s, d))
 
   val x05Sql: String =
     """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

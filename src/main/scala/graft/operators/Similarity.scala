@@ -40,7 +40,10 @@ object Similarity {
     * the codegen'd dot product (see [[graft.functions.DotProduct]]) keep
     * the whole cosine pipeline inside whole-stage codegen. */
   private def vecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    vecsOf(Tables.embeddings(s, d))
+
+  private def vecsOf(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", ArrayMath.l2norm(col("v")))
 
@@ -57,9 +60,11 @@ object Similarity {
   // ---------------------------------------------------------------- x06
   /** Exact top-k cosine: every query vector against the whole corpus.
     * O(q·n) — the correctness baseline x07 is measured against. */
-  def x06(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
-    val q = e.filter(col("vec_id") < NQueries)
+  /** Library entry: exact top-k cosine neighbors for the query ids in
+    * `queryIds` over any (vec_id, embedding) DataFrame. */
+  def annBrute(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val e = vecsOf(emb)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
     // broadcast the QUERY side: the corpus streams through executors
     // (it cannot broadcast at scale), each partition scoring its rows
@@ -67,6 +72,9 @@ object Similarity {
     // per-partition top-k before the single small shuffle on qid.
     rank(e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid")))
   }
+
+  def x06(s: SparkSession, d: String): DataFrame =
+    annBrute(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
   val x06Sql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),

@@ -22,15 +22,21 @@ object TextOps {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   private def withWords(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    withWordsOf(Tables.documents(s, d))
+
+  private def withWordsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .withColumn("w", split(col("t"), " "))
 
   // ---------------------------------------------------------------- x08
   /** Stopword-marker language ID: score each language by marker-word
     * hits, argmax with a fixed priority order, 'und' when nothing hits. */
-  def x08(s: SparkSession, d: String): DataFrame =
-    withWords(s, d)
+  /** Library entry over any (doc_id, text) DataFrame. */
+  def languageId(docs: DataFrame): DataFrame = x08Impl(withWordsOf(docs))
+  def x08(s: SparkSession, d: String): DataFrame = x08Impl(withWords(s, d))
+  private def x08Impl(ww: DataFrame): DataFrame =
+    ww
       .withColumn("s_en", expr(s"size(filter(w, x -> x IN ${inList(StopEn)}))"))
       .withColumn("s_de", expr(s"size(filter(w, x -> x IN ${inList(StopDe)}))"))
       .withColumn("s_es", expr(s"size(filter(w, x -> x IN ${inList(StopEs)}))"))
@@ -70,8 +76,10 @@ object TextOps {
     * these token ratios DO land on exact scale-6 ties — observed at
     * sf0.1. floor(x*1e6) is a pure IEEE multiply+floor, bit-identical
     * everywhere. */
-  def x09(s: SparkSession, d: String): DataFrame =
-    withWords(s, d)
+  def qualityScore(docs: DataFrame): DataFrame = x09Impl(withWordsOf(docs))
+  def x09(s: SparkSession, d: String): DataFrame = x09Impl(withWords(s, d))
+  private def x09Impl(ww: DataFrame): DataFrame =
+    ww
       .withColumn("n_tokens", size(col("w")))
       .withColumn("stop_ratio_u", floor(
         expr(s"size(filter(w, x -> x IN ${inList(StopEn)}))") /
@@ -100,8 +108,10 @@ object TextOps {
   // ---------------------------------------------------------------- x10
   /** Token counting two ways: whitespace split and a BPE-ish regex
     * ([a-z]+ runs | digit runs | any other non-space char). */
-  def x10(s: SparkSession, d: String): DataFrame =
-    withWords(s, d)
+  def tokenCounts(docs: DataFrame): DataFrame = x10Impl(withWordsOf(docs))
+  def x10(s: SparkSession, d: String): DataFrame = x10Impl(withWords(s, d))
+  private def x10Impl(ww: DataFrame): DataFrame =
+    ww
       .withColumn("ws_tokens", size(col("w")))
       .withColumn("re_tokens",
         size(regexp_extract_all(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
@@ -117,8 +127,10 @@ object TextOps {
   /** Document fingerprint: min portable-hash over word 5-gram shingles
     * (a 1-permutation MinHash — equal fingerprints ⇒ shared rare
     * shingle, the cheap pre-filter for near-dup candidate generation). */
-  def x11(s: SparkSession, d: String): DataFrame =
-    withWords(s, d)
+  def fingerprints(docs: DataFrame): DataFrame = x11Impl(withWordsOf(docs))
+  def x11(s: SparkSession, d: String): DataFrame = x11Impl(withWords(s, d))
+  private def x11Impl(ww: DataFrame): DataFrame =
+    ww
       .withColumn("fp", expr(
         s"array_min(transform(sequence(1, greatest(size(w)-4, 1)), i -> ${sparkH60("concat_ws(' ', slice(w, i, 5))")}))"))
       .select("doc_id", "fp")

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The public facade must work on arbitrary user DataFrames (not the
+  * fixtures), and the streaming generator must compose with the
+  * detector end-to-end over a live rate source. */
+class GraftFacadeSpec extends SparkSpec {
+
+  test("facade operators run on user-constructed DataFrames") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with nothing shared at all here"))
+      .toDF("doc_id", "text")
+    val dups = Graft.nearDupPairs(docs).collect()
+    assert(dups.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(dups.head.getLong(2) == 1000000L) // identical docs: jaccard 1.0
+
+    val langs = Graft.languageId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(1L) == "en" && langs(2L) == "en")
+    assert(langs(3L) == "und") // no stopword markers present
+
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val knn = Graft.annTopK(emb, Seq(0L)).collect()
+    assert(knn.head.getLong(1) == 1L) // nearest to (1,0) is (0.9,0.1)
+  }
+
+  test("rate-source generator composes with the detector end-to-end") {
+    import spark.implicits._
+    // live Structured Streaming pipeline: rate source -> generator
+    // projection -> stateful detector -> memory sink
+    val stream = streaming.Generator.stream(spark, rowsPerSecond = 200)
+      .as[streaming.MessageStatus]
+    val qn = "e2e_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Graft.undeliveredAlerts(stream, timeoutMs = 1000L,
+        watermarkDelay = "1 second").writeStream
+      .format("memory").queryName(qn).outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds")).start()
+    try {
+      // rate events are all 'sent' with real wall-clock event times; as
+      // the watermark advances past t+1s each key must alert
+      val deadline = System.currentTimeMillis() + 60000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        n = spark.table(qn).count()
+      }
+      assert(n > 0, "no alerts emitted within 60s of rate-source run")
+    } finally q.stop()
+  }
+}

@@ -38,7 +38,7 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.x06(spark, sf))
     // BuildRight must be the filtered (vec_id < 10) query relation
     val buildSide = p.substring(p.indexOf("BroadcastExchange"))
-    assert(buildSide.contains("LessThan(vec_id,10)"),
+    assert(buildSide.contains("In(vec_id, [0,1,2,3,4,5,6,7,8,9])"),
       "query set (small side) must be the broadcast build side")
     assert(p.contains("WindowGroupLimit"), "partial top-k must precede the shuffle")
     assert(p.contains("dotproduct"), "cosine must use the codegen'd expression")
