@@ -100,14 +100,32 @@ object StreamingQueries {
        |  AND (first_delivered IS NULL
        |       OR first_delivered > first_sent + ${Relational.TimeoutMs})""".stripMargin
 
-  /** s02 — the E2 windowed monitoring view replayed as a stream
-    * (complete mode, 1h tumbling windows by carrier x status). */
+  /** s02 — the E2 windowed monitoring view as a real FILE-SOURCE
+    * streaming query (no driver-side collect anywhere): readStream over
+    * the events parquet (glob-filtered), mapped to the wire shape,
+    * windowed in complete mode. The production swap is the Kafka source
+    * (sources.KafkaIO.reader) — the plan downstream of the source is
+    * identical. */
   def s02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val msgs = toMessages(s, d).collect().toSeq
-    replay[MessageStatus](s, msgs, Seq.empty,
-      ds => WindowedCounts.byCarrier(ds, "1 hour", "2 minutes"),
-      "complete")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .selectExpr(
+        "cast(user_id as string) AS messageId",
+        "CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status",
+        "user_id AS phoneNumber",
+        "element_at(array('verizon', 'att', 't-mobile'), cast(user_id % 3 + 1 as int)) AS carrier",
+        "unix_millis(ts) AS timestamp")
+      .as[MessageStatus]
+    val qn = "s02_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = WindowedCounts.byCarrier(stream, "1 hour", "2 minutes")
+      .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(qn)
   }
 
   val s02Sql: String =

@@ -43,6 +43,16 @@ object ParquetStore {
         count(when(col("status") === "delivered", 1))
           .as("total_messages_delivered"))
 
+  /** A15 — the reference's secondary indexes (idx_messages_status /
+    * idx_messages_phone, phone_message_producer.py:108-109) map to
+    * partition layout: writing partitioned by the filter column turns
+    * `WHERE status = ...` into directory pruning (the scan never opens
+    * non-matching partitions), the columnar analogue of an index seek. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

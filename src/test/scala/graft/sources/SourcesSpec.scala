@@ -43,6 +43,19 @@ class SourcesSpec extends SparkSpec {
     assert(got(2L) == "b") // first write wins, OR IGNORE semantics
   }
 
+  test("partitioned write prunes non-matching partitions at scan time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("pqpart").toString + "/msgs"
+    val msgs = Seq(("m1", "sent", 1L), ("m2", "delivered", 2L),
+      ("m3", "sent", 3L)).toDF("message_id", "status", "phone")
+    ParquetStore.writePartitioned(msgs, dir, "status")
+    val q = spark.read.parquet(dir).filter($"status" === "sent")
+    val plan = q.queryExecution.executedPlan.toString
+    // the status predicate must become a partition filter, not a data filter
+    assert(plan.contains("PartitionFilters: [isnotnull(status"), plan)
+    assert(q.count() == 2)
+  }
+
   test("counters view reproduces the reference's per-phone tallies") {
     import spark.implicits._
     val msgs = Seq(
