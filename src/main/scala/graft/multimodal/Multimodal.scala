@@ -73,11 +73,75 @@ object Multimodal {
        |  FROM (SELECT doc_id, text, ${PortableHash.duckH60("text")} AS h
        |        FROM documents))""".stripMargin
 
+  /** Frame size for the frame-sampling stub (a video decoder would
+    * yield real frames; chunking the payload keeps the plumbing and
+    * arithmetic identical). */
+  val FrameBytes = 1024
+  val SampleEvery = 4
+
+  // ---------------------------------------------------------------- m02
+  /** m02 — frame sampling: treat the payload as fixed-size frames,
+    * keep every SampleEvery-th (the standard video-pipeline decimation
+    * shape). Emits frame counts and the portable hash of the first
+    * sampled frame so the oracle can check the actual sampled BYTES,
+    * not just the arithmetic. */
+  def m02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // frames are CHAR windows (not byte windows): DuckDB cannot slice
+    // BLOBs, and a char window hashes to identical UTF-8 bytes on both
+    // engines regardless of content
+    mediaTable(s, d).as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val nFrames = (text.length + FrameBytes - 1) / FrameBytes
+        val nSampled = (nFrames + SampleEvery - 1) / SampleEvery
+        val first = text.substring(0, math.min(FrameBytes, text.length))
+        (m.media_id, nFrames, nSampled, PortableHash.h60(first))
+      }))
+      .toDF("media_id", "n_frames", "n_sampled", "first_frame_h")
+  }
+
+  val m02Sql: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS INT) AS n_frames,
+       |  CAST(((length(text) + ${FrameBytes - 1}) // $FrameBytes + ${SampleEvery - 1}) // $SampleEvery AS INT) AS n_sampled,
+       |  ${PortableHash.duckH60(s"substr(text, 1, $FrameBytes)")} AS first_frame_h
+       |FROM documents""".stripMargin
+
+  // ---------------------------------------------------------------- m03
+  /** m03 — resize: fit decoded dimensions into a 256-box preserving
+    * aspect ratio, integer arithmetic only (deterministic everywhere).
+    * Composes on top of the m01 decode output — the typed pipeline
+    * chains like any DataFrame transform. */
+  def m03(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    m01(s, d).select(
+      col("media_id"), col("width"), col("height"),
+      when(col("width") >= col("height"),
+        lit(256)).otherwise(expr("width * 256 div height")).as("new_width"),
+      when(col("width") >= col("height"),
+        expr("height * 256 div width")).otherwise(lit(256)).as("new_height"))
+  }
+
+  val m03Sql: String =
+    s"""SELECT media_id, width, height,
+       |  CAST(CASE WHEN width >= height THEN 256 ELSE width * 256 // height END AS INT) AS new_width,
+       |  CAST(CASE WHEN width >= height THEN height * 256 // width ELSE 256 END AS INT) AS new_height
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    CAST(16 + h % 1024 AS INT) AS width,
+       |    CAST(16 + (h // 1024) % 1024 AS INT) AS height
+       |  FROM (SELECT doc_id, ${PortableHash.duckH60("text")} AS h FROM documents))""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> (m01 _),
+    "m02_frame_sample" -> (m02 _),
+    "m03_resize" -> (m03 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "m01_media_decode" -> m01Sql,
+    "m02_frame_sample" -> m02Sql,
+    "m03_resize" -> m03Sql,
   )
 }
