@@ -53,6 +53,17 @@ object ParquetStore {
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed write: pre-shuffles the table ONCE at write time so every
+    * subsequent equi-join/aggregation on the bucket key runs with no
+    * exchange at all — the decisive technique for repeated big joins at
+    * 100 TB (both sides bucketed on the join key => zero-shuffle
+    * sort-merge join). Requires a catalog table (saveAsTable). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

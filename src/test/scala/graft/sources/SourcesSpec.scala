@@ -56,6 +56,21 @@ class SourcesSpec extends SparkSpec {
     assert(q.count() == 2)
   }
 
+  test("bucketed tables join with zero shuffle") {
+    import org.apache.spark.sql.functions._
+    val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val c = graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    ParquetStore.writeBucketed(o, "b_orders", "o_custkey", 8)
+    ParquetStore.writeBucketed(c, "b_customer", "c_custkey", 8)
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_customer").hint("merge"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("counters view reproduces the reference's per-phone tallies") {
     import spark.implicits._
     val msgs = Seq(
