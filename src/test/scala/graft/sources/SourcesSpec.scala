@@ -60,6 +60,14 @@ class SourcesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val o = graft.Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
     val c = graft.Tables.customer(spark, sf).select("c_custkey", "c_mktsegment")
+    // a previous JVM's warehouse dir survives while the in-memory
+    // catalog does not — clear orphaned locations first
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = new org.apache.hadoop.fs.Path(s"spark-warehouse/$t")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     ParquetStore.writeBucketed(o, "b_orders", "o_custkey", 8)
     ParquetStore.writeBucketed(c, "b_customer", "c_custkey", 8)
     val joined = spark.table("b_orders")
