@@ -43,6 +43,14 @@ object Graft {
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
     operators.Similarity.annBrute(embeddings, queryIds)
 
+  /** LSH-bucketed ANN (sign random projections; equi-join on bucket). */
+  def annTopKLsh(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
+    operators.Similarity.annLsh(embeddings, queryIds)
+
+  /** IVF-style ANN (coarse cells; queries probe 2 nearest cells). */
+  def annTopKIvf(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
+    operators.Similarity.annIvf(embeddings, queryIds)
+
   // ---- text analysis ------------------------------------------------
   def languageId(docs: DataFrame): DataFrame = operators.TextOps.languageId(docs)
   def qualityScore(docs: DataFrame): DataFrame = operators.TextOps.qualityScore(docs)

@@ -93,18 +93,22 @@ object Similarity {
     * The candidate join is an equi-join on bucket id — at 100 TB this
     * shuffles O(n) rows on a uniform key instead of exploding n·q
     * pairs. Recall is bucket-bounded (reported vs x06 in tests). */
-  def x07(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
+  /** Library entry: LSH-bucketed ANN over any (vec_id, embedding). */
+  def annLsh(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val e = vecsOf(emb)
     val bkt = (0 until 8).map { i =>
       val planeLit = array(planes(i).map(x => lit(x)): _*)
       when(ArrayMath.dot(col("v"), planeLit) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
     val eb = e.withColumn("bkt", bkt)
-    val q = eb.filter(col("vec_id") < NQueries)
+    val q = eb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("vq"),
         col("nrm").as("nq"), col("bkt").as("qbkt"))
     rank(q.join(eb, col("bkt") === col("qbkt") && col("vec_id") =!= col("qid")))
   }
+
+  def x07(s: SparkSession, d: String): DataFrame =
+    annLsh(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
   val x07Sql: String = {
     val planeRows = (0 until 8).map { i =>
@@ -139,8 +143,9 @@ object Similarity {
     * is an O(n·K) narrow pass (centroids broadcast), search is an
     * equi-join on cell id — no cross product. Centroid quality (k-means
     * iterations) only moves recall, not the plan. */
-  def x12(s: SparkSession, d: String): DataFrame = {
-    val e = vecs(s, d)
+  /** Library entry: IVF-style ANN over any (vec_id, embedding). */
+  def annIvf(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val e = vecsOf(emb)
     val ctr = e
       .withColumn("hk", graft.functions.PortableHash.h60(
         concat(lit("ctr_"), col("vec_id").cast("string"))))
@@ -153,11 +158,15 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)))
     val assign = scored.filter(col("crn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val probes = scored.filter(col("vec_id") < NQueries && col("crn") <= NProbe)
+    val probes = scored
+      .filter(col("vec_id").isin(queryIds: _*) && col("crn") <= NProbe)
       .select(col("vec_id").as("qid"), col("v").as("vq"),
         col("nrm").as("nq"), col("cid"))
     rank(probes.join(assign, Seq("cid")).filter(col("vec_id") =!= col("qid")))
   }
+
+  def x12(s: SparkSession, d: String): DataFrame =
+    annIvf(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
   val x12Sql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
