@@ -25,6 +25,13 @@ object Bench {
 
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => }
     try { Tables.events(spark, sfDir).count() } catch { case _: Throwable => }
+    // warm the streaming machinery (state store, incremental-plan
+    // codegen) on the small fixture — ~8s of one-time init otherwise
+    // lands on whichever streaming query is measured first
+    try {
+      SparkEntry.queries.get("s01_undelivered_stream")
+        .foreach(_(spark, "/root/testdata/sf0.001").count())
+    } catch { case _: Throwable => }
 
     // Two timed runs per query, report the min: steady-state throughput
     // without the one-time codegen/JIT cost of whichever shape runs

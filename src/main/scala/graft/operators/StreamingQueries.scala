@@ -65,7 +65,14 @@ object StreamingQueries {
         q.processAllAvailable()
       }
       q.stop()
-      s.table(qn)
+      // materialize and DROP the sink: repeated replays (Bench runs every
+      // query twice) otherwise accumulate memory-sink tables and degrade
+      // the whole session
+      val out = s.table(qn)
+      val rows = out.collect()
+      val schema = out.schema
+      s.catalog.dropTempView(qn)
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
@@ -125,7 +132,11 @@ object StreamingQueries {
       .writeStream.format("memory").queryName(qn).outputMode("complete").start()
     q.processAllAvailable()
     q.stop()
-    s.table(qn)
+    val out = s.table(qn)
+    val rows = out.collect()
+    val schema = out.schema
+    s.catalog.dropTempView(qn)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   val s02Sql: String =
