@@ -64,17 +64,25 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat(i)"
-        else s"$a.getDouble(i)"
-      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat(i)"
-        else s"$b.getDouble(i)"
+      // Every local MUST be ctx.freshName'd: when the children are
+      // non-nullable this snippet is emitted unbraced at function scope,
+      // and CollapseProject can inline several instances into one scope —
+      // fixed names then fail Janino ("Redefinition of local variable")
+      // and drop the whole stage to interpreted execution.
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val lGet = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
+        else s"$a.getDouble($i)"
+      val rGet = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
+        else s"$b.getDouble($i)"
       s"""
-         |int n = Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  acc += $lGet * $rGet;
+         |int $n = Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $lGet * $rGet;
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -125,18 +133,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName every local — see DotProduct.doGenCode for why.
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
       s"""
-         |int n = $a.numElements(); int m = $b.numElements();
-         |int i = 0; int j = 0; int c = 0;
-         |while (i < n && j < m) {
-         |  long xv = $a.getLong(i); long yv = $b.getLong(j);
-         |  if (xv == yv) { c++; i++; j++; }
-         |  else if (xv < yv) { i++; }
-         |  else { j++; }
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; }
+         |  else { $j++; }
          |}
-         |${ev.value} = c;
-       """.stripMargin)
+         |${ev.value} = $c;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -43,6 +43,42 @@ class ArrayMathSpec extends SparkSpec {
     }
   }
 
+  test("multiple dot/intersect instances in one codegen scope compile (no fallback)") {
+    // Regression guard for the round-1 Janino "Redefinition of local
+    // variable" bug: non-nullable children make nullSafeCodeGen emit the
+    // snippet unbraced at function scope, and CollapseProject duplicates a
+    // reused expression — fixed local names then fail to compile and the
+    // stage silently runs interpreted. fallback=false turns that silent
+    // fallback into a test failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      import org.apache.spark.sql.functions.{array, lit, size}
+      // array(lit...) is non-nullable, which is the scope-collision case.
+      val df = spark.range(50).select(
+        array(lit(1.0), col("id").cast("double")).as("a"),
+        array(lit(2.0), lit(3.0)).as("b"),
+        array(lit(1L), lit(5L), lit(9L)).as("s"),
+        array(lit(1L), lit(9L)).as("t"))
+      val inter = ArrayMath.sortedIntersectSize(col("s"), col("t"))
+      val out = df.select(
+        ArrayMath.dot(col("a"), col("b")).as("d1"),
+        ArrayMath.dot(col("b"), col("b")).as("d2"),
+        inter.as("i"),
+        // reusing `inter` in arithmetic mirrors the Jaccard verify stage
+        // that triggered the duplicate-variable collision in round 1
+        (inter.cast("double") / (size(col("s")) + size(col("t")) - inter))
+          .as("j")).collect()
+      assert(out.length == 50)
+      assert(out.head.getInt(2) == 2)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None => spark.conf.unset("spark.sql.codegen.fallback")
+      }
+    }
+  }
+
   test("portable hash matches between JVM and Spark SQL") {
     import spark.implicits._
     val strings = Seq("hello", "", "a b c", "ünïcode ✓")
