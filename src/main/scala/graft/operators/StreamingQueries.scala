@@ -3,16 +3,17 @@ package graft.operators
 import graft.Tables
 import graft.streaming._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Streaming operators exposed through the driver contract by REPLAYING
-  * the events fixture through real Structured Streaming machinery
-  * (MemoryStream source -> stateful operators -> memory sink) and
-  * returning the sink table. The replay collects the fixture to feed the
-  * source — that is the test-harness boundary, not the engine's data
-  * path (the production path is readStream from Kafka/files; see
-  * [[graft.streaming.Generator.stream]]).
+  * the events fixture through real Structured Streaming machinery:
+  * readStream file sources (the events parquet plus tiny sentinel
+  * parquet files whose far-future timestamps push the watermark past
+  * every deadline/window so timers fire and windows finalize) ->
+  * stateful operators -> memory sink. Nothing is collected to the
+  * driver except the memory-sink drain itself; the fixture streams
+  * through executors exactly as a Kafka-source deployment would
+  * (sources.KafkaIO.reader is the drop-in production swap).
   *
   * s01/s02 are oracle-checked: the streaming answer must hash-match the
   * equivalent batch SQL over the same fixture, which pins down the
@@ -37,16 +38,60 @@ object StreamingQueries {
   private def carrierSql: String =
     "['verizon', 'att', 't-mobile'][CAST(user_id % 3 + 1 AS INT)]"
 
-  /** Drive a streaming Dataset built from a MemoryStream to completion:
-    * feed the whole fixture, then two sentinel batches that push the
-    * watermark past every deadline so all event-time timers fire. */
-  private def replay[T: org.apache.spark.sql.Encoder](
-      s: SparkSession,
-      data: Seq[T],
-      sentinels: Seq[Seq[T]],
-      build: Dataset[T] => DataFrame,
-      outputMode: String): DataFrame = {
-    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+  /** The events fixture as a streaming Dataset[MessageStatus]: a real
+    * readStream file source over the events parquet (glob-filtered), the
+    * same nanos->micros mapping as [[graft.Tables.events]]. No driver
+    * collect — rows stream through executors. */
+  private def eventsStream(s: SparkSession, d: String): Dataset[MessageStatus] = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .selectExpr(
+        "cast(user_id as string) AS messageId",
+        "CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status",
+        "user_id AS phoneNumber",
+        "element_at(array('verizon', 'att', 't-mobile'), cast(user_id % 3 + 1 as int)) AS carrier",
+        "unix_millis(ts) AS timestamp")
+      .as[MessageStatus]
+  }
+
+  /** Write each sentinel row as its own one-row parquet file in a fresh
+    * temp dir (ascending mtimes), so a maxFilesPerTrigger=1 file source
+    * delivers them as consecutive micro-batches AFTER the fixture: the
+    * first advances the watermark past every deadline/window, the second
+    * (plus Spark's no-data batch) makes the timers/eviction fire. */
+  private def sentinelDir(s: SparkSession, rows: Seq[MessageStatus]): java.io.File = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sentinel_").toFile
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val stage = new java.io.File(dir, s"stage$i")
+      Seq(r).toDS().repartition(1).write.parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(dir, f"sentinel_$i%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath)
+      dest.setLastModified(System.currentTimeMillis() + i * 60000L)
+      stage.listFiles().foreach(_.delete()); stage.delete()
+    }
+    dir
+  }
+
+  private def sentinelStream(s: SparkSession, dir: java.io.File): Dataset[MessageStatus] = {
+    import s.implicits._
+    s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[MessageStatus]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .as[MessageStatus]
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return its contents as a local batch DataFrame. The collect here is
+    * the memory-sink drain — the only driver materialization in the
+    * replay path. */
+  private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
     // The stateful shuffle inherits spark.sql.shuffle.partitions as its
     // state-partition count; the replay keys are few (fixture user_ids),
     // so 8 partitions cut per-partition state-store commit overhead
@@ -54,20 +99,14 @@ object StreamingQueries {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val src = MemoryStream[T]
       val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = build(src.toDS()).writeStream
+      val q = df.writeStream
         .format("memory").queryName(qn).outputMode(outputMode).start()
-      src.addData(data)
       q.processAllAvailable()
-      sentinels.foreach { b =>
-        src.addData(b)
-        q.processAllAvailable()
-      }
       q.stop()
       // materialize and DROP the sink: repeated replays (Bench runs every
-      // query twice) otherwise accumulate memory-sink tables and degrade
-      // the whole session
+      // query several times) otherwise accumulate memory-sink tables and
+      // degrade the whole session
       val out = s.table(qn)
       val rows = out.collect()
       val schema = out.schema
@@ -76,20 +115,32 @@ object StreamingQueries {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** Max event timestamp of the fixture — a scalar aggregate (head of a
+    * 1-row result), not a fixture collect. Sentinel timestamps derive
+    * from it. */
+  private def maxEventMillis(s: SparkSession, d: String): Long =
+    toMessages(s, d).agg(max(col("timestamp"))).head().getLong(0)
+
   /** s01 — the E1 detector replayed over the fixture. Timeout = 24h
     * (same knob as Q15). */
   def s01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val timeoutMs = Relational.TimeoutMs
-    val msgs = toMessages(s, d).collect().toSeq
-    val maxTs = msgs.map(_.timestamp).max
-    val sent1 = MessageStatus("sentinel", "delivered", 0L, "none",
-      maxTs + timeoutMs + 3600000L)
-    val sent2 = sent1.copy(timestamp = sent1.timestamp + timeoutMs + 3600000L)
-    replay[MessageStatus](s, msgs, Seq(Seq(sent1), Seq(sent2)),
-      ds => UndeliveredDetector.alerts(ds, timeoutMs).toDF(),
-      "append")
-      .filter(col("messageId") =!= "sentinel")
+    val maxTs = maxEventMillis(s, d)
+    val t1 = maxTs + timeoutMs + 3600000L
+    val dir = sentinelDir(s, Seq(
+      MessageStatus("sentinel", "delivered", 0L, "none", t1),
+      MessageStatus("sentinel", "delivered", 0L, "none", t1 + timeoutMs + 3600000L)))
+    try {
+      val stream = eventsStream(s, d).unionByName(sentinelStream(s, dir))
+      runToSink(s, UndeliveredDetector.alerts(stream, timeoutMs).toDF(), "append")
+        .filter(col("messageId") =!= "sentinel")
+    } finally deleteRecursively(dir)
   }
 
   val s01Sql: String =
@@ -108,35 +159,28 @@ object StreamingQueries {
        |       OR first_delivered > first_sent + ${Relational.TimeoutMs})""".stripMargin
 
   /** s02 — the E2 windowed monitoring view as a real FILE-SOURCE
-    * streaming query (no driver-side collect anywhere): readStream over
-    * the events parquet (glob-filtered), mapped to the wire shape,
-    * windowed in complete mode. The production swap is the Kafka source
+    * streaming query in APPEND mode: each (window, carrier, status)
+    * count is emitted exactly once, when the watermark passes the window
+    * end, and its state row is evicted — state stays bounded by the
+    * in-flight window span no matter how long the stream runs (complete
+    * mode would retain and re-emit every window forever). The sentinel
+    * rows push the watermark past the fixture's last window so every
+    * window finalizes; their own never-finalized rows are filtered by
+    * carrier. The production swap is the Kafka source
     * (sources.KafkaIO.reader) — the plan downstream of the source is
     * identical. */
   def s02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      .selectExpr(
-        "cast(user_id as string) AS messageId",
-        "CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status",
-        "user_id AS phoneNumber",
-        "element_at(array('verizon', 'att', 't-mobile'), cast(user_id % 3 + 1 as int)) AS carrier",
-        "unix_millis(ts) AS timestamp")
-      .as[MessageStatus]
-    val qn = "s02_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = WindowedCounts.byCarrier(stream, "1 hour", "2 minutes")
-      .writeStream.format("memory").queryName(qn).outputMode("complete").start()
-    q.processAllAvailable()
-    q.stop()
-    val out = s.table(qn)
-    val rows = out.collect()
-    val schema = out.schema
-    s.catalog.dropTempView(qn)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val maxTs = maxEventMillis(s, d)
+    val dir = sentinelDir(s, Seq(
+      MessageStatus("sentinel", "delivered", 0L, "none", maxTs + 7200000L),
+      MessageStatus("sentinel", "delivered", 0L, "none", maxTs + 14400000L)))
+    try {
+      val stream = eventsStream(s, d).unionByName(sentinelStream(s, dir))
+      runToSink(s, WindowedCounts.byCarrier(stream, "1 hour", "2 minutes"),
+        "append")
+        .filter(col("carrier") =!= "none")
+    } finally deleteRecursively(dir)
   }
 
   val s02Sql: String =

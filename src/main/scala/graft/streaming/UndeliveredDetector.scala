@@ -71,17 +71,27 @@ object UndeliveredDetector {
             if (state.exists) state.remove() // resolved in time
           } else {
             state.update(merged) // pending (or late-delivered): alert at deadline
-            state.setTimeoutTimestamp(deadline)
+            state.setTimeoutTimestamp(clampToWatermark(state, deadline))
           }
         case None =>
           // delivered before its sent was seen: hold, GC after timeout
           state.update(merged)
           merged.firstDelivered.foreach(t =>
-            state.setTimeoutTimestamp(t + timeoutMs))
+            state.setTimeoutTimestamp(clampToWatermark(state, t + timeoutMs)))
       }
       Iterator.empty
     }
   }
+
+  /** GroupState.setTimeoutTimestamp throws when the timestamp is at or
+    * below the current event-time watermark — reachable whenever an event
+    * arrives more than timeout+watermarkDelay out of order (Kafka
+    * backfill from earliest, skewed partitions with small timeouts).
+    * Clamping to watermark+1 fires the already-expired timer on the next
+    * micro-batch, which is the intended semantics for a deadline the
+    * watermark has overtaken. */
+  private def clampToWatermark(state: GroupState[MsgState], ts: Long): Long =
+    math.max(ts, state.getCurrentWatermarkMs() + 1)
 
   /** Batch twin over the same Dataset — identical answer set computed
     * relationally (the oracle for the streaming path; SURVEY Q15 is this
