@@ -20,6 +20,13 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects. Read nanos as Long and derive a TimestampType column
     * (integer DIV — a double roundtrip would lose precision above 2^53).
+    *
+    * The nanosAsLong flag is set session-wide and deliberately NOT
+    * restored: the scan consults it lazily at physical-planning time, so
+    * a save/restore around this call would corrupt the very read it
+    * guards. All graft entry points (Bench/Verify/SparkSpec) also set it
+    * at session build; the set here covers external sessions. It only
+    * affects TIMESTAMP(NANOS) columns, which no other fixture table has.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -85,6 +85,20 @@ object Multimodal {
     * shape). Emits frame counts and the portable hash of the first
     * sampled frame so the oracle can check the actual sampled BYTES,
     * not just the arithmetic. */
+  /** Per-document frame stats: (n_frames, n_sampled, first_frame_hash).
+    * Counts and slices by CODE POINTS, not UTF-16 units: DuckDB's
+    * length/substr count code points, and slicing on a char index could
+    * split a surrogate pair (different hashed bytes) for supplementary-
+    * plane text even when the counts happen to agree. */
+  private[multimodal] def frameStats(text: String): (Int, Int, Long) = {
+    val nCp = text.codePointCount(0, text.length)
+    val nFrames = (nCp + FrameBytes - 1) / FrameBytes
+    val nSampled = (nFrames + SampleEvery - 1) / SampleEvery
+    val first = text.substring(0,
+      text.offsetByCodePoints(0, math.min(FrameBytes, nCp)))
+    (nFrames, nSampled, PortableHash.h60(first))
+  }
+
   def m02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // frames are CHAR windows (not byte windows): DuckDB cannot slice
@@ -93,10 +107,8 @@ object Multimodal {
     mediaTable(s, d).as[MediaRow]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
         val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-        val nFrames = (text.length + FrameBytes - 1) / FrameBytes
-        val nSampled = (nFrames + SampleEvery - 1) / SampleEvery
-        val first = text.substring(0, math.min(FrameBytes, text.length))
-        (m.media_id, nFrames, nSampled, PortableHash.h60(first))
+        val (nFrames, nSampled, firstH) = frameStats(text)
+        (m.media_id, nFrames, nSampled, firstH)
       }))
       .toDF("media_id", "n_frames", "n_sampled", "first_frame_h")
   }

@@ -232,12 +232,57 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- x05
-  /** Embedding-cosine near-dup: pairs with cosine ≥ 0.4 (the synthetic
-    * embeddings top out near 0.5). Exact all-pairs — acceptable at the
-    * fixture's 2k–5k vectors; the scale path for this shape is the
-    * LSH-bucketed ANN (Similarity.x07). */
-  /** Library entry: all-pairs cosine near-dup over (vec_id, embedding). */
+  /** Embedding-cosine near-dup, LSH-banded: 8 independent sign-random-
+    * projection tables of 8 bits each generate candidates via an
+    * equi-join on (table, bucket) — O(n·tables) band rows shuffled on a
+    * uniform key, never an O(n²) cross product — then every candidate
+    * pair is verified with the exact codegen'd cosine. Recall is
+    * LSH-bounded (sign-LSH is weak at low cosine thresholds; measured
+    * against the exact baseline in DedupSpec) and rises with more
+    * tables; the plan shape is what survives 100 TB. The hyperplanes
+    * are portable-hash-derived literals embedded in BOTH engines, so
+    * buckets — and therefore results — are bit-identical.
+    */
+  private[operators] val NTables = 8
+  private[operators] val BitsPerTable = 8
+  private[operators] val x05Planes: IndexedSeq[IndexedSeq[Double]] =
+    (0 until NTables * BitsPerTable).map { i =>
+      (0 until 64).map { dim =>
+        ((graft.functions.PortableHash.h60(s"x05p_${i}_$dim") % 2001) - 1000) / 1000.0
+      }
+    }
+
+  /** Library entry: banded cosine near-dup over (vec_id, embedding). */
   def embeddingDupPairs(emb: DataFrame, thresh: Double = 0.4): DataFrame = {
+    import graft.functions.ArrayMath
+    val e = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", ArrayMath.l2norm(col("v")))
+    val bandCols = (0 until NTables).map { t =>
+      val bucket = (0 until BitsPerTable).map { i =>
+        val pl = array(x05Planes(t * BitsPerTable + i).map(x => lit(x)): _*)
+        when(ArrayMath.dot(col("v"), pl) >= 0, lit(1 << i)).otherwise(lit(0))
+      }.reduce(_ + _)
+      concat_ws("_", lit(t), bucket)
+    }
+    val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
+    val ea = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(ea, "a").join(eb, "b")
+      .withColumn("cos", ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= thresh)
+      .select(col("a"), col("b"),
+        floor(col("cos") * 1000000).cast("long").as("cos_u"))
+  }
+
+  /** Exact all-pairs baseline (the recall oracle for the banded
+    * operator, analogous to Similarity.annBrute): deliberate crossJoin,
+    * fixture-scale only — do not run at corpus scale. */
+  def embeddingDupPairsExact(emb: DataFrame, thresh: Double = 0.4): DataFrame = {
     import graft.functions.ArrayMath
     val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -254,13 +299,26 @@ object Dedup {
   def x05(s: SparkSession, d: String): DataFrame =
     embeddingDupPairs(Tables.embeddings(s, d))
 
-  val x05Sql: String =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
-      |p AS (SELECT a.vec_id AS a, b.vec_id AS b,
-      |  list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
-      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
-      |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p WHERE cos >= 0.4""".stripMargin
+  val x05Sql: String = {
+    def fmt(x: Double): String = f"$x%.3f"
+    val planeRows = (0 until NTables * BitsPerTable).map { i =>
+      s"(${i / BitsPerTable}, ${i % BitsPerTable}, [${x05Planes(i).map(fmt).mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |planes(t, i, pv) AS (VALUES
+       |    $planeRows),
+       |b AS (SELECT vec_id, concat_ws('_', t, CAST(sum(CASE
+       |    WHEN list_sum(list_transform(range(1, 65), d -> v[d] * pv[d])) >= 0
+       |    THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT)) AS bk
+       |  FROM n, planes GROUP BY vec_id, t),
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+       |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
+       |p AS (SELECT a, b,
+       |  list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) AS cos
+       |  FROM cand JOIN n na ON na.vec_id = cand.a JOIN n nb ON nb.vec_id = cand.b)
+       |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p WHERE cos >= 0.4""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),

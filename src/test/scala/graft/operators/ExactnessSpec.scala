@@ -19,4 +19,17 @@ class ExactnessSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded == brute)
   }
+
+  test("x05 banded pairs are a subset of exact pairs; recall reported") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Dedup.embeddingDupPairsExact(emb))
+    val banded = pairs(Dedup.embeddingDupPairs(emb))
+    assert(banded.subsetOf(exact), "verify stage must keep banded exact-correct")
+    assert(banded.nonEmpty, "banding found no pairs at all")
+    val recall = banded.size.toDouble / exact.size
+    info(f"x05 recall vs exact all-pairs at sf0.001: $recall%.3f " +
+      s"(${banded.size}/${exact.size})")
+  }
 }

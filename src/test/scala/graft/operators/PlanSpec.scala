@@ -48,4 +48,10 @@ class PlanSpec extends SparkSpec {
     val p = plan(Dedup.x02(spark, sf))
     assert(p.contains("partial_min"))
   }
+
+  test("x05 is banded: no cartesian product anywhere in the plan") {
+    val p = plan(Dedup.x05(spark, sf))
+    assert(!p.contains("CartesianProduct"), "x05 must not cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "x05 must not nested-loop-join")
+  }
 }
