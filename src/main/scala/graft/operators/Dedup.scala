@@ -63,12 +63,21 @@ object Dedup {
       (0 until nPerm).map { j =>
         min((col("hf") % P * permA(seed + j) + permB(seed + j)) % P).as(s"m$j")
       }
+    // The signature relation feeds four consumers (both sides of the
+    // band self-join, plus the two verify lookups). The groupBy's own
+    // shuffle canonicalizes identically in every branch, so ReuseExchange
+    // already runs the expensive map side (shingle explode + md5 +
+    // partial aggs) ONCE; only the cheap merge-side agg replays per
+    // consumer. (An explicit repartition to also share the merge agg was
+    // measured SLOWER — it re-shuffles the full hash-set arrays.)
     val sig = hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     val bandCol = explode(array((0 until nBands).map { bn =>
       concat_ws("_", lit(bn) +: (0 until r).map(k =>
         col(s"m${bn * r + k}")): _*)
     }: _*))
-    val bands = sig.select(col("doc_id"), bandCol.as("bk"))
+    // shuffle_hash (not broadcast): identical shuffles on bk on both
+    // sides canonicalize equal, so the band relation is also built once
+    val bands = sig.select(col("doc_id"), bandCol.as("bk")).hint("shuffle_hash")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -243,9 +252,9 @@ object Dedup {
     * are portable-hash-derived literals embedded in BOTH engines, so
     * buckets — and therefore results — are bit-identical.
     */
-  private[operators] val NTables = 8
-  private[operators] val BitsPerTable = 8
-  private[operators] val x05Planes: IndexedSeq[IndexedSeq[Double]] =
+  private[graft] val NTables = 8
+  private[graft] val BitsPerTable = 8
+  private[graft] val x05Planes: IndexedSeq[IndexedSeq[Double]] =
     (0 until NTables * BitsPerTable).map { i =>
       (0 until 64).map { dim =>
         ((graft.functions.PortableHash.h60(s"x05p_${i}_$dim") % 2001) - 1000) / 1000.0
@@ -265,7 +274,11 @@ object Dedup {
       }.reduce(_ + _)
       concat_ws("_", lit(t), bucket)
     }
+    // shuffle_hash so both sides shuffle identically on bk and
+    // ReuseExchange computes the 64-projection bucket assignment once
+    // (a broadcast join would leave two distinct subplans, doubling it)
     val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+      .hint("shuffle_hash")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))

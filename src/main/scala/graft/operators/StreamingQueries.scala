@@ -22,19 +22,6 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
-  /** events-fixture -> MessageStatus mapping: user_id keys a message
-    * lifecycle, 'purchase' plays the terminal `delivered`, everything
-    * else is a `sent` heartbeat. */
-  private def toMessages(s: SparkSession, d: String): Dataset[MessageStatus] = {
-    import s.implicits._
-    Tables.events(s, d).selectExpr(
-      "cast(user_id as string) AS messageId",
-      "CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status",
-      "user_id AS phoneNumber",
-      s"element_at(array('verizon', 'att', 't-mobile'), cast(user_id % 3 + 1 as int)) AS carrier",
-      "unix_millis(ts) AS timestamp").as[MessageStatus]
-  }
-
   private def carrierSql: String =
     "['verizon', 'att', 't-mobile'][CAST(user_id % 3 + 1 AS INT)]"
 
@@ -58,25 +45,53 @@ object StreamingQueries {
       .as[MessageStatus]
   }
 
+  /** Sentinel timestamps: fixed instants far past any fixture event
+    * (2100-01-01 and +1d). Constants — not a max(ts) scan — because the
+    * only requirement is "after every deadline/window end", and fixture
+    * events live decades earlier; this keeps the replay free of an extra
+    * pass over the data. */
+  private[operators] val Sentinel1Ms = 4102444800000L
+  private[operators] val Sentinel2Ms = Sentinel1Ms + 86400000L
+
   /** Write each sentinel row as its own one-row parquet file in a fresh
     * temp dir (ascending mtimes), so a maxFilesPerTrigger=1 file source
     * delivers them as consecutive micro-batches AFTER the fixture: the
     * first advances the watermark past every deadline/window, the second
-    * (plus Spark's no-data batch) makes the timers/eviction fire. */
+    * is the data batch in which the timers/eviction fire. One write job
+    * for all rows (range-partitioned on the distinct timestamps). */
   private def sentinelDir(s: SparkSession, rows: Seq[MessageStatus]): java.io.File = {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sentinel_").toFile
-    rows.zipWithIndex.foreach { case (r, i) =>
-      val stage = new java.io.File(dir, s"stage$i")
-      Seq(r).toDS().repartition(1).write.parquet(stage.getAbsolutePath)
-      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val stage = new java.io.File(dir, "stage")
+    rows.toDS().repartitionByRange(rows.size, col("timestamp"))
+      .write.parquet(stage.getAbsolutePath)
+    val parts = stage.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName) // part-00000 < part-00001 = range order
+    parts.zipWithIndex.foreach { case (part, i) =>
       val dest = new java.io.File(dir, f"sentinel_$i%02d.parquet")
       java.nio.file.Files.move(part.toPath, dest.toPath)
       dest.setLastModified(System.currentTimeMillis() + i * 60000L)
-      stage.listFiles().foreach(_.delete()); stage.delete()
     }
+    stage.listFiles().foreach(_.delete()); stage.delete()
     dir
   }
+
+  /** One sentinel dir per application: the rows are constants, so
+    * repeated replays (s01 + s02, and every bench iteration) reuse the
+    * same two files instead of paying a write job each. Cleaned up on
+    * JVM exit. */
+  private val sentinelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def cachedSentinelDir(s: SparkSession): java.io.File =
+    sentinelCache.computeIfAbsent(s.sparkContext.applicationId, _ => {
+      val dir = sentinelDir(s, Seq(
+        MessageStatus("sentinel", "delivered", 0L, "none", Sentinel1Ms),
+        MessageStatus("sentinel", "delivered", 0L, "none", Sentinel2Ms)))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => deleteRecursively(dir)))
+      dir
+    })
 
   private def sentinelStream(s: SparkSession, dir: java.io.File): Dataset[MessageStatus] = {
     import s.implicits._
@@ -98,6 +113,14 @@ object StreamingQueries {
     // without losing parallelism. Restored afterwards.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    // No-data micro-batches only matter for timers/eviction that fire
+    // AFTER the last data batch; the replay's second sentinel file is
+    // itself a data batch that fires everything real, so the trailing
+    // no-data batch would only GC the sentinel's own state (~1s of
+    // per-replay overhead for zero output). Restored afterwards.
+    val prevNoData = s.conf
+      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream
@@ -112,7 +135,15 @@ object StreamingQueries {
       val schema = out.schema
       s.catalog.dropTempView(qn)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -120,27 +151,15 @@ object StreamingQueries {
     f.delete()
   }
 
-  /** Max event timestamp of the fixture — a scalar aggregate (head of a
-    * 1-row result), not a fixture collect. Sentinel timestamps derive
-    * from it. */
-  private def maxEventMillis(s: SparkSession, d: String): Long =
-    toMessages(s, d).agg(max(col("timestamp"))).head().getLong(0)
-
   /** s01 — the E1 detector replayed over the fixture. Timeout = 24h
     * (same knob as Q15). */
   def s01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val timeoutMs = Relational.TimeoutMs
-    val maxTs = maxEventMillis(s, d)
-    val t1 = maxTs + timeoutMs + 3600000L
-    val dir = sentinelDir(s, Seq(
-      MessageStatus("sentinel", "delivered", 0L, "none", t1),
-      MessageStatus("sentinel", "delivered", 0L, "none", t1 + timeoutMs + 3600000L)))
-    try {
-      val stream = eventsStream(s, d).unionByName(sentinelStream(s, dir))
-      runToSink(s, UndeliveredDetector.alerts(stream, timeoutMs).toDF(), "append")
-        .filter(col("messageId") =!= "sentinel")
-    } finally deleteRecursively(dir)
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    runToSink(s, UndeliveredDetector.alerts(stream, timeoutMs).toDF(), "append")
+      .filter(col("messageId") =!= "sentinel")
   }
 
   val s01Sql: String =
@@ -171,16 +190,11 @@ object StreamingQueries {
     * identical. */
   def s02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val maxTs = maxEventMillis(s, d)
-    val dir = sentinelDir(s, Seq(
-      MessageStatus("sentinel", "delivered", 0L, "none", maxTs + 7200000L),
-      MessageStatus("sentinel", "delivered", 0L, "none", maxTs + 14400000L)))
-    try {
-      val stream = eventsStream(s, d).unionByName(sentinelStream(s, dir))
-      runToSink(s, WindowedCounts.byCarrier(stream, "1 hour", "2 minutes"),
-        "append")
-        .filter(col("carrier") =!= "none")
-    } finally deleteRecursively(dir)
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    runToSink(s, WindowedCounts.byCarrier(stream, "1 hour", "2 minutes"),
+      "append")
+      .filter(col("carrier") =!= "none")
   }
 
   val s02Sql: String =
