@@ -43,13 +43,27 @@ object AvroWire {
       |  {"name": "messageId", "type": "string"}
       |]}""".stripMargin
 
-  /** struct -> avro binary. */
+  /** struct -> avro binary (bare body, no framing). */
   def toAvro(data: Column, schemaJson: String): Column =
-    Bridge.column(AvroEncode(Bridge.expression(data), schemaJson))
+    Bridge.column(AvroEncode(Bridge.expression(data), schemaJson, None))
 
   /** avro binary -> struct (schema determines the struct type). */
   def fromAvro(data: Column, schemaJson: String): Column =
-    Bridge.column(AvroDecode(Bridge.expression(data), schemaJson))
+    Bridge.column(AvroDecode(Bridge.expression(data), schemaJson, None))
+
+  /** struct -> Confluent Schema-Registry wire format: a 5-byte header
+    * (magic 0x00 + big-endian int32 schema id) followed by the Avro
+    * body — what the reference's AvroSerializer emits against a
+    * registry (phone_message_producer.py:327-340) and what every
+    * registry-aware consumer of the topic expects to strip. */
+  def toAvroConfluent(data: Column, schemaJson: String, schemaId: Int): Column =
+    Bridge.column(AvroEncode(Bridge.expression(data), schemaJson, Some(schemaId)))
+
+  /** Confluent-framed binary -> struct. Validates the magic byte and
+    * that the embedded schema id matches `schemaId` (the registry
+    * lookup is out of scope offline; the caller pins the id). */
+  def fromAvroConfluent(data: Column, schemaJson: String, schemaId: Int): Column =
+    Bridge.column(AvroDecode(Bridge.expression(data), schemaJson, Some(schemaId)))
 
   private[sources] def sparkType(s: Schema): DataType = s.getType match {
     case Schema.Type.STRING => StringType
@@ -78,8 +92,10 @@ object AvroWire {
 }
 
 /** struct -> avro-encoded binary (CodegenFallback: I/O boundary, not a
-  * hot analytical path). */
-case class AvroEncode(child: Expression, schemaJson: String)
+  * hot analytical path). With `confluentId` set, the body is prefixed
+  * by the 5-byte registry header (magic 0x00 + int32 BE schema id). */
+case class AvroEncode(child: Expression, schemaJson: String,
+    confluentId: Option[Int])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = BinaryType
@@ -107,6 +123,11 @@ case class AvroEncode(child: Expression, schemaJson: String)
       i += 1
     }
     val out = new ByteArrayOutputStream()
+    confluentId.foreach { id =>
+      out.write(0) // magic byte
+      out.write((id >>> 24) & 0xff); out.write((id >>> 16) & 0xff)
+      out.write((id >>> 8) & 0xff); out.write(id & 0xff)
+    }
     val enc: BinaryEncoder = EncoderFactory.get().binaryEncoder(out, null)
     writer.write(rec, enc)
     enc.flush()
@@ -117,8 +138,10 @@ case class AvroEncode(child: Expression, schemaJson: String)
     copy(child = c)
 }
 
-/** avro binary -> struct. */
-case class AvroDecode(child: Expression, schemaJson: String)
+/** avro binary -> struct. With `confluentId` set, expects and strips
+  * the 5-byte registry header, validating magic and schema id. */
+case class AvroDecode(child: Expression, schemaJson: String,
+    confluentId: Option[Int])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = AvroWire.structFor(schemaJson)
@@ -127,7 +150,17 @@ case class AvroDecode(child: Expression, schemaJson: String)
   @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
 
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+    val raw = input.asInstanceOf[Array[Byte]]
+    val bytes = confluentId match {
+      case None => raw
+      case Some(expected) =>
+        require(raw.length >= 5 && raw(0) == 0,
+          s"not Confluent-framed: ${raw.take(5).mkString("[", ",", "]")}")
+        val id = ((raw(1) & 0xff) << 24) | ((raw(2) & 0xff) << 16) |
+          ((raw(3) & 0xff) << 8) | (raw(4) & 0xff)
+        require(id == expected, s"schema id $id, expected $expected")
+        java.util.Arrays.copyOfRange(raw, 5, raw.length)
+    }
     val dec: BinaryDecoder = DecoderFactory.get().binaryDecoder(bytes, null)
     val rec = reader.read(null, dec)
     val st = dataType.asInstanceOf[StructType]

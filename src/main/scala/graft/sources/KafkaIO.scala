@@ -50,6 +50,36 @@ object KafkaIO {
         struct(col("status"), col("phoneNumber"), col("carrier"), col("timestamp")),
         AvroWire.MessageStatusSchema).as("value"))
 
+  /** Registry schema ids for the two subjects; a deployment wires the
+    * real ids here (offline there is no registry to assign them). */
+  val KeySchemaId = 1
+  val ValueSchemaId = 2
+
+  /** [[frame]] in Confluent Schema-Registry wire format (magic + schema
+    * id header) — what a registry-aware consumer of the reference's
+    * topic expects (phone_message_producer.py:327-340, 426-432). */
+  def frameConfluent(ds: Dataset[MessageStatus],
+      keyId: Int = KeySchemaId, valueId: Int = ValueSchemaId): DataFrame =
+    ds.select(
+      AvroWire.toAvroConfluent(struct(col("messageId")),
+        AvroWire.MessageKeySchema, keyId).as("key"),
+      AvroWire.toAvroConfluent(
+        struct(col("status"), col("phoneNumber"), col("carrier"), col("timestamp")),
+        AvroWire.MessageStatusSchema, valueId).as("value"))
+
+  /** Inverse of [[frameConfluent]]. */
+  def unframeConfluent(df: DataFrame,
+      keyId: Int = KeySchemaId, valueId: Int = ValueSchemaId): Dataset[MessageStatus] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      AvroWire.fromAvroConfluent(col("key"), AvroWire.MessageKeySchema, keyId).as("k"),
+      AvroWire.fromAvroConfluent(col("value"), AvroWire.MessageStatusSchema, valueId).as("v"))
+      .select(col("k.messageId"), col("v.status"), col("v.phoneNumber"),
+        col("v.carrier"), col("v.timestamp"))
+      .as[MessageStatus]
+  }
+
   /** Inverse of [[frame]]: (key, value) binary -> MessageStatus. */
   def unframe(df: DataFrame): Dataset[MessageStatus] = {
     val spark = df.sparkSession
@@ -71,6 +101,14 @@ object KafkaIO {
     producerOptions(bootstrap).foreach { case (k, v) => w = w.option(k, v) }
     w
   }
+
+  /** C4 — console dry-run sink: print the framed records instead of
+    * producing them (the reference producer's --dry-run surface,
+    * phone_message_producer.py:754-756). */
+  def consoleWriter(ds: Dataset[MessageStatus],
+      numRows: Int = 20): DataStreamWriter[org.apache.spark.sql.Row] =
+    ds.toDF().writeStream.format("console")
+      .option("numRows", numRows).option("truncate", "false")
 
   /** Streaming source for the topic (maxOffsetsPerTrigger is the B4
     * backpressure cap). */

@@ -15,21 +15,38 @@ object ParquetStore {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
+  /** Per-path intent locks for [[insertIfAbsent]]'s read-then-append
+    * window. */
+  private val pathLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** A11 — insert-if-absent on a unique key (INSERT OR IGNORE,
     * phone_message_producer.py:133-151): dedup the incoming batch on
     * the key, then anti-join against what the table already holds.
     * At scale both sides stay distributed (shuffle on the key); with a
-    * transactional table format the same statement is a MERGE. */
+    * transactional table format the same statement is a MERGE.
+    *
+    * Atomicity: the reference's INSERT OR IGNORE is atomic; a plain
+    * read-then-append is not — two concurrent writers can both pass the
+    * anti-join and double-insert. Within one driver JVM a per-path lock
+    * serializes writers (covered by a concurrent-writer test); ACROSS
+    * drivers this operation requires a transactional table format's
+    * MERGE or an external single-writer arrangement — plain parquet
+    * directories have no commit protocol to coordinate on. */
   def insertIfAbsent(spark: SparkSession, df: DataFrame, path: String,
       key: String): Unit = {
-    val fresh = df.dropDuplicates(key)
-    val toWrite =
-      if (!exists(spark, path)) fresh
-      else {
-        val existing = spark.read.parquet(path).select(key)
-        fresh.join(existing, Seq(key), "left_anti")
-      }
-    toWrite.write.mode(SaveMode.Append).parquet(path)
+    val lock = pathLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(path).toString, _ => new Object)
+    lock.synchronized {
+      val fresh = df.dropDuplicates(key)
+      val toWrite =
+        if (!exists(spark, path)) fresh
+        else {
+          val existing = spark.read.parquet(path).select(key)
+          fresh.join(existing, Seq(key), "left_anti")
+        }
+      toWrite.write.mode(SaveMode.Append).parquet(path)
+    }
   }
 
   /** A12/A13 counters as a derived view instead of point UPDATEs: the

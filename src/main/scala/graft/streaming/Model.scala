@@ -35,3 +35,22 @@ case class MsgState(
     carrier: String,
     firstSent: Option[Long],
     firstDelivered: Option[Long])
+
+/** A generator fork's birth row: frozen per-key vars plus the
+  * classified delivery delay (None = never delivered) — the D2 frozen
+  * state the reference keeps per fork (message-tracking.json:14-35). */
+case class GenBirth(
+    messageId: String,
+    phoneNumber: Long,
+    carrier: String,
+    ts: Long,
+    deliveryDelayMs: Option[Long])
+
+/** Generator state-machine state for one in-flight message
+  * (message-tracking.json:56-71): the frozen vars plus the clock the
+  * heartbeat/delivery timers run against. */
+case class GenLife(
+    phoneNumber: Long,
+    carrier: String,
+    sentTime: Long,
+    deliveryDelayMs: Option[Long])

@@ -24,6 +24,50 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("confluent framing roundtrips and strips the 5-byte header") {
+    import spark.implicits._
+    val in = Generator.batch(spark, 50L).as[MessageStatus]
+    val back = KafkaIO.unframeConfluent(KafkaIO.frameConfluent(in))
+      .collect().toSet
+    assert(back == in.collect().toSet)
+    assert(back.nonEmpty)
+  }
+
+  test("confluent wire bytes: magic 0x00 + BE schema id + bare avro body") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val one = Seq(MessageStatus("m-1", "sent", 12125551234L, "att", 1700000000000L))
+      .toDS()
+    val framed = one.select(
+      AvroWire.toAvroConfluent(struct(col("messageId")),
+        AvroWire.MessageKeySchema, 7).as("key"),
+      AvroWire.toAvro(struct(col("messageId")),
+        AvroWire.MessageKeySchema).as("bare"))
+      .head()
+    val key = framed.getAs[Array[Byte]]("key")
+    val bare = framed.getAs[Array[Byte]]("bare")
+    // header-compat vector: a registry consumer strips exactly these 5
+    // bytes and must find the bare Avro body byte-for-byte
+    assert(key.take(5).toSeq == Seq[Byte](0, 0, 0, 0, 7))
+    assert(key.drop(5).toSeq == bare.toSeq)
+    // the avro body itself: zigzag varint length 3 (0x06) + "m-1" utf8
+    assert(bare.toSeq == Seq[Byte](0x06, 'm'.toByte, '-'.toByte, '1'.toByte))
+  }
+
+  test("confluent decode rejects a mismatched schema id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val one = Seq(MessageStatus("m-1", "sent", 1L, "att", 0L)).toDS()
+    val framed = one.select(AvroWire.toAvroConfluent(
+      struct(col("messageId")), AvroWire.MessageKeySchema, 7).as("key"))
+    val ex = intercept[Exception] {
+      framed.select(AvroWire.fromAvroConfluent(
+        col("key"), AvroWire.MessageKeySchema, 8)).collect()
+    }
+    assert(ex.getMessage.contains("schema id") ||
+      Option(ex.getCause).exists(_.getMessage.contains("schema id")))
+  }
+
   test("kafka writer carries the reference reliability options") {
     val opts = KafkaIO.producerOptions("broker:9092")
     assert(opts("kafka.acks") == "all")
@@ -41,6 +85,40 @@ class SourcesSpec extends SparkSpec {
     val got = spark.read.parquet(dir).as[(Long, String)].collect().toMap
     assert(got.keySet == Set(1L, 2L, 3L))
     assert(got(2L) == "b") // first write wins, OR IGNORE semantics
+  }
+
+  test("insertIfAbsent serializes concurrent same-path writers (no dupes)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Files.createTempDirectory("pqrace").toString + "/t"
+    // both writers carry the same keys; unserialized read-then-append
+    // would let both pass the anti-join and double-insert
+    val fs = (1 to 2).map { i =>
+      Future {
+        val batch = (1L to 50L).map(k => (k, s"w$i")).toDF("k", "v")
+        ParquetStore.insertIfAbsent(spark, batch, dir, "k")
+      }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val rows = spark.read.parquet(dir).as[(Long, String)].collect()
+    assert(rows.length == 50, s"expected 50 unique keys, got ${rows.length}")
+    assert(rows.map(_._1).toSet == (1L to 50L).toSet)
+  }
+
+  test("console dry-run sink drives the generator without a broker") {
+    val q = KafkaIO.consoleWriter(
+      Generator.stream(spark, rowsPerSecond = 50,
+        heartbeatMs = 200L, timeoutMs = 800L, normalMs = 200L,
+        delayedMeanMs = 400L, delayedStdMs = 50L))
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      Thread.sleep(1200)
+      assert(q.isActive)
+      assert(q.lastProgress != null || q.recentProgress.nonEmpty)
+    } finally q.stop()
   }
 
   test("partitioned write prunes non-matching partitions at scan time") {

@@ -55,4 +55,39 @@ class GeneratorSpec extends SparkSpec {
     assert(s.schema.fieldNames.toSeq ==
       Seq("messageId", "status", "phoneNumber", "carrier", "timestamp"))
   }
+
+  test("streaming generator runs the full lifecycle: sent -> heartbeats -> delivered") {
+    // compressed clocks sized to the observed ~0.5s micro-batch cadence:
+    // heartbeat timers fire roughly once per batch, so a 1.5s normal
+    // delay yields 2-3 heartbeat re-sends before the delivered
+    // transition; batch 0 alone takes ~3.5s of one-time streaming init
+    val ds = Generator.stream(spark, rowsPerSecond = 30,
+      heartbeatMs = 250L, timeoutMs = 4000L, normalMs = 1500L,
+      delayedMeanMs = 2500L, delayedStdMs = 200L)
+    val qn = "gen_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = Generator.streamWriter(ds, tickMs = 100L)
+      .format("memory").queryName(qn).start()
+    try {
+      // run long enough for several generations of keys to complete
+      Thread.sleep(9000)
+    } finally q.stop()
+    val rows = spark.table(qn).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    spark.catalog.dropTempView(qn)
+    assert(rows.nonEmpty, "generator emitted nothing")
+    val byKey = rows.groupBy(_._1)
+    val delivered = byKey.filter(_._2.exists(_._2 == "delivered"))
+    assert(delivered.nonEmpty, "no key reached the delivered transition")
+    delivered.foreach { case (k, evs) =>
+      val sorted = evs.sortBy(_._3)
+      assert(sorted.head._2 == "sent", s"$k did not start with sent")
+      assert(evs.count(_._2 == "delivered") == 1, s"$k delivered twice")
+      // delivered carries the terminal timestamp: sentTime + frozen delay
+      val dts = evs.find(_._2 == "delivered").get._3
+      assert(dts > sorted.head._3, s"$k delivered before sent")
+    }
+    // B8: at least one key re-sent a heartbeat while waiting
+    assert(byKey.values.exists(evs => evs.count(_._2 == "sent") >= 2),
+      "no heartbeat re-emission observed")
+  }
 }
