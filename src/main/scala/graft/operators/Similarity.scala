@@ -135,22 +135,50 @@ object Similarity {
   // ---------------------------------------------------------------- x12
   private val NCentroids = 16
   private val NProbe = 2
+  private val Dim = 64
+  private[operators] val LloydIters = 2
 
-  /** IVF-style ANN: a deterministic coarse quantizer (16 corpus vectors
-    * chosen by portable hash stand in for k-means centroids) partitions
-    * the corpus into cells; queries probe their 2 nearest cells and rank
-    * only those members. The scale shape of a real IVF index: assignment
-    * is an O(n·K) narrow pass (centroids broadcast), search is an
-    * equi-join on cell id — no cross product. Centroid quality (k-means
-    * iterations) only moves recall, not the plan. */
-  /** Library entry: IVF-style ANN over any (vec_id, embedding). */
-  def annIvf(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+  /** IVF-style ANN with k-means-trained centroids: 16 hash-picked seed
+    * vectors are refined by Lloyd iterations (assign to nearest-cosine
+    * centroid, recompute each centroid as its members' mean), then the
+    * trained quantizer partitions the corpus into cells; queries probe
+    * their 2 nearest cells and rank only those members. The scale shape
+    * of a real IVF index: every assignment pass is an O(n·K) narrow map
+    * (centroids broadcast), search is an equi-join on cell id — no
+    * cross product.
+    *
+    * Portability of the means: float sums are fold-order-dependent, so
+    * a naive avg() diverges between engines. Instead each component is
+    * floored to integer MICRO-UNITS first — integer addition commutes,
+    * so sum is order-independent — and the mean is floor(intSum/count)
+    * micro-units (both operands exact in double, so the division and
+    * floor are bit-identical everywhere). DuckDB replays the identical
+    * centroids and therefore the identical cells. */
+  /** Library entry: IVF ANN over any (vec_id, embedding). */
+  def annIvf(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters): DataFrame = {
     val e = vecsOf(emb)
-    val ctr = e
+    var ctr = e
       .withColumn("hk", graft.functions.PortableHash.h60(
         concat(lit("ctr_"), col("vec_id").cast("string"))))
       .orderBy(col("hk").asc, col("vec_id").asc).limit(NCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+    for (_ <- 0 until lloydIters) {
+      val assigned = e.crossJoin(broadcast(ctr))
+        .withColumn("cos_c",
+          ArrayMath.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)))
+        .filter(col("crn") === 1)
+      val aggs = (0 until Dim).map { dd =>
+        sum(floor(element_at(col("v"), dd + 1) * 1000000)).as(s"s$dd")
+      } :+ count(lit(1)).as("cnt")
+      val stats = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*)
+      ctr = stats.select(col("cid"),
+        array((0 until Dim).map(dd =>
+          floor(col(s"s$dd") / col("cnt")) / 1000000.0d): _*).as("cv"))
+        .withColumn("cnrm", ArrayMath.l2norm(col("cv")))
+    }
     val scored = e.crossJoin(broadcast(ctr))
       .withColumn("cos_c",
         ArrayMath.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
@@ -168,15 +196,31 @@ object Similarity {
   def x12(s: SparkSession, d: String): DataFrame =
     annIvf(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
-  val x12Sql: String =
+  val x12Sql: String = {
+    // one Lloyd iteration: assign to nearest-cosine centroid, recompute
+    // means in integer micro-units (see annIvf's portability note)
+    def lloyd(ctrRel: String, i: Int): String =
+      s"""a${i}_sc AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
+         |    list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
+         |  FROM n CROSS JOIN $ctrRel c),
+         |a$i AS (SELECT vec_id, v, nrm, cid FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS crn FROM a${i}_sc)
+         |  WHERE crn = 1),
+         |c${i}_m AS (SELECT cid, d, sum(CAST(floor(v[d] * 1000000) AS BIGINT)) AS s, count(*) AS cnt
+         |  FROM a$i, (SELECT unnest(range(1, 65)) AS d) t GROUP BY cid, d),
+         |ctr$i AS (SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM (
+         |    SELECT cid, list(floor(s / cnt) / 1000000.0 ORDER BY d) AS cv FROM c${i}_m GROUP BY cid))""".stripMargin
+    val iters = (1 to LloydIters).map(i => lloyd(s"ctr${i - 1}", i))
+      .mkString(",\n")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
        |hk AS (SELECT vec_id, v, nrm, ${PortableHash.duckH60("concat('ctr_', vec_id)")} AS hk FROM n),
-       |ctr AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM hk
+       |ctr0 AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM hk
        |  QUALIFY row_number() OVER (ORDER BY hk, vec_id) <= $NCentroids),
+       |$iters,
        |sc0 AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
        |    list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
-       |  FROM n CROSS JOIN ctr c),
+       |  FROM n CROSS JOIN ctr$LloydIters c),
        |sc AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS crn FROM sc0),
        |assign AS (SELECT vec_id, v, nrm, cid FROM sc WHERE crn = 1),
        |probe AS (SELECT vec_id AS qid, v AS vq, nrm AS nq, cid FROM sc
@@ -188,6 +232,7 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
        |FROM c
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_brute" -> (x06 _),

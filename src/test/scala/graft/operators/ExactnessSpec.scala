@@ -20,6 +20,22 @@ class ExactnessSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("x12 k-means IVF recall vs the exact x06 baseline") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qids = 0L until 10L
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.annBrute(emb, qids))
+    val seeded = topk(Similarity.annIvf(emb, qids, lloydIters = 0))
+    val trained = topk(Similarity.annIvf(emb, qids))
+    val rSeed = seeded.intersect(exact).size.toDouble / exact.size
+    val rTrained = trained.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@10 at sf0.001: seeded $rSeed%.3f, " +
+      f"k-means(${Similarity.LloydIters}) $rTrained%.3f")
+    assert(trained.nonEmpty)
+    assert(rTrained > 0.0)
+  }
+
   test("x05 banded pairs are a subset of exact pairs; recall reported") {
     val emb = graft.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =
