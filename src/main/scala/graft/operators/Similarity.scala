@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.PortableHash
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,29 +157,52 @@ object Similarity {
   /** Library entry: IVF ANN over any (vec_id, embedding). */
   def annIvf(emb: DataFrame, queryIds: Seq[Long],
       lloydIters: Int = LloydIters): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val e = vecsOf(emb)
-    var ctr = e
+    // Centroids are MODEL STATE (K x dim doubles), held on the driver
+    // between passes — the MLlib k-means shape. Each training pass is
+    // then ONE narrow map over the corpus (argmax against centroid
+    // LITERALS, no window sort, no per-iteration broadcast job, no
+    // nested lineage) plus a K-row aggregate; only K rows ever reach
+    // the driver. The driver-side mean arithmetic is the same
+    // floor(intSum/count) micro-unit form the DuckDB oracle computes.
+    var centroids: Seq[(Long, IndexedSeq[Double])] = e
       .withColumn("hk", graft.functions.PortableHash.h60(
         concat(lit("ctr_"), col("vec_id").cast("string"))))
       .orderBy(col("hk").asc, col("vec_id").asc).limit(NCentroids)
-      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cnrm"))
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toSeq
+
+    // argmax over literal centroids: max of (cos, -cid) structs — the
+    // same (cos DESC, cid ASC) order the oracle's row_number uses
+    def assignCid: Column = {
+      val scoredStructs = centroids.map { case (cid, cv) =>
+        val cvLit = array(cv.map(x => lit(x)): _*)
+        val cnrm = math.sqrt(cv.map(x => x * x).sum)
+        struct((ArrayMath.dot(col("v"), cvLit) / (col("nrm") * cnrm)).as("c"),
+          lit(-cid).as("nc"))
+      }
+      greatest(scoredStructs: _*).getField("nc") * -1L
+    }
+
     for (_ <- 0 until lloydIters) {
-      val assigned = e.crossJoin(broadcast(ctr))
-        .withColumn("cos_c",
-          ArrayMath.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)))
-        .filter(col("crn") === 1)
       val aggs = (0 until Dim).map { dd =>
         sum(floor(element_at(col("v"), dd + 1) * 1000000)).as(s"s$dd")
       } :+ count(lit(1)).as("cnt")
-      val stats = assigned.groupBy("cid").agg(aggs.head, aggs.tail: _*)
-      ctr = stats.select(col("cid"),
-        array((0 until Dim).map(dd =>
-          floor(col(s"s$dd") / col("cnt")) / 1000000.0d): _*).as("cv"))
-        .withColumn("cnrm", ArrayMath.l2norm(col("cv")))
+      val stats = e.select(assignCid.as("cid"), col("v"))
+        .groupBy("cid").agg(aggs.head, aggs.tail: _*).collect()
+      centroids = stats.map { r =>
+        val cnt = r.getLong(1 + Dim)
+        r.getLong(0) -> (0 until Dim).map(dd =>
+          math.floor(r.getLong(dd + 1).toDouble / cnt) / 1000000.0)
+      }.toSeq
     }
-    val scored = e.crossJoin(broadcast(ctr))
+
+    val ctr = broadcast(
+      centroids.toDF("cid", "cv")
+        .withColumn("cnrm", ArrayMath.l2norm(col("cv"))))
+    val scored = e.crossJoin(ctr)
       .withColumn("cos_c",
         ArrayMath.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
       .withColumn("crn", row_number().over(
