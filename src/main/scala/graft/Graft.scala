@@ -34,9 +34,19 @@ object Graft {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     operators.Dedup.simhashPairs(docs, maxHamming)
 
-  /** All-pairs embedding-cosine near-duplicates. */
+  /** Embedding-cosine near-duplicates, LSH-banded (the scale path). */
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
     operators.Dedup.embeddingDupPairs(embeddings, threshold)
+
+  /** Exact all-pairs variant — the recall baseline; fixture-scale only. */
+  def embeddingDupPairsExact(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
+    operators.Dedup.embeddingDupPairsExact(embeddings, threshold)
+
+  /** End-to-end corpus preparation: exact dedup (keep-first) ->
+    * near-dup removal (keep-first) -> language/quality/token
+    * annotation of the survivors. */
+  def cleanCorpus(docs: DataFrame, nearDupThreshold: Double = 0.8): DataFrame =
+    operators.Pipeline.cleanCorpus(docs, nearDupThreshold)
 
   // ---- similarity search -------------------------------------------
   /** Exact top-k cosine neighbors for the given query vector ids. */

@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.TextOps.queries ++
+      operators.Pipeline.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -29,6 +30,7 @@ object SparkEntry {
       operators.Dedup.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextOps.oracleSql ++
+      operators.Pipeline.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

@@ -112,7 +112,8 @@ object StreamingQueries {
     // so 8 partitions cut per-partition state-store commit overhead
     // without losing parallelism. Restored afterwards.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_REPLAY_PARTS", "8"))
     // No-data micro-batches only matter for timers/eviction that fire
     // AFTER the last data batch; the replay's second sentinel file is
     // itself a data batch that fires everything real, so the trailing

@@ -50,8 +50,10 @@ object TextOps {
       .select(col("doc_id"), col("pred_lang"),
         greatest(col("s_en"), col("s_de"), col("s_es"), col("s_fr")).as("hits"))
 
-  val x08Sql: String =
-    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+  val x08Sql: String = x08SqlOn("documents")
+  /** x08 oracle over any (doc_id, text) relation. */
+  def x08SqlOn(rel: String): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $rel),
        |sc AS (SELECT doc_id,
        |  len(list_filter(w, x -> x IN ${inList(StopEn)})) AS s_en,
        |  len(list_filter(w, x -> x IN ${inList(StopDe)})) AS s_de,
@@ -94,8 +96,10 @@ object TextOps {
           * 1000000).cast("long"))
       .select("doc_id", "n_tokens", "stop_ratio_u", "cpt_u", "score_u")
 
-  val x09Sql: String =
-    s"""WITH ws AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w FROM documents),
+  val x09Sql: String = x09SqlOn("documents")
+  /** x09 oracle over any (doc_id, text) relation. */
+  def x09SqlOn(rel: String): String =
+    s"""WITH ws AS (SELECT doc_id, lower(text) AS t, string_split(lower(text), ' ') AS w FROM $rel),
        |m AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
        |  CAST(floor(len(list_filter(w, x -> x IN ${inList(StopEn)})) / CAST(len(w) AS DOUBLE) * 1000000) AS BIGINT) AS stop_ratio_u,
        |  CAST(floor(len(t) / CAST(len(w) AS DOUBLE) * 1000000) AS BIGINT) AS cpt_u
@@ -117,11 +121,13 @@ object TextOps {
         size(regexp_extract_all(col("t"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
       .select("doc_id", "ws_tokens", "re_tokens")
 
-  val x10Sql: String =
-    """SELECT doc_id,
+  val x10Sql: String = x10SqlOn("documents")
+  /** x10 oracle over any (doc_id, text) relation. */
+  def x10SqlOn(rel: String): String =
+    s"""SELECT doc_id,
       |  CAST(len(string_split(lower(text), ' ')) AS INT) AS ws_tokens,
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens
-      |FROM documents""".stripMargin
+      |FROM $rel""".stripMargin
 
   // ---------------------------------------------------------------- x11
   /** Document fingerprint: min portable-hash over word 5-gram shingles

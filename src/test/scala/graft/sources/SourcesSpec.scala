@@ -115,9 +115,13 @@ class SourcesSpec extends SparkSpec {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
       .start()
     try {
-      Thread.sleep(1200)
-      assert(q.isActive)
-      assert(q.lastProgress != null || q.recentProgress.nonEmpty)
+      // wait for the first completed micro-batch (fixed sleeps flake
+      // when the suite saturates the scheduler)
+      val deadline = System.currentTimeMillis() + 30000
+      while (q.recentProgress.isEmpty && q.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(q.exception.isEmpty, q.exception.toString)
+      assert(q.recentProgress.nonEmpty, "no micro-batch completed in 30s")
     } finally q.stop()
   }
 
