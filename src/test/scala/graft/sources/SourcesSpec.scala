@@ -68,6 +68,38 @@ class SourcesSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("schema id")))
   }
 
+  test("framed produce->consume roundtrip through a live DSv2 transport") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val fmt = classOf[memkafka.MemKafkaProvider].getName
+    val topic = "t_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val msgs = Generator.batch(spark, 30L).as[MessageStatus].collect().toSeq
+    val ckpt = Files.createTempDirectory("memkafka_ckpt").toString
+    // produce: frame to Avro (key, value) and write through the real
+    // streaming sink path (per-task writers, driver epoch commit)
+    val src = MemoryStream[MessageStatus]
+    val w = KafkaIO.frame(src.toDS()).writeStream.format(fmt)
+      .option("topic", topic).option("checkpointLocation", ckpt).start()
+    try {
+      // two batches exercise offset tracking across epochs
+      val (b1, b2) = msgs.splitAt(msgs.length / 2)
+      src.addData(b1); w.processAllAvailable()
+      src.addData(b2); w.processAllAvailable()
+    } finally w.stop()
+    // consume: read the topic back through the micro-batch source
+    val qn = "mk_" + topic
+    val r = KafkaIO.unframe(
+      spark.readStream.format(fmt).option("topic", topic).load())
+      .writeStream.format("memory").queryName(qn).start()
+    try r.processAllAvailable() finally r.stop()
+    val got = spark.table(qn).as[MessageStatus].collect().toSet
+    spark.catalog.dropTempView(qn)
+    memkafka.MemBroker.clear(topic)
+    assert(got == msgs.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("kafka writer carries the reference reliability options") {
     val opts = KafkaIO.producerOptions("broker:9092")
     assert(opts("kafka.acks") == "all")
