@@ -54,4 +54,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "x05 must not cross-join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "x05 must not nested-loop-join")
   }
+
+  test("x13 pipeline plan stays banded and join-based end to end") {
+    val p = plan(Pipeline.x13(spark, sf))
+    assert(!p.contains("CartesianProduct"), "x13 must not cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "x13 must not nested-loop-join")
+    assert(p.contains("LeftAnti"), "near-dup removal must be an anti-join")
+    assert(p.contains("LeftSemi"), "exact-dup keep must be a semi-join")
+  }
 }

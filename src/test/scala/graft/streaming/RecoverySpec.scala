@@ -50,6 +50,49 @@ class RecoverySpec extends SparkSpec {
     assert(alerts.head.sentTime == T0)
   }
 
+  test("generator lifecycle state survives a restart via checkpoint") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("genckpt")
+    val ckpt = tmp.resolve("cp").toString
+    val out = tmp.resolve("out").toString
+    // delays long enough that keys born in phase 1 deliver only after
+    // the restart — their delivered event then PROVES recovered state
+    // (their birth offsets are committed and never replayed)
+    def start() = Generator.streamWriter(
+      Generator.stream(spark, rowsPerSecond = 30, heartbeatMs = 300L,
+        timeoutMs = 60000L, normalMs = 4000L,
+        delayedMeanMs = 8000L, delayedStdMs = 200L), tickMs = 100L)
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+
+    val q1 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while ((q1.recentProgress.map(_.numInputRows).sum < 10 ||
+        q1.recentProgress.length < 3) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+    } finally q1.stop()
+    val p1 = spark.read.parquet(out).as[MessageStatus].collect()
+    assert(p1.exists(_.status == "sent"), "phase 1 produced no births")
+    val pending = p1.filter(_.status == "sent").map(_.messageId).toSet --
+      p1.filter(_.status == "delivered").map(_.messageId).toSet
+    assert(pending.nonEmpty, "no in-flight keys at the restart point")
+
+    val q2 = start()
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      def deliveredNow() = spark.read.parquet(out).as[MessageStatus]
+        .filter(_.status == "delivered").map(_.messageId).collect().toSet
+      while (deliveredNow().intersect(pending).isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(500)
+    } finally q2.stop()
+    val p2 = spark.read.parquet(out).as[MessageStatus].collect()
+    val recovered = p2.filter(_.status == "delivered")
+      .map(_.messageId).toSet.intersect(pending)
+    assert(recovered.nonEmpty,
+      "no pre-restart key delivered after restart — state was lost")
+  }
+
   test("monitor listener observes progress and bounded state") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
