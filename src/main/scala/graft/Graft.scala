@@ -82,4 +82,31 @@ object Graft {
   /** Tumbling carrier/status monitoring counts. */
   def windowedCounts(ds: Dataset[MessageStatus]): DataFrame =
     streaming.WindowedCounts.byCarrier(ds)
+
+  // ---- synthetic generation ----------------------------------------
+  /** Deterministic batch transcript of n message lifecycles. */
+  def generate(spark: org.apache.spark.sql.SparkSession, n: Long,
+      seed: Long = 42L): DataFrame =
+    streaming.Generator.batch(spark, n, seed)
+
+  /** Live generator stream: per-key sent/heartbeat/delivered state
+    * machine on processing-time timers (reference producer parity). */
+  def generatorStream(spark: org.apache.spark.sql.SparkSession,
+      rowsPerSecond: Int = 100): Dataset[MessageStatus] =
+    streaming.Generator.stream(spark, rowsPerSecond)
+
+  // ---- wire format --------------------------------------------------
+  /** Avro-frame a message stream as Kafka (key, value) binary. */
+  def frame(ds: Dataset[MessageStatus]): DataFrame = sources.KafkaIO.frame(ds)
+
+  /** [[frame]] with the Confluent Schema-Registry 5-byte header. */
+  def frameConfluent(ds: Dataset[MessageStatus]): DataFrame =
+    sources.KafkaIO.frameConfluent(ds)
+
+  /** Decode (key, value) binary back to messages (bare Avro bodies). */
+  def unframe(df: DataFrame): Dataset[MessageStatus] = sources.KafkaIO.unframe(df)
+
+  /** Decode Confluent-framed (key, value) binary back to messages. */
+  def unframeConfluent(df: DataFrame): Dataset[MessageStatus] =
+    sources.KafkaIO.unframeConfluent(df)
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, SortedIntersectSize}
+import graft.functions.{DotProduct, Md5Prefix60, SortedIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -38,6 +38,10 @@ object GraftExtensions {
       info("sorted_intersect_size",
         "sorted_intersect_size(a, b) - |a ∩ b| for sorted distinct bigint arrays"),
       (es: Seq[Expression]) => SortedIntersectSize(es(0), es(1))),
+    ("md5_prefix60",
+      info("md5_prefix60",
+        "md5_prefix60(bin) - first 60 bits of md5 as bigint (the engine's portable hash)"),
+      (es: Seq[Expression]) => Md5Prefix60(es(0))),
   )
 
   /** Register on an already-built session (tests, notebooks). */

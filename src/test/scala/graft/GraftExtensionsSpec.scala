@@ -12,6 +12,9 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 7L))")
       .head.getInt(0)
     assert(inter == 2)
+    val h = spark.sql("SELECT md5_prefix60(cast('hello' as binary))")
+      .head.getLong(0)
+    assert(h == functions.PortableHash.h60("hello"))
   }
 
   test("extensions class wires into a fresh session") {
