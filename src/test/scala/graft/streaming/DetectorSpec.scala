@@ -78,6 +78,41 @@ class DetectorSpec extends SparkSpec {
     assert(alerts.isEmpty)
   }
 
+  test("backfilled event behind the watermark still alerts (timer clamp)") {
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[MessageStatus]
+    val qn = "det_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = UndeliveredDetector.alerts(src.toDS(), Timeout).writeStream
+      .format("memory").queryName(qn).outputMode("append").start()
+    try {
+      def push(ms: MessageStatus*): Unit = {
+        src.addData(ms.toSeq); q.processAllAvailable()
+      }
+      // key starts normally; its deadline is T0 + Timeout
+      push(sent("late", T0))
+      // another key far ahead drags the watermark way past that deadline
+      push(sent("fresh", T0 + 20 * Timeout))
+      // a heartbeat for the pending key arrives (its own timestamp is
+      // current, so it passes the late-row filter, and having data
+      // suppresses this batch's timeout processing): the state update
+      // recomputes deadline = T0 + Timeout, which the watermark has
+      // ALREADY overtaken — an unclamped setTimeoutTimestamp throws
+      // IllegalArgumentException here and kills the whole query
+      push(sent("late", T0 + 20 * Timeout))
+      // advance the watermark twice so the clamped watermark+1 timer fires
+      push(sent("fresh2", T0 + 40 * Timeout))
+      push(sent("fresh3", T0 + 60 * Timeout))
+      assert(q.exception.isEmpty, q.exception.toString)
+      val alerts = spark.table(qn).as[UndeliveredAlert].collect()
+      assert(alerts.exists(_.messageId == "late"),
+        "overdue key must still alert once its (clamped) timer fires")
+      // the alert reports the TRUE deadline, not the clamped timer time
+      val late = alerts.find(_.messageId == "late").get
+      assert(late.sentTime == T0 && late.deadline == T0 + Timeout)
+    } finally q.stop()
+  }
+
   test("streaming answer equals the batch twin on a generated stream") {
     import spark.implicits._
     val transcript = Generator.batch(spark, 300L, seed = 7L)
