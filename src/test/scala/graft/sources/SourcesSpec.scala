@@ -68,6 +68,26 @@ class SourcesSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("schema id")))
   }
 
+  test("nullable union fields roundtrip, null and non-null branches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val schema =
+      """{"type": "record", "name": "Opt", "fields": [
+        |  {"name": "id", "type": "string"},
+        |  {"name": "note", "type": ["null", "string"]},
+        |  {"name": "n", "type": ["null", "long"]}
+        |]}""".stripMargin
+    val df = Seq(("a", Some("hi"), Some(7L)), ("b", None, None))
+      .toDF("id", "note", "n")
+    val back = df.select(AvroWire.fromAvro(
+        AvroWire.toAvro(struct(col("id"), col("note"), col("n")), schema),
+        schema).as("r"))
+      .select("r.id", "r.note", "r.n")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(back == Set(("a", Some("hi"), Some(7L)), ("b", None, None)))
+  }
+
   test("framed produce->consume roundtrip through a live DSv2 transport") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
