@@ -83,6 +83,14 @@ object Graft {
   def windowedCounts(ds: Dataset[MessageStatus]): DataFrame =
     streaming.WindowedCounts.byCarrier(ds)
 
+  // ---- temporal joins ----------------------------------------------
+  /** AS-OF join: left columns plus an `asof` struct of the right row
+    * with the greatest timestamp (strictly) before the left row's, per
+    * key. One shuffle, no join node — see operators.AsOf. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, strict: Boolean = true): DataFrame =
+    operators.AsOf.asofJoin(left, right, key, leftTs, rightTs, strict)
+
   // ---- synthetic generation ----------------------------------------
   /** Deterministic batch transcript of n message lifecycles. */
   def generate(spark: org.apache.spark.sql.SparkSession, n: Long,

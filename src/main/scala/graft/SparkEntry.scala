@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.TextOps.queries ++
       operators.Pipeline.queries ++
+      operators.AsOf.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -31,6 +32,7 @@ object SparkEntry {
       operators.Similarity.oracleSql ++
       operators.TextOps.oracleSql ++
       operators.Pipeline.oracleSql ++
+      operators.AsOf.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }
