@@ -91,6 +91,12 @@ object Graft {
       leftTs: String, rightTs: String, strict: Boolean = true): DataFrame =
     operators.AsOf.asofJoin(left, right, key, leftTs, rightTs, strict)
 
+  /** Bucketed range join: count of right rows within [leftTs-window,
+    * leftTs) per key — equi-join on time buckets, never a nested loop. */
+  def rangeCount(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, windowMs: Long): DataFrame =
+    operators.RangeJoin.rangeCount(left, right, key, leftTs, rightTs, windowMs)
+
   // ---- synthetic generation ----------------------------------------
   /** Deterministic batch transcript of n message lifecycles. */
   def generate(spark: org.apache.spark.sql.SparkSession, n: Long,

@@ -23,6 +23,7 @@ object SparkEntry {
       operators.TextOps.queries ++
       operators.Pipeline.queries ++
       operators.AsOf.queries ++
+      operators.RangeJoin.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -33,6 +34,7 @@ object SparkEntry {
       operators.TextOps.oracleSql ++
       operators.Pipeline.oracleSql ++
       operators.AsOf.oracleSql ++
+      operators.RangeJoin.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }
