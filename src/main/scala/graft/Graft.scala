@@ -97,6 +97,12 @@ object Graft {
       leftTs: String, rightTs: String, windowMs: Long): DataFrame =
     operators.RangeJoin.rangeCount(left, right, key, leftTs, rightTs, windowMs)
 
+  /** Inner join with the big side salted across buckets — the explicit
+    * skew-mitigation form for known-hot keys. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int = 16): DataFrame =
+    operators.Skew.saltedJoin(big, small, key, saltBuckets)
+
   // ---- synthetic generation ----------------------------------------
   /** Deterministic batch transcript of n message lifecycles. */
   def generate(spark: org.apache.spark.sql.SparkSession, n: Long,
