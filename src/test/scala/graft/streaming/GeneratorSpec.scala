@@ -68,8 +68,17 @@ class GeneratorSpec extends SparkSpec {
     val q = Generator.streamWriter(ds, tickMs = 100L)
       .format("memory").queryName(qn).start()
     try {
-      // run long enough for several generations of keys to complete
-      Thread.sleep(9000)
+      // wait on the observable condition, not wall clock: a loaded host
+      // stretches micro-batch cadence and a fixed sleep would flake
+      val deadline = System.currentTimeMillis() + 60000
+      def done(): Boolean = {
+        val st = spark.table(qn).groupBy("status").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        st.getOrElse("delivered", 0L) >= 3L
+      }
+      while (!done() && q.exception.isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      assert(q.exception.isEmpty, q.exception.toString)
     } finally q.stop()
     val rows = spark.table(qn).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
