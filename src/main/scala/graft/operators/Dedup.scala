@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.PortableHash._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` / `embeddings` tables —

@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.Tables
 import graft.streaming._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
