@@ -41,17 +41,34 @@ object Bench {
     } catch { case _: Throwable => }
 
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Optional comma-separated query-name filter for bisection runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
     // (name, Some(medianSec)) on success; (name, None) if ANY run threw —
     // a broken query must read as a failure, not a near-zero "speedup".
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to runs).map { r =>
+        val t0 = System.nanoTime(); val gc0 = gcMs
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case t: Throwable =>
             System.err.println(s"BENCH FAIL $name: ${t.getClass.getName}: ${t.getMessage}")
             false
           }
-        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+        val sec = (System.nanoTime() - t0) / 1e9
+        // Per-run trace (stderr, not the JSON contract): exposes run-to-run
+        // degradation inside one session — run1 >> run3 means first-run
+        // codegen/compile, run3 >> run1 means session-state accumulation.
+        val rt = Runtime.getRuntime
+        System.err.println(f"BENCH RUN $name run$r ${sec}%.3fs gc+${gcMs - gc0}ms " +
+          f"heap${(rt.totalMemory - rt.freeMemory) / (1 << 20)}MB")
+        if (ok) Some(sec) else None
       }
       val median =
         if (times.forall(_.isDefined)) Some(times.flatten.sorted.apply(times.size / 2))

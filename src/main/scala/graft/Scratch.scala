@@ -22,7 +22,14 @@ object Scratch {
         println(f"[t] $tag run$i: ${(System.nanoTime() - t0) / 1e9}%.2f")
       }
     }
-    SparkEntry.queries.get(name).foreach(fn => t(name)(fn(spark, d).count()))
+    SparkEntry.queries.get(name) match {
+      case Some(fn) => t(name)(fn(spark, d).count())
+      case None =>
+        System.err.println(s"Unknown query '$name'. Known queries:\n  " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+        spark.stop()
+        sys.exit(1)
+    }
     spark.stop()
   }
 }

@@ -26,15 +26,24 @@ object AsOf {
     * the matched right row (null when no prior right row exists).
     * `strict = true` matches rightTs < leftTs; false allows equality.
     * Right side should be unique per (key, ts) — pre-aggregate if not,
-    * or the tie-winner among equal timestamps is unspecified. */
+    * or the tie-winner among equal timestamps is unspecified.
+    *
+    * `leftTs`/`rightTs` are epoch-MS long columns, the same unit
+    * contract as [[RangeJoin.rangeCount]]. TimestampType columns are
+    * converted with `unix_millis` (a bare long cast would silently
+    * yield SECONDS and mis-order against ms-based data). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, strict: Boolean = true): DataFrame = {
     val rType = org.apache.spark.sql.types.StructType(right.schema.fields)
+    def ms(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(c))
+      case _ => col(c).cast("long")
+    }
     // at equal ts the row sorting FIRST is invisible to the other side:
     // strict => left first (left must not see same-ts right rows)
     val (lTag, rTag) = if (strict) (0, 1) else (1, 0)
     val l2 = left.select(
-      col(key).as("__k"), col(leftTs).cast("long").as("__t"),
+      col(key).as("__k"), ms(left, leftTs).as("__t"),
       lit(lTag).as("__tag"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rType).as("__r"))

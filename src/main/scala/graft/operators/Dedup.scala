@@ -55,22 +55,35 @@ object Dedup {
     *             char-level variants draw independent hash families
     * @param r    rows per band; nBands bands of r signature slots
     * @param thresh exact-Jaccard verification threshold
+    * @param materializeSig persist the per-doc signature relation so its
+    *   merge-side aggregation runs once instead of once per consumer —
+    *   worth it when the shingle volume (and therefore the collect_set
+    *   arrays) is large, e.g. the char-8-gram path where shingles ≈ one
+    *   per input byte. MEMORY_AND_DISK: spills rather than OOMs at
+    *   corpus scale, and Spark's CacheManager dedups repeat invocations
+    *   of the same plan, so a long session holds one copy, not N.
     */
   private def lshPairs(hv: DataFrame, seed: Int, r: Int,
-      nBands: Int, thresh: Double): DataFrame = {
+      nBands: Int, thresh: Double,
+      materializeSig: Boolean = false): DataFrame = {
     val nPerm = r * nBands
     val aggs = sort_array(collect_set(col("hf"))).as("hs") +:
       (0 until nPerm).map { j =>
         min((col("hf") % P * permA(seed + j) + permB(seed + j)) % P).as(s"m$j")
       }
     // The signature relation feeds four consumers (both sides of the
-    // band self-join, plus the two verify lookups). The groupBy's own
-    // shuffle canonicalizes identically in every branch, so ReuseExchange
-    // already runs the expensive map side (shingle explode + md5 +
-    // partial aggs) ONCE; only the cheap merge-side agg replays per
-    // consumer. (An explicit repartition to also share the merge agg was
-    // measured SLOWER — it re-shuffles the full hash-set arrays.)
-    val sig = hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // band self-join, plus the two verify lookups). Unmaterialized, the
+    // groupBy's own shuffle canonicalizes identically in every branch,
+    // so ReuseExchange already runs the expensive map side (shingle
+    // explode + md5 + partial aggs) ONCE; only the merge-side agg
+    // replays per consumer. (An explicit repartition to also share the
+    // merge agg was measured SLOWER — it re-shuffles the full hash-set
+    // arrays.) For heavy shingle volumes, materializeSig caches the
+    // merged relation instead.
+    val sigPlan = hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = if (materializeSig)
+      sigPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else sigPlan
     val bandCol = explode(array((0 until nBands).map { bn =>
       concat_ws("_", lit(bn) +: (0 until r).map(k =>
         col(s"m${bn * r + k}")): _*)
@@ -165,7 +178,10 @@ object Dedup {
     // r=3 x 5 bands: random pairs (char-8 jaccard ~0.1) collide with
     // P ~ 0.5% instead of ~8% under r=2, cutting candidate volume ~15x;
     // true near-dups (j >= 0.9) still collide with P > 99.99%.
-    lshPairs(hv, seed = 100, r = 3, nBands = 5, thresh)
+    // materializeSig: char shingles ≈ 8 hashed rows per input byte, so
+    // replaying the signature merge agg per consumer dominates the query
+    // — cache it once instead.
+    lshPairs(hv, seed = 100, r = 3, nBands = 5, thresh, materializeSig = true)
   }
 
   def x04(s: SparkSession, d: String): DataFrame =

@@ -157,16 +157,16 @@ object Similarity {
   /** Library entry: IVF ANN over any (vec_id, embedding). */
   def annIvf(emb: DataFrame, queryIds: Seq[Long],
       lloydIters: Int = LloydIters): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
     val e = vecsOf(emb)
     // Centroids are MODEL STATE (K x dim doubles), held on the driver
     // between passes — the MLlib k-means shape. Each training pass is
-    // then ONE narrow map over the corpus (argmax against centroid
-    // LITERALS, no window sort, no per-iteration broadcast job, no
-    // nested lineage) plus a K-row aggregate; only K rows ever reach
-    // the driver. The driver-side mean arithmetic is the same
-    // floor(intSum/count) micro-unit form the DuckDB oracle computes.
+    // ONE narrow map over the corpus (argmax via the codebook expression
+    // [[graft.functions.CentroidTopCids]] — no window sort, no join, no
+    // per-pass Janino recompile: the centroids travel as a codegen
+    // reference object, not as plan literals) plus a K-row aggregate;
+    // only K rows ever reach the driver. The driver-side mean arithmetic
+    // is the same floor(intSum/count) micro-unit form the DuckDB oracle
+    // computes.
     var centroids: Seq[(Long, IndexedSeq[Double])] = e
       .withColumn("hk", graft.functions.PortableHash.h60(
         concat(lit("ctr_"), col("vec_id").cast("string"))))
@@ -174,23 +174,18 @@ object Similarity {
       .select(col("vec_id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toSeq
 
-    // argmax over literal centroids: max of (cos, -cid) structs — the
-    // same (cos DESC, cid ASC) order the oracle's row_number uses
-    def assignCid: Column = {
-      val scoredStructs = centroids.map { case (cid, cv) =>
-        val cvLit = array(cv.map(x => lit(x)): _*)
-        val cnrm = math.sqrt(cv.map(x => x * x).sum)
-        struct((ArrayMath.dot(col("v"), cvLit) / (col("nrm") * cnrm)).as("c"),
-          lit(-cid).as("nc"))
-      }
-      greatest(scoredStructs: _*).getField("nc") * -1L
-    }
+    import graft.functions.{CentroidModel, CentroidTopCids}
+    // n = NProbe for EVERY use (assignment takes element 1): one codegen
+    // shape total, compiled once per session no matter how many passes.
+    def topCids: Column = CentroidTopCids(col("v"), col("nrm"),
+      new CentroidModel(centroids.map(_._1).toArray,
+        centroids.map(_._2.toArray).toArray), NProbe)
 
     for (_ <- 0 until lloydIters) {
       val aggs = (0 until Dim).map { dd =>
         sum(floor(element_at(col("v"), dd + 1) * 1000000)).as(s"s$dd")
       } :+ count(lit(1)).as("cnt")
-      val stats = e.select(assignCid.as("cid"), col("v"))
+      val stats = e.select(element_at(topCids, 1).as("cid"), col("v"))
         .groupBy("cid").agg(aggs.head, aggs.tail: _*).collect()
       centroids = stats.map { r =>
         val cnt = r.getLong(1 + Dim)
@@ -199,21 +194,16 @@ object Similarity {
       }.toSeq
     }
 
-    val ctr = broadcast(
-      centroids.toDF("cid", "cv")
-        .withColumn("cnrm", ArrayMath.l2norm(col("cv"))))
-    val scored = e.crossJoin(ctr)
-      .withColumn("cos_c",
-        ArrayMath.dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("crn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("cos_c").desc, col("cid").asc)))
-    val assign = scored.filter(col("crn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid"))
-    val probes = scored
-      .filter(col("vec_id").isin(queryIds: _*) && col("crn") <= NProbe)
+    // Search: cell membership and query probes are both narrow maps over
+    // the trained codebook; the only join is probe-cells (tiny, O(q·p)
+    // rows, broadcast) against members on cell id.
+    val assign = e.select(col("vec_id"), col("v"), col("nrm"),
+      element_at(topCids, 1).as("cid"))
+    val probes = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("vq"),
-        col("nrm").as("nq"), col("cid"))
-    rank(probes.join(assign, Seq("cid")).filter(col("vec_id") =!= col("qid")))
+        col("nrm").as("nq"), explode(topCids).as("cid"))
+    rank(broadcast(probes).join(assign, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid")))
   }
 
   def x12(s: SparkSession, d: String): DataFrame =
