@@ -177,6 +177,30 @@ object StreamingQueries {
        |  AND (first_delivered IS NULL
        |       OR first_delivered > first_sent + ${Relational.TimeoutMs})""".stripMargin
 
+  /** s01_tws — the SAME E1 detector semantics on the Spark-4-native
+    * `transformWithState` build ([[TwsDetector]], RocksDB state store):
+    * oracle-checked against the identical batch SQL as s01 and benched
+    * alongside it, so the forward path has both a correctness and a
+    * perf record, not just a unit test. The provider conf is set for
+    * this query and restored after (s01 stays on the default
+    * HDFS-backed provider — the two detectors exercise both stores). */
+  def s01Tws(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToSink(s,
+        TwsDetector.alerts(stream, Relational.TimeoutMs).toDF(), "append")
+      .filter(col("messageId") =!= "sentinel")
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** s02 — the E2 windowed monitoring view as a real FILE-SOURCE
     * streaming query in APPEND mode: each (window, carrier, status)
     * count is emitted exactly once, when the watermark passes the window
@@ -213,12 +237,14 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_undelivered_stream" -> (s01 _),
+    "s01_tws_stream" -> (s01Tws _),
     "s02_windowed_stream" -> (s02 _),
     "s03_generator" -> (s03 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "s01_undelivered_stream" -> s01Sql,
+    "s01_tws_stream" -> s01Sql,
     "s02_windowed_stream" -> s02Sql,
     "s03_generator" -> s03Sql,
   )

@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
-import graft.streaming.{Generator, MessageStatus}
+import graft.streaming.{Generator, MessageStatus, UndeliveredAlert, UndeliveredDetector}
 import java.nio.file.Files
 
 class SourcesSpec extends SparkSpec {
@@ -118,6 +118,70 @@ class SourcesSpec extends SparkSpec {
     memkafka.MemBroker.clear(topic)
     assert(got == msgs.toSet)
     assert(got.nonEmpty)
+  }
+
+  test("e2e: MemKafka -> unframeConfluent -> detector, epochs + restart") {
+    // The declared reference pipeline (undelivered-message-alert/
+    // README.md:150-156) end-to-end over the live transport: producer
+    // frames Confluent-wire Avro into the topic across multiple epochs;
+    // the detector consumes it through the DSv2 source, is STOPPED and
+    // restarted from its checkpoint mid-topic, and must still alert on
+    // a key whose only events arrived before the restart.
+    import spark.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val fmt = classOf[memkafka.MemKafkaProvider].getName
+    val topic = "e2e_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val tmp = Files.createTempDirectory("memkafka_e2e")
+    val t0 = 1700000000000L
+    val timeout = 120000L
+
+    val src = MemoryStream[MessageStatus]
+    val prod = KafkaIO.frameConfluent(src.toDS()).writeStream.format(fmt)
+      .option("topic", topic)
+      .option("checkpointLocation", tmp.resolve("prod").toString).start()
+    def produce(ms: MessageStatus*): Unit = {
+      src.addData(ms); prod.processAllAvailable()
+    }
+
+    val out = tmp.resolve("out").toString
+    def consumer() = UndeliveredDetector.alerts(
+      KafkaIO.unframeConfluent(
+        spark.readStream.format(fmt).option("topic", topic).load()), timeout)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", tmp.resolve("cons").toString)
+      .outputMode("append").start()
+
+    try {
+      // epoch 1: one key that must alert, one that resolves in time
+      produce(
+        MessageStatus("m-a", "sent", 1L, "att", t0),
+        MessageStatus("m-b", "sent", 2L, "verizon", t0),
+        MessageStatus("m-b", "delivered", 2L, "verizon", t0 + 30000))
+      val c1 = consumer()
+      c1.processAllAvailable()
+      c1.stop() // restart point: source offsets + detector state checkpointed
+
+      // epoch 2 consumed after restart advances the watermark past m-a's
+      // deadline; epoch 3 is the data batch in which the timer fires
+      produce(MessageStatus("sentinel", "delivered", 0L, "none",
+        t0 + 10 * timeout))
+      val c2 = consumer()
+      c2.processAllAvailable()
+      produce(MessageStatus("sentinel", "delivered", 0L, "none",
+        t0 + 20 * timeout))
+      c2.processAllAvailable()
+      c2.stop()
+    } finally {
+      prod.stop()
+      memkafka.MemBroker.clear(topic)
+    }
+    val alerts = spark.read.parquet(out).as[UndeliveredAlert]
+      .collect().filterNot(_.messageId == "sentinel")
+    assert(alerts.map(_.messageId).toSeq == Seq("m-a"),
+      s"expected exactly the pre-restart key to alert, got ${alerts.toSeq}")
+    assert(alerts.head.sentTime == t0)
+    assert(alerts.head.deadline == t0 + timeout)
   }
 
   test("kafka writer carries the reference reliability options") {
