@@ -20,7 +20,15 @@ object RangeJoin {
 
   /** Count of right events in [leftTs - windowMs, leftTs) per left row
     * (zero-match left rows kept with count 0). Columns: left.* +
-    * `range_count`. `leftTs`/`rightTs` are epoch-ms long columns. */
+    * `range_count`. `leftTs`/`rightTs` are epoch-ms long columns.
+    *
+    * Duplicate semantics: the result has one row per DISTINCT left row
+    * — fully-identical left rows collapse into one output row whose
+    * count sums their matches, exactly like the SQL twin
+    * `LEFT JOIN ... GROUP BY left.*`. Callers needing row-per-row
+    * output for duplicated inputs should first attach a unique id
+    * column (e.g. `monotonically_increasing_id()`); it then rides
+    * through as part of left.* and keeps every row distinct. */
   def rangeCount(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMs: Long): DataFrame = {
     val r2 = right.select(col(key).as("__k"), col(rightTs).as("__rt"),

@@ -136,6 +136,11 @@ object StreamingQueries {
       s.catalog.dropTempView(qn)
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally {
+      // The replay ran to completion: release its state-store providers
+      // now instead of waiting for the 60s maintenance cycle — repeated
+      // replays otherwise stack providers (RocksDB native handles, HDFS
+      // map caches) and each replay runs slower than the last.
+      org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNoData match {
         case Some(v) =>

@@ -55,6 +55,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "x05 must not nested-loop-join")
   }
 
+  test("x12 Lloyd passes share one codegen source (no per-pass compile)") {
+    import org.apache.spark.metrics.source.CodegenMetrics
+    // Warm every distinct plan shape (seed pass, training passes, the
+    // search join) once. The codebook travels as a codegen reference
+    // object, so the generated source is byte-identical across passes:
+    // extra Lloyd iterations must then be pure cache hits — the literal
+    // formulation this replaced recompiled on every pass because the
+    // centroid values were inlined into the source.
+    Similarity.annIvf(graft.Tables.embeddings(spark, sf),
+      0L until 4L, lloydIters = 1).count()
+    // The metric is JVM-global and suites run in parallel, so a single
+    // nonzero delta may be another suite compiling concurrently; a real
+    // leak recompiles on EVERY attempt, so any clean attempt proves the
+    // cache hit.
+    val deltas = (1 to 3).map { _ =>
+      val before = CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+      Similarity.annIvf(graft.Tables.embeddings(spark, sf),
+        0L until 4L, lloydIters = 3).count()
+      CodegenMetrics.METRIC_COMPILATION_TIME.getCount - before
+    }
+    assert(deltas.contains(0L),
+      s"Janino compilations on every extra-Lloyd-pass attempt ($deltas) " +
+        "— centroids are leaking into the generated source again")
+  }
+
   test("x13 pipeline plan stays banded and join-based end to end") {
     val p = plan(Pipeline.x13(spark, sf))
     assert(!p.contains("CartesianProduct"), "x13 must not cross-join")
