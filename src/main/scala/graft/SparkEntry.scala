@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.AsOf.queries ++
       operators.RangeJoin.queries ++
+      operators.Clusters.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -35,6 +36,7 @@ object SparkEntry {
       operators.Pipeline.oracleSql ++
       operators.AsOf.oracleSql ++
       operators.RangeJoin.oracleSql ++
+      operators.Clusters.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-CLUSTER resolution: the near-dup operators (x02/x03/x04/
+  * x05) emit PAIRS, but a training-data pipeline needs one surviving
+  * representative per transitive group — A~B and B~C must collapse A, B
+  * and C together even when A~C was never emitted. That is connected
+  * components over the pair graph.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with the smallest id among itself and its direct neighbors;
+  * each pass sends labels across edges and keeps the minimum; at the
+  * fixpoint every member of a component carries the component's global
+  * minimum id. All per-pass work is one shuffle join plus one
+  * aggregation — no driver materialization of nodes or edges; the
+  * driver sees a single convergence scalar per pass.
+  *
+  * Scale posture: passes needed = graph diameter. LSH dup-clusters are
+  * near-cliques (every duplicate collides with most of its siblings
+  * directly), so real corpora converge in 2-3 passes. For adversarial
+  * long-chain graphs the same join-shaped kernel would be swapped for
+  * the large-star/small-star variant (O(log²) passes); the per-pass
+  * plan here is identical, so the operator's shuffle footprint is the
+  * scale contract either way. Label state is persisted per pass with
+  * spill (MEMORY_AND_DISK) and the previous pass is explicitly
+  * unpersisted and lineage-truncated via the persisted barrier, so an
+  * N-pass run holds one labels copy, not N.
+  */
+object Clusters {
+
+  /** Connected components over an undirected pair graph.
+    *
+    * @param pairs one row per undirected edge; `aCol`/`bCol` are the
+    *              two endpoint columns (any orderable numeric id)
+    * @return (id, cluster_id): one row per node that appears in at
+    *         least one pair, labeled with the minimum id reachable from
+    *         it. Singletons (docs in no pair) are absent by design —
+    *         callers keep them unconditionally.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxPasses: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Each pass MUST rebase the labels DataFrame on materialized data
+    // (localCheckpoint, eager): a mere persist() leaves the logical plan
+    // nesting the previous pass's plan — labels appears twice per pass,
+    // so the tree doubles each iteration and analysis itself goes
+    // exponential. The checkpoint truncates lineage to a constant-size
+    // scan; a multi-executor deployment would use reliable checkpoint()
+    // on shared storage instead (same call shape). Old checkpoint RDDs
+    // are reclaimed by the ContextCleaner once unreferenced.
+    var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    // Labels only ever decrease, so sum(lbl) strictly decreases until
+    // the fixpoint: equal consecutive sums == converged. One scalar to
+    // the driver per pass, no row-level comparison join.
+    def checksum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).head().getLong(0)
+    var prevSum = checksum(labels)
+    var pass = 0
+    var converged = false
+    while (!converged && pass < maxPasses) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      labels = labels.union(msgs).groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      val nextSum = checksum(labels)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      pass += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  // ---------------------------------------------------------------- x17
+  /** Near-dup clusters over the x02 word-shingle pair graph: every doc
+    * that belongs to a duplicate group, labeled with the group's
+    * minimum doc_id (= the surviving representative a keep-first policy
+    * retains; x13's pair-based drop is the special case where the graph
+    * is already transitively closed). */
+  def x17(s: SparkSession, d: String): DataFrame =
+    connectedComponents(Dedup.nearDupWordPairs(Tables.documents(s, d)),
+      "a", "b")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+
+  /** Exact fixpoint via a recursive transitive-closure CTE — same
+    * answer as the propagation loop, any number of hops. */
+  val x17Sql: String =
+    s"""WITH RECURSIVE pairs AS (${Dedup.x02Sql}),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+       |)
+       |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+       |FROM reach GROUP BY n""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x17_dedup_clusters" -> (x17 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x17_dedup_clusters" -> x17Sql,
+  )
+}

@@ -56,6 +56,30 @@ class OperatorsSpec extends SparkSpec {
     info(f"LSH top-10 overlap with brute force: $recall%.2f")
   }
 
+  test("connected components merge transitively and split disjointly") {
+    import spark.implicits._
+    // component {1..5} is a pure CHAIN — every merge is transitive-only
+    // (no pair links 1 to 5 directly), which is exactly what the
+    // pair-based keep-first policy cannot express; {10,11} and {20,21,22}
+    // must stay separate.
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (11L, 10L), (20L, 21L), (21L, 22L)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components converge within the pass cap on a long chain") {
+    import spark.implicits._
+    // worst-case diameter: a 30-node chain propagates the min label one
+    // hop per pass (~28 passes) — the cap must not truncate the fixpoint
+    val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Clusters.connectedComponents(pairs, "a", "b").collect()
+    assert(got.length == 30)
+    assert(got.forall(_.getLong(1) == 1L), "all labels must reach node 1")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
