@@ -48,6 +48,17 @@ object Graft {
   def cleanCorpus(docs: DataFrame, nearDupThreshold: Double = 0.8): DataFrame =
     operators.Pipeline.cleanCorpus(docs, nearDupThreshold)
 
+  /** Transitive duplicate groups: connected components over any pair
+    * relation — (id, cluster_id = min id of the group). */
+  def dupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
+    operators.Clusters.connectedComponents(pairs, aCol, bCol)
+
+  /** Benchmark-contamination pairs by distinct char-8-gram overlap. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minOverlap: Int = 50, maxShingleDocFreq: Int = 50): DataFrame =
+    operators.Decontaminate.overlapPairs(corpus, benchmark, minOverlap,
+      maxShingleDocFreq)
+
   // ---- similarity search -------------------------------------------
   /** Exact top-k cosine neighbors for the given query vector ids. */
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =

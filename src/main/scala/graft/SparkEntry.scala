@@ -25,6 +25,7 @@ object SparkEntry {
       operators.AsOf.queries ++
       operators.RangeJoin.queries ++
       operators.Clusters.queries ++
+      operators.Decontaminate.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
       operators.AsOf.oracleSql ++
       operators.RangeJoin.oracleSql ++
       operators.Clusters.oracleSql ++
+      operators.Decontaminate.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

@@ -168,13 +168,26 @@ object Dedup {
   // ---------------------------------------------------------------- x04
   /** Character 8-gram MinHash+LSH near-dup (catches word-reordering
     * edits that word shingles miss), verified Jaccard >= 0.7. */
-  /** Library entry: char-8-gram near-dup pairs over (doc_id, text). */
-  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame = {
-    val hv = docs
+  /** Char 8-gram shingle-occurrence hashes, one row each — shared by
+    * the char near-dup path (x04) and decontamination (x18). */
+  private[graft] def charShingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .selectExpr("doc_id", "t",
         "explode(sequence(1, greatest(length(t)-7, 1))) AS i")
       .select(col("doc_id"), h60(expr("substr(t, i, 8)")).as("hf"))
+
+  /** DuckDB mirror of [[charShingleHashes]] as (doc_id, hf) rows. */
+  private[graft] val charShingleHashesSql: String =
+    s"""SELECT doc_id, ${duckH60("s")} AS hf FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(lower(text))-6, 2)),
+       |    i -> substr(lower(text), i, 8))) AS s
+       |  FROM documents)""".stripMargin
+
+  /** Library entry: char-8-gram near-dup pairs over (doc_id, text). */
+  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame = {
+    val hv = charShingleHashes(docs)
     // r=3 x 5 bands: random pairs (char-8 jaccard ~0.1) collide with
     // P ~ 0.5% instead of ~8% under r=2, cutting candidate volume ~15x;
     // true near-dups (j >= 0.9) still collide with P > 99.99%.

@@ -233,6 +233,32 @@ object StreamingQueries {
        |  count(*) AS cnt
        |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** s04 — streaming exact dedup (the reference's B11 dedup-by-key
+    * guard as a STREAM): the first occurrence of each (messageId,
+    * status) passes, repeats are suppressed, and
+    * `dropDuplicatesWithinWatermark` evicts key state once the
+    * watermark passes it — state is bounded by the watermark horizon
+    * no matter how long the stream runs (plain streaming
+    * dropDuplicates would retain every key forever). Output is the
+    * distinct key set, which is replay-batch-order independent; the
+    * oracle is the batch DISTINCT twin. */
+  def s04(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    val deduped = stream.toDF()
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "1 minute")
+      .dropDuplicatesWithinWatermark("messageId", "status")
+      .select(col("messageId"), col("status"))
+    runToSink(s, deduped, "append")
+      .filter(col("messageId") =!= "sentinel")
+  }
+
+  val s04Sql: String =
+    """SELECT DISTINCT CAST(user_id AS VARCHAR) AS messageId,
+      |  CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status
+      |FROM events""".stripMargin
+
   /** s03 — the deterministic reference-parity generator (10k message
     * lifecycles => sent/heartbeat/delivered transcript). */
   def s03(s: SparkSession, d: String): DataFrame =
@@ -245,6 +271,7 @@ object StreamingQueries {
     "s01_tws_stream" -> (s01Tws _),
     "s02_windowed_stream" -> (s02 _),
     "s03_generator" -> (s03 _),
+    "s04_stream_dedup" -> (s04 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -252,5 +279,6 @@ object StreamingQueries {
     "s01_tws_stream" -> s01Sql,
     "s02_windowed_stream" -> s02Sql,
     "s03_generator" -> s03Sql,
+    "s04_stream_dedup" -> s04Sql,
   )
 }
