@@ -26,6 +26,7 @@ object SparkEntry {
       operators.RangeJoin.queries ++
       operators.Clusters.queries ++
       operators.Decontaminate.queries ++
+      operators.Sampling.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -39,6 +40,7 @@ object SparkEntry {
       operators.RangeJoin.oracleSql ++
       operators.Clusters.oracleSql ++
       operators.Decontaminate.oracleSql ++
+      operators.Sampling.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash.{duckH60, h60}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus composition operators: vocabulary statistics and stratified
+  * sampling — the knobs a training-data pipeline turns after cleaning
+  * (what is in the corpus, and how much of each slice ships).
+  */
+object Sampling {
+
+  // ---------------------------------------------------------------- x19
+  /** Top-k vocabulary by document frequency. Per-document distinctness
+    * comes from `array_distinct` BEFORE the explode (no global distinct
+    * shuffle); the count aggregates with map-side partials and the
+    * (df DESC, wd ASC) top-k is a TakeOrderedAndProject — per-partition
+    * heads merged on the driver, never a global sort. The total order
+    * makes the k-boundary deterministic. */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("wd"))
+      .groupBy("wd").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("wd").asc)
+      .limit(k)
+
+  def x19(s: SparkSession, d: String): DataFrame =
+    vocabTopK(Tables.documents(s, d))
+
+  val x19Sql: String =
+    """SELECT wd, count(*) AS df FROM (
+      |  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS wd
+      |  FROM documents)
+      |GROUP BY wd ORDER BY df DESC, wd LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- x20
+  /** Deterministic stratified sample: `perStratum` documents per
+    * predicted language, chosen by portable-hash order (so the sample
+    * is stable across runs, engines, and corpus partitioning — B6's
+    * hash-sampling idiom per stratum). The rank filter compiles to
+    * WindowGroupLimit: every map partition keeps only its top
+    * perStratum rows per stratum BEFORE the shuffle, so the exchange
+    * carries O(strata × perStratum × partitions) rows, not the corpus —
+    * the few-strata skew a naive per-stratum window would hit. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 20): DataFrame = {
+    val lang = TextOps.languageId(docs).select(col("doc_id"), col("pred_lang"))
+    lang
+      .withColumn("hk",
+        h60(concat(lit("strat_"), col("doc_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("pred_lang").orderBy(col("hk"), col("doc_id"))))
+      .filter(col("rk") <= perStratum)
+      .select(col("doc_id"), col("pred_lang"), col("rk"))
+  }
+
+  def x20(s: SparkSession, d: String): DataFrame =
+    stratifiedSample(Tables.documents(s, d))
+
+  val x20Sql: String =
+    s"""WITH lang AS (${TextOps.x08SqlOn("documents")}),
+       |k AS (SELECT doc_id, pred_lang,
+       |  ${duckH60("concat('strat_', CAST(doc_id AS VARCHAR))")} AS hk
+       |  FROM lang)
+       |SELECT doc_id, pred_lang,
+       |  CAST(row_number() OVER (PARTITION BY pred_lang ORDER BY hk, doc_id) AS INT) AS rk
+       |FROM k
+       |QUALIFY row_number() OVER (PARTITION BY pred_lang ORDER BY hk, doc_id) <= 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x19_vocab_topk" -> (x19 _),
+    "x20_stratified_sample" -> (x20 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x19_vocab_topk" -> x19Sql,
+    "x20_stratified_sample" -> x20Sql,
+  )
+}
