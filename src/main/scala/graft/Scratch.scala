@@ -12,6 +12,9 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.sql.ui.retainedExecutions", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,6 +15,12 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // See Bench: plan-description strings for listener events are
+      // built per execution on the main thread; cap them (nothing here
+      // reads them).
+      .config("spark.sql.maxPlanStringLength", "65536")
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.sql.ui.retainedExecutions", "4")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
