@@ -148,11 +148,90 @@ object TextOps {
        |    i -> ${duckH60("concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])")})) AS fp
        |FROM ws""".stripMargin
 
+  // ---------------------------------------------------------------- x21
+  /** Repetition metrics (Gopher-style quality signal): per document,
+    * the fraction of word 2-grams that are duplicates of an earlier one
+    * and the fraction covered by the single most-frequent 2-gram. High
+    * values mark boilerplate/spam for corpus filtering. Shape: explode
+    * bigrams → (doc, bigram) count → per-doc aggregate — two partial-
+    * aggregated shuffles keyed by doc, no join; ratios emitted as
+    * floor(x*1e6) micro-units (IEEE multiply+floor, engine-portable).
+    * Documents with fewer than two words have no 2-grams and are absent
+    * by construction (both engines drop them identically). */
+  def repetitionStats(docs: DataFrame): DataFrame = x21Impl(withWordsOf(docs))
+  def x21(s: SparkSession, d: String): DataFrame = x21Impl(withWords(s, d))
+  private def x21Impl(ww: DataFrame): DataFrame =
+    ww
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w)-1),
+          |         i -> concat(element_at(w, i), ' ', element_at(w, i+1)))
+          |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
+        floor((lit(1.0) - col("n_distinct") / col("n_bigrams").cast("double"))
+          * 1000000).cast("long").as("dup_frac_u"),
+        floor(col("top_cnt") / col("n_bigrams").cast("double") * 1000000)
+          .cast("long").as("top_frac_u"))
+
+  val x21Sql: String = x21SqlOn("documents")
+  def x21SqlOn(rel: String): String =
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM $rel),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+       |         i -> w[i] || ' ' || w[i+1])) AS b FROM ws),
+       |pb AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  CAST(count(*) AS BIGINT) AS n_distinct,
+       |  CAST(floor((1.0 - count(*) / CAST(sum(c) AS DOUBLE)) * 1000000) AS BIGINT) AS dup_frac_u,
+       |  CAST(floor(max(c) / CAST(sum(c) AS DOUBLE) * 1000000) AS BIGINT) AS top_frac_u
+       |FROM pb GROUP BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- x22
+  /** TF-IDF top-k terms per document. Document frequency comes from a
+    * window over the per-(doc, term) counts — tf rows are distinct per
+    * doc, so count(*) over the term partition IS df; no separate join
+    * against a vocabulary relation. Score is pure integer arithmetic
+    * (tf·1e12 div df): monotone in tf/df and bit-identical across
+    * engines — no floating-point log. Two shuffles total (by term, then
+    * by doc for the top-k window), both with map-side partial
+    * aggregation feeding them. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
+    x22Impl(withWordsOf(docs), k)
+  def x22(s: SparkSession, d: String): DataFrame = x22Impl(withWords(s, d), 3)
+  private def x22Impl(ww: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = ww
+      .select(col("doc_id"), explode(col("w")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("score", expr("tf * 1000000000000L div df"))
+    tf.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
+      .filter(col("rn") <= k)
+      .select("doc_id", "term", "tf", "df", "score")
+  }
+
+  val x22Sql: String =
+    s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |tf AS (SELECT doc_id, unnest(w) AS term FROM ws),
+       |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
+       |wd AS (SELECT doc_id, term, tf, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tfc),
+       |sc AS (SELECT doc_id, term, tf, df, tf * 1000000000000 // df AS score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1000000000000 // df DESC, term) AS rn
+       |  FROM wd)
+       |SELECT doc_id, term, tf, df, score FROM sc WHERE rn <= 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_lang_id" -> (x08 _),
     "x09_quality_score" -> (x09 _),
     "x10_token_count" -> (x10 _),
     "x11_fingerprint" -> (x11 _),
+    "x21_repetition" -> (x21 _),
+    "x22_tfidf_topk" -> (x22 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -160,5 +239,7 @@ object TextOps {
     "x09_quality_score" -> x09Sql,
     "x10_token_count" -> x10Sql,
     "x11_fingerprint" -> x11Sql,
+    "x21_repetition" -> x21Sql,
+    "x22_tfidf_topk" -> x22Sql,
   )
 }

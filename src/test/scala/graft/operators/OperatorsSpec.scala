@@ -80,6 +80,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 1L), "all labels must reach node 1")
   }
 
+  test("repetition metrics count duplicate and dominant bigrams") {
+    import spark.implicits._
+    // "a b a b a b": bigrams (a b, b a, a b, b a, a b) → 5 total, 2
+    // distinct, top freq 3; one-word doc has no bigrams and is absent
+    val docs = Seq((1L, "a b a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(docs).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L)
+    assert(r.getLong(3) == 600000L) // floor((1 - 2/5) * 1e6)
+    assert(r.getLong(4) == 600000L) // floor(3/5 * 1e6)
+  }
+
+  test("tf-idf ranks rare terms above common ones, ties by term") {
+    import spark.implicits._
+    // 'the' appears in every doc (df=3), 'rare' only in doc 1 (df=1):
+    // rare must outrank the despite equal tf
+    val docs = Seq((1L, "the rare rare the"), (2L, "the the"),
+      (3L, "the other")).toDF("doc_id", "text")
+    val top = TextOps.tfIdfTopK(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(top(1L) == "rare")
+    assert(top(3L) == "other")
+    // doc 2 has only 'the'
+    assert(top(2L) == "the")
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
