@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Pipeline.queries ++
       operators.AsOf.queries ++
       operators.RangeJoin.queries ++
+      operators.Merge.queries ++
       operators.Clusters.queries ++
       operators.Decontaminate.queries ++
       operators.Sampling.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
       operators.Pipeline.oracleSql ++
       operators.AsOf.oracleSql ++
       operators.RangeJoin.oracleSql ++
+      operators.Merge.oracleSql ++
       operators.Clusters.oracleSql ++
       operators.Decontaminate.oracleSql ++
       operators.Sampling.oracleSql ++

@@ -69,13 +69,45 @@ object Sampling {
        |FROM k
        |QUALIFY row_number() OVER (PARTITION BY pred_lang ORDER BY hk, doc_id) <= 20""".stripMargin
 
+  // ---------------------------------------------------------------- x24
+  /** Per-source length-distribution summary: SQL-standard
+    * `percentile_disc` (smallest value with cume_dist >= p) — discrete
+    * percentiles return an actual corpus value, so there is no
+    * interpolation arithmetic to diverge between engines (DuckDB's
+    * `quantile_disc` implements the same definition, verified on
+    * boundary cases). One partial-aggregated shuffle keyed by source;
+    * at corpus scale this is the dashboard query a pipeline runs after
+    * every ingest. */
+  def lengthStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS LONG)").as("p25"),
+      expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS LONG)").as("p50"),
+      expr("CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS LONG)").as("p90"),
+      expr("CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS LONG)").as("p99"),
+      max(col("n_chars")).cast("long").as("max_chars"))
+
+  def x24(s: SparkSession, d: String): DataFrame =
+    lengthStats(Tables.documents(s, d))
+
+  val x24Sql: String =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+      |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+      |  CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90,
+      |  CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_vocab_topk" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
+    "x24_length_stats" -> (x24 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x19_vocab_topk" -> x19Sql,
     "x20_stratified_sample" -> x20Sql,
+    "x24_length_stats" -> x24Sql,
   )
 }

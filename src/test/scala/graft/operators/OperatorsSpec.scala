@@ -108,6 +108,30 @@ class OperatorsSpec extends SparkSpec {
     assert(top(2L) == "the")
   }
 
+  test("merge applies matched updates, inserts, and pass-through") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val source = Seq((2L, 5.0), (9L, 99.0)).toDF("sk", "delta")
+    val got = Merge.merge(target, source, "k", "sk",
+      whenMatched = Map("bal" -> (col("t.bal") + col("s.delta"))),
+      insertValues = Map("k" -> col("s.sk"), "name" -> lit("new"),
+        "bal" -> col("s.delta")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "a", 10.0), // target-only: untouched
+      (2L, "b", 25.0),                       // matched: updated
+      (9L, "new", 99.0)))                    // source-only: inserted
+  }
+
+  test("length stats percentiles are discrete corpus values") {
+    val rows = Sampling.x24(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p90, p99, mx) = (2 to 6).map(r.getLong)
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
