@@ -78,6 +78,39 @@ object Graft {
   def tokenCounts(docs: DataFrame): DataFrame = operators.TextOps.tokenCounts(docs)
   def fingerprints(docs: DataFrame): DataFrame = operators.TextOps.fingerprints(docs)
 
+  /** Gopher-style repetition signal: duplicate/dominant word-bigram
+    * fractions per document (micro-units). */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    operators.TextOps.repetitionStats(docs)
+
+  /** Top-k tf-idf terms per document (integer score = tf·1e12 div df). */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
+    operators.TextOps.tfIdfTopK(docs, k)
+
+  // ---- corpus composition ------------------------------------------
+  /** Top-k vocabulary by document frequency (deterministic order). */
+  def vocabTopK(docs: DataFrame, k: Int = 100): DataFrame =
+    operators.Sampling.vocabTopK(docs, k)
+
+  /** Deterministic stratified sample: n docs per predicted language,
+    * picked by portable-hash order. */
+  def stratifiedSample(docs: DataFrame, perStratum: Int = 20): DataFrame =
+    operators.Sampling.stratifiedSample(docs, perStratum)
+
+  /** Per-source discrete length percentiles (p25/p50/p90/p99/max). */
+  def lengthStats(docs: DataFrame): DataFrame =
+    operators.Sampling.lengthStats(docs)
+
+  // ---- keyed upsert -------------------------------------------------
+  /** Delta-style MERGE: one full-outer shuffle join applying matched
+    * updates, source-only inserts, and target pass-through. */
+  def merge(target: DataFrame, source: DataFrame,
+      targetKey: String, sourceKey: String,
+      whenMatched: Map[String, org.apache.spark.sql.Column],
+      insertValues: Map[String, org.apache.spark.sql.Column]): DataFrame =
+    operators.Merge.merge(target, source, targetKey, sourceKey,
+      whenMatched, insertValues)
+
   // ---- streaming ----------------------------------------------------
   /** The north-star stateful timeout detector (works on batch or
     * streaming Datasets; streaming needs a watermark-capable source). */

@@ -87,4 +87,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), "near-dup removal must be an anti-join")
     assert(p.contains("LeftSemi"), "exact-dup keep must be a semi-join")
   }
+
+  test("x21/x22 aggregate partially before their shuffles") {
+    // both must map-side combine the exploded token stream, never ship
+    // raw occurrences to the exchange
+    assert(plan(TextOps.x21(spark, sf)).contains("partial_count"))
+    assert(plan(TextOps.x22(spark, sf)).contains("partial_count"))
+  }
+
+  test("x23 merge is a single equi-join, no nested loop") {
+    val p = plan(Merge.x23(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "merge must stay an equi-join")
+    val joins = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"merge must be exactly one join, saw $joins")
+  }
+
+  test("x24 percentile aggregation groups once by source") {
+    val p = plan(Sampling.x24(spark, sf))
+    assert(p.contains("percentile_disc") || p.contains("PercentileDisc"),
+      "x24 must use the native discrete-percentile aggregate")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
