@@ -55,9 +55,14 @@ object Clusters {
     // scan; a multi-executor deployment would use reliable checkpoint()
     // on shared storage instead (same call shape). Old checkpoint RDDs
     // are reclaimed by the ContextCleaner once unreferenced.
+    // Lazy checkpoint + the checksum action: the checksum is the pass's
+    // ONE materializing job and the checkpoint piggybacks on it — an
+    // eager localCheckpoint would run a second job per pass for nothing
+    // (measured: the loop is pure scheduling overhead at small graph
+    // sizes, so jobs-per-pass is the cost driver).
     var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // Labels only ever decrease, so sum(lbl) strictly decreases until
     // the fixpoint: equal consecutive sums == converged. One scalar to
     // the driver per pass, no row-level comparison join.
@@ -70,7 +75,7 @@ object Clusters {
       val msgs = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       labels = labels.union(msgs).groupBy("id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = checksum(labels)
       converged = nextSum == prevSum
       prevSum = nextSum
