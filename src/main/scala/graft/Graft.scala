@@ -72,6 +72,11 @@ object Graft {
   def annTopKIvf(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
     operators.Similarity.annIvf(embeddings, queryIds)
 
+  /** Symmetric int8 embedding quantization with per-vector
+    * reconstruction-error stats (narrow, shuffle-free). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    operators.Similarity.quantizeInt8(embeddings)
+
   // ---- text analysis ------------------------------------------------
   def languageId(docs: DataFrame): DataFrame = operators.TextOps.languageId(docs)
   def qualityScore(docs: DataFrame): DataFrame = operators.TextOps.qualityScore(docs)

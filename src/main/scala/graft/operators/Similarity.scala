@@ -247,15 +247,62 @@ object Similarity {
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x25
+  /** Symmetric int8 quantization of the embedding column — the storage/
+    * serving compression step of an embedding pipeline — with per-vector
+    * reconstruction-error accounting. scale = max|v|/127; codes are
+    * floor(x/scale + 0.5) (explicit round-half-up: both engines' floor
+    * is IEEE-identical, unlike round()'s tie rules); the squared
+    * reconstruction error folds ascending through the same codegen'd
+    * dot product the ANN path uses, matching DuckDB's list_sum order
+    * bitwise. Entirely narrow — no shuffle at any scale. */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("scale",
+        expr("greatest(aggregate(v, 0D, (a, x) -> greatest(a, abs(x))), 1e-12d) / 127.0d"))
+      .withColumn("q",
+        expr("transform(v, x -> CAST(floor(x / scale + 0.5d) AS INT))"))
+      .withColumn("diff", expr("zip_with(v, q, (a, b) -> a - b * scale)"))
+      .select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        floor(col("scale") * 1e9).cast("long").as("scale_u"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        floor(graft.functions.ArrayMath.dot(col("diff"), col("diff")) * 1e9)
+          .cast("long").as("sq_err_u"))
+
+  def x25(s: SparkSession, d: String): DataFrame =
+    quantizeInt8(Tables.embeddings(s, d))
+
+  val x25Sql: String =
+    """WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+      |s AS (SELECT vec_id, v,
+      |  greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+      |  FROM e),
+      |q AS (SELECT vec_id, v, scale,
+      |  list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS qv
+      |  FROM s)
+      |SELECT vec_id,
+      |  CAST(len(v) AS INT) AS n_dims,
+      |  CAST(floor(scale * 1e9) AS BIGINT) AS scale_u,
+      |  list_min(qv) AS q_min,
+      |  list_max(qv) AS q_max,
+      |  CAST(floor(list_sum(list_transform(range(1, len(v) + 1),
+      |    i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))) * 1e9) AS BIGINT) AS sq_err_u
+      |FROM q""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_brute" -> (x06 _),
     "x07_ann_lsh" -> (x07 _),
     "x12_ann_ivf" -> (x12 _),
+    "x25_embed_quantize" -> (x25 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x06_ann_brute" -> x06Sql,
     "x07_ann_lsh" -> x07Sql,
     "x12_ann_ivf" -> x12Sql,
+    "x25_embed_quantize" -> x25Sql,
   )
 }

@@ -132,6 +132,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization codes stay in range and error is small") {
+    val rows = Similarity.x25(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getInt(3) >= -127 && r.getInt(4) <= 127) // q_min/q_max
+      // max|err| per dim is scale/2; sq_err <= dims * (scale/2)^2.
+      val dims = r.getInt(1); val scaleU = r.getLong(2)
+      val bound = dims.toDouble * math.pow(scaleU / 1e9 / 2, 2) * 1e9
+      assert(r.getLong(5) <= math.ceil(bound).toLong + 1, r.toString)
+    }
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
