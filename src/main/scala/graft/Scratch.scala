@@ -26,7 +26,13 @@ object Scratch {
       }
     }
     SparkEntry.queries.get(name) match {
-      case Some(fn) => t(name)(fn(spark, d).count())
+      case Some(fn) =>
+        if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+          val df = fn(spark, d)
+          df.count() // populate AQE final plan
+          println(df.queryExecution.executedPlan.toString.take(20000))
+        }
+        t(name)(fn(spark, d).count())
       case None =>
         System.err.println(s"Unknown query '$name'. Known queries:\n  " +
           SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))

@@ -36,4 +36,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Spread a narrow input across the cluster when it arrives in fewer
+    * splits than the session's parallelism. The shingle operators
+    * multiply input bytes ~8× in their map stage (explode + one md5 per
+    * character position), so a small-file input — one row group at test
+    * scale factors — serializes exactly the most compute-heavy stage on
+    * one core (measured: x18's shingle stage ran at ~1.2 cores of 32).
+    * The repartition shuffles only the raw input bytes, trivial next to
+    * the blowup behind it. At corpus scale the scan already carries
+    * >= cores splits and this is an identity — no shuffle is added. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2))
+      df.repartition(target)
+    else df
+  }
 }

@@ -13,17 +13,20 @@ import org.apache.spark.sql.functions._
   * past the shared-phrase noise knee measured on the fixture (overlap
   * >=10 flags half of all pairs; >=50 flags the actual near-dup tail).
   *
-  * Scale shape (same skeleton as the LSH dedup family): shingles are
-  * set-aggregated PER DOCUMENT first — map-side partial collect_set
-  * compresses the shuffle — then re-exploded (distinct by
-  * construction) and grouped once by shingle hash, where each hash
-  * yields its benchmark-side and corpus-side doc lists. The
-  * document-frequency prefilter (drop shingles occurring in more than
-  * `maxShingleDocFreq` documents — boilerplate phrases, licenses,
-  * headers) bounds that fanout at maxShingleDocFreq² pairs per hash,
-  * which is what keeps the final pair aggregation skew-free at corpus
-  * scale; it also removes exactly the n-grams that carry no
-  * contamination signal. No join anywhere — three hash aggregations.
+  * Scale shape: ONE exchange of the raw shingle occurrences keyed by
+  * shingle hash; everything downstream — per-(hash, doc) distinctness,
+  * the per-hash document-frequency stats, the rare-hash filter, and
+  * the benchmark×corpus self-join — runs under that same partitioning
+  * (hash-partitioning on hf satisfies every later clustering on hf, so
+  * Catalyst inserts no further exchange, and the two self-join
+  * branches reuse the one shuffle). The document-frequency prefilter
+  * (drop shingles in more than `maxShingleDocFreq` documents —
+  * boilerplate, licenses, headers) is applied to COUNTS, before any
+  * per-hash document list exists: a shingle shared by a million
+  * documents costs one counter, never a million-element set, and the
+  * join fanout is bounded at maxShingleDocFreq² pairs per hash. (An
+  * earlier collect_set formulation materialized the full doc list per
+  * hash before filtering — an OOM at corpus scale.)
   */
 object Decontaminate {
 
@@ -34,26 +37,47 @@ object Decontaminate {
     * union). */
   def overlapPairs(corpus: DataFrame, benchmark: DataFrame,
       minOverlap: Int = 50, maxShingleDocFreq: Int = 50): DataFrame = {
-    val tagged = corpus
+    // fanOut: the shingle explode below is the expensive stage; spread
+    // it even when the input arrives as one small file (identity at
+    // corpus scale — see Tables.fanOut).
+    val tagged = Tables.fanOut(corpus
       .select(col("doc_id"), col("text"), lit(false).as("__bench"))
       .unionByName(benchmark
-        .select(col("doc_id"), col("text"), lit(true).as("__bench")))
+        .select(col("doc_id"), col("text"), lit(true).as("__bench"))))
     import graft.functions.PortableHash.h60
     val sh = tagged
       .select(col("doc_id"), col("__bench"), lower(col("text")).as("t"))
       .selectExpr("doc_id", "__bench", "t",
         "explode(sequence(1, greatest(length(t)-7, 1))) AS i")
       .select(col("doc_id"), col("__bench"), h60(expr("substr(t, i, 8)")).as("hf"))
-    // ONE wide shuffle: group raw shingle occurrences by hash with a
-    // collect_set per role — the set gives per-document distinctness
-    // and the map-side partial aggregation compresses repeat
-    // occurrences before the exchange; collect_set also drops the
-    // other role's nulls
-    val perHash = sh.groupBy("hf").agg(
+    // ONE pinned exchange keyed by shingle hash; every later step's
+    // clustering requirement ({hf, doc_id}, then {hf}) is satisfied by
+    // it, so the whole chain below is exchange-free until the final
+    // tiny pair aggregation. The plan is deliberately LINEAR — a
+    // branching formulation (stats + two join sides over a shared
+    // relation) was measured to re-run the expensive shingle map stage
+    // once per branch (the adaptive stage cache does not dedup sibling
+    // exchanges, and persist() raced concurrent consumer stages), and
+    // an unpinned repartition lets AQE coalesce the tiny test-scale
+    // shuffle below the session's parallelism.
+    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    val shd = sh.repartition(parts, col("hf"))
+      .groupBy("hf", "doc_id")
+      .agg(max(col("__bench")).as("__bench")) // per-(hash, doc) distinct
+    // Document frequency via a window over the same partitioning, and
+    // the cap applied BEFORE any per-hash document list exists: a
+    // boilerplate shingle shared by a million documents is a counter
+    // and a dropped row here, never a million-element set.
+    import org.apache.spark.sql.expressions.Window
+    val capped = shd
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("hf")))
+      .filter(col("df") <= maxShingleDocFreq)
+    // Bounded sets (<= maxShingleDocFreq elements by construction),
+    // still under the one exchange's partitioning.
+    val perHash = capped.groupBy("hf").agg(
       collect_set(when(col("__bench"), col("doc_id"))).as("bs"),
       collect_set(when(!col("__bench"), col("doc_id"))).as("cs"))
-      .filter(size(col("bs")) > 0 && size(col("cs")) > 0 &&
-        size(col("bs")) + size(col("cs")) <= maxShingleDocFreq)
+      .filter(size(col("bs")) > 0 && size(col("cs")) > 0)
     perHash
       .select(explode(col("cs")).as("doc_id"), col("bs"))
       .select(col("doc_id"), explode(col("bs")).as("bench_id"))
