@@ -45,7 +45,12 @@ object Tables {
     * one core (measured: x18's shingle stage ran at ~1.2 cores of 32).
     * The repartition shuffles only the raw input bytes, trivial next to
     * the blowup behind it. At corpus scale the scan already carries
-    * >= cores splits and this is an identity — no shuffle is added. */
+    * >= cores splits and this is an identity — no shuffle is added.
+    *
+    * Use ONLY on linear single-consumer pipelines (x18). On the LSH
+    * dedup family it was measured 1.2-4× SLOWER: their signature
+    * relation feeds multiple join branches whose exchange-reuse pattern
+    * the extra repartition breaks (x02 0.83s -> 3.48s). */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, target / 2))
