@@ -144,6 +144,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("decontamination flags shared-substring pairs, not distractors") {
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the benchmark sentence is long enough to shingle"
+    val corpus = Seq(
+      (1L, s"corpus prefix $shared corpus suffix"),
+      (2L, "a completely unrelated document with its own words entirely"))
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, s"benchmark intro $shared benchmark outro"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.overlapPairs(corpus, bench, minOverlap = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -105,6 +105,15 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"merge must be exactly one join, saw $joins")
   }
 
+  test("x18 runs one heavy exchange; df window and sets reuse it") {
+    val p = plan(Decontaminate.x18(spark, sf))
+    // the pinned hf repartition + the final (doc, bench) pair count —
+    // the distinct agg, the df window, and the collect_sets must all
+    // inherit the first exchange's partitioning, never add their own
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 2, s"x18 must have exactly 2 exchanges, saw $n:\n$p")
+  }
+
   test("x24 percentile aggregation groups once by source") {
     val p = plan(Sampling.x24(spark, sf))
     assert(p.contains("percentile_disc") || p.contains("PercentileDisc"),
