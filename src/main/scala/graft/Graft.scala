@@ -106,6 +106,11 @@ object Graft {
   def lengthStats(docs: DataFrame): DataFrame =
     operators.Sampling.lengthStats(docs)
 
+  /** Token-budget corpus mixing: admit docs per source in portable-hash
+    * order until the running token total hits the budget. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = 5000L): DataFrame =
+    operators.Sampling.tokenBudgetSample(docs, budget)
+
   // ---- keyed upsert -------------------------------------------------
   /** Delta-style MERGE: one full-outer shuffle join applying matched
     * updates, source-only inserts, and target pass-through. */

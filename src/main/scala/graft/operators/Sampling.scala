@@ -99,15 +99,54 @@ object Sampling {
       |  CAST(max(n_chars) AS BIGINT) AS max_chars
       |FROM documents GROUP BY source""".stripMargin
 
+  // ---------------------------------------------------------------- x26
+  /** Token-budget corpus mixing: cap each source at `budget` whitespace
+    * tokens, admitting documents in portable-hash order (stable across
+    * runs, engines, and partitioning) until the running total would
+    * stay within budget. This is the "mix N tokens per domain" step of
+    * training-data assembly. One shuffle: the per-source cumulative-sum
+    * window; token counting is narrow. The admission rule keeps a doc
+    * iff its INCLUSIVE running sum fits, so one oversized document
+    * cannot block later small ones from failing the cap check the same
+    * way in both engines. */
+  def tokenBudgetSample(docs: DataFrame, budget: Long = 5000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"),
+        h60(concat(lit("budget_"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .filter(col("cum_toks") <= budget)
+      .select("doc_id", "source", "toks", "cum_toks")
+  }
+
+  def x26(s: SparkSession, d: String): DataFrame =
+    tokenBudgetSample(Tables.documents(s, d))
+
+  val x26Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks,
+       |  ${duckH60("concat('budget_', CAST(doc_id AS VARCHAR))")} AS hk
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, toks,
+       |  sum(toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |                  ROWS UNBOUNDED PRECEDING) AS cum_toks
+       |  FROM t)
+       |SELECT doc_id, source, toks, cum_toks FROM c
+       |WHERE cum_toks <= 5000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_vocab_topk" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
     "x24_length_stats" -> (x24 _),
+    "x26_token_budget" -> (x26 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x19_vocab_topk" -> x19Sql,
     "x20_stratified_sample" -> x20Sql,
     "x24_length_stats" -> x24Sql,
+    "x26_token_budget" -> x26Sql,
   )
 }

@@ -159,6 +159,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("token-budget sample respects the per-source cap inclusively") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, ("w " * 100).trim, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.tokenBudgetSample(docs, budget = 350L).collect()
+    // each doc is 100 tokens: exactly 3 admitted per source (300 <= 350,
+    // a 4th would make 400)
+    val bySource = got.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySource == Map("a" -> 3, "b" -> 3), bySource.toString)
+    got.foreach(r => assert(r.getLong(3) <= 350L))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
