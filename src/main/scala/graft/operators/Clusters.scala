@@ -66,8 +66,10 @@ object Clusters {
     // Labels only ever decrease, so sum(lbl) strictly decreases until
     // the fixpoint: equal consecutive sums == converged. One scalar to
     // the driver per pass, no row-level comparison join.
+    // coalesce: sum over ZERO rows is null (empty pair input — the
+    // normal case for a clean corpus) and must read as 0, not NPE.
     def checksum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).head().getLong(0)
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
     var prevSum = checksum(labels)
     var pass = 0
     var converged = false
@@ -82,6 +84,14 @@ object Clusters {
       pass += 1
     }
     edges.unpersist()
+    // Unconverged labels are WRONG labels (distant members of one
+    // component still carry different ids) — fail loudly rather than
+    // hand a dedup pipeline multiple "representatives" per group. Real
+    // duplicate graphs are near-cliques (diameter 2-3); hitting this
+    // means the input is adversarially chain-shaped and needs the
+    // large-star/small-star variant, not a bigger cap.
+    require(converged,
+      s"connected components did not converge within $maxPasses passes")
     labels
   }
 

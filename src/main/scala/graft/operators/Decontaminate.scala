@@ -44,12 +44,9 @@ object Decontaminate {
       .select(col("doc_id"), col("text"), lit(false).as("__bench"))
       .unionByName(benchmark
         .select(col("doc_id"), col("text"), lit(true).as("__bench"))))
-    import graft.functions.PortableHash.h60
-    val sh = tagged
-      .select(col("doc_id"), col("__bench"), lower(col("text")).as("t"))
-      .selectExpr("doc_id", "__bench", "t",
-        "explode(sequence(1, greatest(length(t)-7, 1))) AS i")
-      .select(col("doc_id"), col("__bench"), h60(expr("substr(t, i, 8)")).as("hf"))
+    // Shared with x04 — one definition of the 8-gram hash, tag threaded
+    // through so the two consumers cannot drift.
+    val sh = Dedup.charShingleHashes(tagged, extraCols = Seq("__bench"))
     // ONE pinned exchange keyed by shingle hash; every later step's
     // clustering requirement ({hf, doc_id}, then {hf}) is satisfied by
     // it, so the whole chain below is exchange-free until the final

@@ -169,13 +169,18 @@ object Dedup {
   /** Character 8-gram MinHash+LSH near-dup (catches word-reordering
     * edits that word shingles miss), verified Jaccard >= 0.7. */
   /** Char 8-gram shingle-occurrence hashes, one row each — shared by
-    * the char near-dup path (x04) and decontamination (x18). */
-  private[graft] def charShingleHashes(docs: DataFrame): DataFrame =
+    * the char near-dup path (x04) and decontamination (x18, which
+    * threads its benchmark tag through `extraCols` so the shingle
+    * definition cannot drift between the two consumers). */
+  private[graft] def charShingleHashes(docs: DataFrame,
+      extraCols: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .selectExpr("doc_id", "t",
-        "explode(sequence(1, greatest(length(t)-7, 1))) AS i")
-      .select(col("doc_id"), h60(expr("substr(t, i, 8)")).as("hf"))
+      .select(col("doc_id") +: extraCols.map(col) :+
+        lower(col("text")).as("t"): _*)
+      .selectExpr("doc_id" +: extraCols ++: Seq("t",
+        "explode(sequence(1, greatest(length(t)-7, 1))) AS i"): _*)
+      .select(col("doc_id") +: extraCols.map(col) :+
+        h60(expr("substr(t, i, 8)")).as("hf"): _*)
 
   /** DuckDB mirror of [[charShingleHashes]] as (doc_id, hf) rows. */
   private[graft] val charShingleHashesSql: String =

@@ -64,10 +64,13 @@ object Merge {
   /** Upsert order-volume deltas into customer balances: customers with
     * orders get their balance bumped by their order total; customers
     * without orders pass through; a deterministic slice of order keys
-    * (o_custkey % 100 == 7, shifted past the key range) plays the
-    * "new account" insert branch. Balances are sums of 2-decimal money
-    * values, so round(,2) recovers the exact decimal identically in
-    * both engines (the portable idiom used by Q12). */
+    * (o_custkey % 100 == 7) plays the "new account" insert branch,
+    * mapped to the NEGATIVE key space (-k-1) — disjoint from real
+    * customer keys at EVERY scale factor, unlike an additive offset
+    * which collides once custkey cardinality passes it. Balances are
+    * sums of 2-decimal money values, so round(,2) recovers the exact
+    * decimal identically in both engines (the portable idiom used by
+    * Q12). */
   def x23(sp: SparkSession, d: String): DataFrame = {
     val cust = Tables(sp, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
@@ -80,7 +83,7 @@ object Merge {
     val src = deltas
       .select(
         when(col("o_custkey") % 100 === 7,
-          col("o_custkey") + lit(10000000L)).otherwise(col("o_custkey"))
+          -col("o_custkey") - lit(1L)).otherwise(col("o_custkey"))
           .as("k"),
         col("delta"), col("n_orders"))
     val merged = merge(
@@ -103,7 +106,7 @@ object Merge {
       |  SELECT o_custkey, sum(o_totalprice) AS delta, count(*) AS n_orders
       |  FROM orders GROUP BY o_custkey),
       |src AS (
-      |  SELECT CASE WHEN o_custkey % 100 = 7 THEN o_custkey + 10000000
+      |  SELECT CASE WHEN o_custkey % 100 = 7 THEN -o_custkey - 1
       |              ELSE o_custkey END AS k, delta, n_orders FROM d)
       |SELECT
       |  coalesce(c.c_custkey, s.k) AS c_custkey,

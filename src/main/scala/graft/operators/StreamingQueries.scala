@@ -239,9 +239,12 @@ object StreamingQueries {
     * `dropDuplicatesWithinWatermark` evicts key state once the
     * watermark passes it — state is bounded by the watermark horizon
     * no matter how long the stream runs (plain streaming
-    * dropDuplicates would retain every key forever). Output is the
-    * distinct key set, which is replay-batch-order independent; the
-    * oracle is the batch DISTINCT twin. */
+    * dropDuplicates would retain every key forever). The oracle is the
+    * batch DISTINCT twin; the replay matches it because the events
+    * fixture arrives as ONE file = one micro-batch (keys whose repeats
+    * span more than the watermark horizon ACROSS batches would
+    * re-emit — that horizon/exactness trade is the operator's
+    * documented semantics, not a replay artifact). */
   def s04(s: SparkSession, d: String): DataFrame = {
     val stream = eventsStream(s, d)
       .unionByName(sentinelStream(s, cachedSentinelDir(s)))

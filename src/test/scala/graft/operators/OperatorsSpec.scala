@@ -70,6 +70,14 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components return empty on an empty pair graph") {
+    import spark.implicits._
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    // the normal case for a clean corpus — must not NPE on the null
+    // checksum of zero rows
+    assert(Clusters.connectedComponents(pairs, "a", "b").count() == 0)
+  }
+
   test("connected components converge within the pass cap on a long chain") {
     import spark.implicits._
     // worst-case diameter: a 30-node chain propagates the min label one
