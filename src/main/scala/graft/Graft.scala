@@ -53,6 +53,13 @@ object Graft {
   def dupClusters(pairs: DataFrame, aCol: String = "a", bCol: String = "b"): DataFrame =
     operators.Clusters.connectedComponents(pairs, aCol, bCol)
 
+  /** Incremental ingest dedup: near-dup pairs of an incoming batch
+    * against the existing corpus (directed batch_id -> corpus_id;
+    * candidates scale with the batch, never corpus x corpus). */
+  def incrementalDupPairs(corpus: DataFrame, batch: DataFrame,
+      threshold: Double = 0.8): DataFrame =
+    operators.Dedup.incrementalDupPairs(corpus, batch, threshold)
+
   /** Benchmark-contamination pairs by distinct char-8-gram overlap. */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       minOverlap: Int = 50, maxShingleDocFreq: Int = 50): DataFrame =

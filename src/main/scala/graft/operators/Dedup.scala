@@ -63,14 +63,28 @@ object Dedup {
     *   corpus scale, and Spark's CacheManager dedups repeat invocations
     *   of the same plan, so a long session holds one copy, not N.
     */
+  /** Per-doc signature relation: sorted distinct shingle-hash set plus
+    * the r*nBands min-hash slots — the shared kernel of the self-join
+    * (lshPairs) and two-sided (incremental) LSH paths. */
+  private def sigOf(hv: DataFrame, seed: Int, r: Int,
+      nBands: Int): DataFrame = {
+    val aggs = sort_array(collect_set(col("hf"))).as("hs") +:
+      (0 until r * nBands).map { j =>
+        min((col("hf") % P * permA(seed + j) + permB(seed + j)) % P).as(s"m$j")
+      }
+    hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band-key explode column over a [[sigOf]] relation. */
+  private def bandKeyCol(r: Int, nBands: Int) =
+    explode(array((0 until nBands).map { bn =>
+      concat_ws("_", lit(bn) +: (0 until r).map(k =>
+        col(s"m${bn * r + k}")): _*)
+    }: _*))
+
   private def lshPairs(hv: DataFrame, seed: Int, r: Int,
       nBands: Int, thresh: Double,
       materializeSig: Boolean = false): DataFrame = {
-    val nPerm = r * nBands
-    val aggs = sort_array(collect_set(col("hf"))).as("hs") +:
-      (0 until nPerm).map { j =>
-        min((col("hf") % P * permA(seed + j) + permB(seed + j)) % P).as(s"m$j")
-      }
     // The signature relation feeds four consumers (both sides of the
     // band self-join, plus the two verify lookups). Unmaterialized, the
     // groupBy's own shuffle canonicalizes identically in every branch,
@@ -80,17 +94,14 @@ object Dedup {
     // merge agg was measured SLOWER — it re-shuffles the full hash-set
     // arrays.) For heavy shingle volumes, materializeSig caches the
     // merged relation instead.
-    val sigPlan = hv.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigPlan = sigOf(hv, seed, r, nBands)
     val sig = if (materializeSig)
       sigPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sigPlan
-    val bandCol = explode(array((0 until nBands).map { bn =>
-      concat_ws("_", lit(bn) +: (0 until r).map(k =>
-        col(s"m${bn * r + k}")): _*)
-    }: _*))
     // shuffle_hash (not broadcast): identical shuffles on bk on both
     // sides canonicalize equal, so the band relation is also built once
-    val bands = sig.select(col("doc_id"), bandCol.as("bk")).hint("shuffle_hash")
+    val bands = sig.select(col("doc_id"),
+      bandKeyCol(r, nBands).as("bk")).hint("shuffle_hash")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -367,12 +378,90 @@ object Dedup {
        |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p WHERE cos >= 0.4""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x27
+  /** Incremental near-dup: an incoming BATCH checked against the
+    * existing CORPUS — the production ingest mode (everything else here
+    * treats the corpus as static). Same word-shingle MinHash family and
+    * verification as x02, but the band join is batch-bands ×
+    * corpus-bands, never corpus × corpus: candidate volume scales with
+    * the batch, and at real scale the corpus-side signature relation is
+    * computed once per ingest epoch (or read back from its own parquet
+    * artifact) while only the batch side is fresh work. Output is
+    * directed: (batch_id, corpus_id, jac_u). */
+  def incrementalDupPairs(corpus: DataFrame, batch: DataFrame,
+      thresh: Double = 0.8): DataFrame = {
+    val r = 2; val nBands = 8; val seed = 0
+    val sigC = sigOf(wordShingleHashes(corpus), seed, r, nBands)
+    val sigB = sigOf(wordShingleHashes(batch), seed, r, nBands)
+    val bandsC = sigC.select(col("doc_id"), bandKeyCol(r, nBands).as("bk"))
+    val bandsB = sigB.select(col("doc_id"), bandKeyCol(r, nBands).as("bk"))
+    val cand = bandsB.alias("x")
+      .join(bandsC.alias("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    import graft.functions.ArrayMath
+    cand
+      .join(sigB.select(col("doc_id").as("batch_id"), col("hs").as("hsa")),
+        "batch_id")
+      .join(sigC.select(col("doc_id").as("corpus_id"), col("hs").as("hsb")),
+        "corpus_id")
+      .withColumn("inter",
+        ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+      .withColumn("jac", col("inter") /
+        (size(col("hsa")) + size(col("hsb")) - col("inter")).cast("double"))
+      .filter(col("jac") >= thresh)
+      .select(col("batch_id"), col("corpus_id"),
+        floor(col("jac") * 1000000).cast("long").as("jac_u"))
+  }
+
+  /** Fixture split: every doc_id % 10 == 3 plays the incoming batch. */
+  def x27(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalDupPairs(docs.filter(col("doc_id") % 10 =!= 3),
+      docs.filter(col("doc_id") % 10 === 3))
+  }
+
+  val x27Sql: String = {
+    val r = 2; val nBands = 8; val seed = 0
+    val minCols = (0 until r * nBands).map { j =>
+      s"min((hf % $P * ${permA(seed + j)} + ${permB(seed + j)}) % $P) AS m$j"
+    }.mkString(",\n  ")
+    val bandKey = "concat_ws('_', bn, " +
+      (0 until r).map(k => s"sig[$r*bn+${k + 1}]").mkString(", ") + ")"
+    val sigList = (0 until r * nBands).map(j => s"m$j").mkString("[", ", ", "]")
+    def side(tag: String, where: String) =
+      s"""base$tag AS (SELECT doc_id, $wordShinglesSql AS sg FROM documents WHERE $where),
+         |hv$tag AS (SELECT doc_id, ${duckH60("s")} AS hf
+         |  FROM (SELECT doc_id, unnest(sg) AS s FROM base$tag)),
+         |sg$tag AS (SELECT doc_id, list_sort(list(DISTINCT hf)) AS hs,
+         |  $minCols
+         |  FROM hv$tag GROUP BY doc_id),
+         |sig$tag AS (SELECT doc_id, hs, $sigList AS sig FROM sg$tag),
+         |bands$tag AS (SELECT doc_id, $bandKey AS bk
+         |  FROM sig$tag, (SELECT unnest(range(0, $nBands)) AS bn) t)""".stripMargin
+    s"""WITH ${side("B", "doc_id % 10 = 3")},
+       |${side("C", "doc_id % 10 <> 3")},
+       |cand AS (SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+       |  FROM bandsB x JOIN bandsC y ON x.bk = y.bk),
+       |v AS (SELECT batch_id, corpus_id,
+       |    len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |    len(sa.hs) AS la, len(sb.hs) AS lb
+       |  FROM cand JOIN sigB sa ON sa.doc_id = cand.batch_id
+       |            JOIN sigC sb ON sb.doc_id = cand.corpus_id),
+       |j AS (SELECT batch_id, corpus_id,
+       |    inter / CAST(la + lb - inter AS DOUBLE) AS jac FROM v)
+       |SELECT batch_id, corpus_id,
+       |  CAST(floor(jac * 1000000) AS BIGINT) AS jac_u
+       |FROM j WHERE jac >= 0.8""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
     "x04_dedup_chargram" -> (x04 _),
     "x05_dedup_embed" -> (x05 _),
+    "x27_incremental_dedup" -> (x27 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -381,5 +470,6 @@ object Dedup {
     "x03_dedup_simhash" -> x03Sql,
     "x04_dedup_chargram" -> x04Sql,
     "x05_dedup_embed" -> x05Sql,
+    "x27_incremental_dedup" -> x27Sql,
   )
 }

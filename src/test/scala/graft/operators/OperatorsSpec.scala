@@ -180,6 +180,17 @@ class OperatorsSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(3) <= 350L))
   }
 
+  test("incremental dedup pairs are directed batch -> corpus") {
+    val rows = Dedup.x27(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) % 10 == 3, s"batch side must be the batch: $r")
+      assert(r.getLong(1) % 10 != 3, s"corpus side must be the corpus: $r")
+      assert(r.getLong(2) >= 800000L)
+    }
+    // the fixture's near-dup groups straddle the 10% split at sf0.001
+    assert(rows.nonEmpty)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
