@@ -119,11 +119,72 @@ object Clusters {
        |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
        |FROM reach GROUP BY n""".stripMargin
 
+  // ---------------------------------------------------------------- x28
+  /** Survivor corpus: the end-to-end output of cluster-level dedup.
+    * x17 labels duplicate-group members; this picks ONE representative
+    * per group — the longest document (max `lenCol`), ties broken by
+    * minimum doc_id — and unions it with the singletons (docs in no
+    * pair), i.e. the corpus a training run would actually read.
+    *
+    * Keep-longest (not keep-first) is the production policy: near-dup
+    * groups usually contain truncated/boilerplate-stripped variants and
+    * the longest member dominates the others' content.
+    *
+    * Scale: representative selection is ONE hash aggregation on the
+    * cluster label (min over an orderable (−len, id) struct — no
+    * window, no sort, map-side partials); membership/singleton
+    * filtering is two semi/anti joins on doc_id. Nothing beyond the CC
+    * loop itself is iterative.
+    */
+  def survivorCorpus(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame = {
+    val cc = connectedComponents(pairs, "a", "b")
+    val members = docs
+      .join(cc, docs(idCol) === cc("id"))
+      .select(col("lbl"), (-col(lenCol)).as("ng"), col(idCol).as("did"))
+    // arg-min over the orderable struct (−len, id) == longest, tie min id
+    val reps = members
+      .groupBy("lbl").agg(min(struct(col("ng"), col("did"))).as("w"))
+      .select(col("w.did").as(idCol))
+    val singles = docs.join(cc, docs(idCol) === cc("id"), "left_anti")
+      .select(col(idCol))
+    docs.join(singles.union(reps), Seq(idCol), "left_semi")
+  }
+
+  def x28(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    survivorCorpus(docs, Dedup.nearDupWordPairs(docs))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  val x28Sql: String =
+    s"""WITH RECURSIVE pairs AS (${Dedup.x02Sql}),
+       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+       |reach(n, m) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+       |),
+       |cc AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
+       |  FROM reach GROUP BY n),
+       |m AS (SELECT c.cluster_id, d.doc_id,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+       |  FROM cc c JOIN documents d ON d.doc_id = c.doc_id),
+       |keep AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM cc)
+       |  UNION ALL SELECT doc_id FROM m WHERE rn = 1)
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d JOIN keep USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_dedup_clusters" -> (x17 _),
+    "x28_dedup_survivors" -> (x28 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x17_dedup_clusters" -> x17Sql,
+    "x28_dedup_survivors" -> x28Sql,
   )
 }

@@ -455,6 +455,47 @@ object Dedup {
        |FROM j WHERE jac >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x29
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * char-8-grams whose corpus-wide FIRST occurrence (minimum doc_id)
+    * is this document — i.e. how much genuinely new text a doc adds to
+    * everything ingested before it. The per-doc complement of dedup:
+    * near-dups score ~0, boilerplate-heavy docs score low, unique docs
+    * score ~1. Used as an admission/quality signal in training-data
+    * curation (alongside x09 quality and x21 repetition).
+    *
+    * Plan: distinct (doc,gram) pairs → one hash agg on the gram hash
+    * for the ownership relation (uniform md5-derived key, no skew) →
+    * equi-join back on the gram hash → per-doc count agg. Two shuffles
+    * on a uniform key plus one on doc_id; everything partial-aggregates
+    * map-side. Integer `div` for the micro-unit ratio so both engines
+    * floor identically (double division can land on x.999… at exact
+    * rationals).
+    */
+  def noveltyScores(docs: DataFrame): DataFrame = {
+    val dg = charShingleHashes(docs).select("doc_id", "hf").distinct()
+    val owner = dg.groupBy("hf").agg(min(col("doc_id")).as("first_doc"))
+    dg.join(owner, "hf")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("grams"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("novel"))
+      .select(col("doc_id"), col("grams"),
+        expr("novel * 1000000 div grams").as("novelty_u"))
+  }
+
+  def x29(s: SparkSession, d: String): DataFrame =
+    noveltyScores(Tables.documents(s, d))
+
+  val x29Sql: String =
+    s"""WITH hv AS ($charShingleHashesSql),
+       |dg AS (SELECT DISTINCT doc_id, hf FROM hv),
+       |own AS (SELECT hf, min(doc_id) AS first_doc FROM dg GROUP BY hf)
+       |SELECT dg.doc_id, count(*) AS grams,
+       |  (sum(CASE WHEN dg.doc_id = o.first_doc THEN 1 ELSE 0 END)
+       |     * 1000000) // count(*) AS novelty_u
+       |FROM dg JOIN own o USING (hf) GROUP BY dg.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
@@ -462,6 +503,7 @@ object Dedup {
     "x04_dedup_chargram" -> (x04 _),
     "x05_dedup_embed" -> (x05 _),
     "x27_incremental_dedup" -> (x27 _),
+    "x29_novelty" -> (x29 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -471,5 +513,6 @@ object Dedup {
     "x04_dedup_chargram" -> x04Sql,
     "x05_dedup_embed" -> x05Sql,
     "x27_incremental_dedup" -> x27Sql,
+    "x29_novelty" -> x29Sql,
   )
 }

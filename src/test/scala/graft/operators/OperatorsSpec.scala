@@ -88,6 +88,31 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 1L), "all labels must reach node 1")
   }
 
+  test("survivor corpus keeps the longest per cluster and all singletons") {
+    import spark.implicits._
+    // cluster {1,2,3}: lengths 5/9/9 — longest wins, tie broken by the
+    // smaller id (2, not 3); doc 4 is in no pair and must survive as-is
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 2L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = Clusters.survivorCorpus(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L))
+  }
+
+  test("novelty credits grams to their first document only") {
+    import spark.implicits._
+    // doc 1 owns all 3 of its grams; doc 2 is an exact dup (novelty 0);
+    // doc 3 shares its first gram with doc 1 and introduces 2 new ones
+    val docs = Seq((1L, "abcdefghij"), (2L, "abcdefghij"),
+      (3L, "abcdefghzz")).toDF("doc_id", "text")
+    val got = Dedup.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((3L, 1000000L)))
+    assert(got(2L) == ((3L, 0L)))
+    assert(got(3L) == ((3L, 666666L))) // (2 * 1e6) div 3
+  }
+
   test("repetition metrics count duplicate and dominant bigrams") {
     import spark.implicits._
     // "a b a b a b": bigrams (a b, b a, a b, b a, a b) → 5 total, 2
