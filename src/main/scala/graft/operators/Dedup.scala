@@ -464,24 +464,26 @@ object Dedup {
     * score ~1. Used as an admission/quality signal in training-data
     * curation (alongside x09 quality and x21 repetition).
     *
-    * Plan: distinct (doc,gram) pairs → one hash agg on the gram hash
-    * for the ownership relation (uniform md5-derived key, no skew) →
-    * equi-join back on the gram hash → per-doc count agg. Two shuffles
-    * on a uniform key plus one on doc_id; everything partial-aggregates
-    * map-side. Integer `div` for the micro-unit ratio so both engines
-    * floor identically (double division can land on x.999… at exact
-    * rationals).
+    * Plan: distinct (doc,gram) pairs, then two INDEPENDENT cheap aggs —
+    * per-doc gram counts, and ownership (min doc_id per gram hash)
+    * re-aggregated to per-doc novel counts — joined on doc_id (one row
+    * per document each). The distinct's expensive map side (shingle
+    * explode + md5) runs once under ReuseExchange; no corpus-sized
+    * equi-join on the gram hash ever happens (an earlier join-back
+    * formulation measured 4.5s vs 1.6s for this shape at sf0.1). All
+    * keys are uniform (md5-derived / doc_id), everything
+    * partial-aggregates map-side. Integer `div` for the micro-unit
+    * ratio so both engines floor identically (double division can land
+    * on x.999… at exact rationals).
     */
   def noveltyScores(docs: DataFrame): DataFrame = {
     val dg = charShingleHashes(docs).select("doc_id", "hf").distinct()
-    val owner = dg.groupBy("hf").agg(min(col("doc_id")).as("first_doc"))
-    dg.join(owner, "hf")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("grams"),
-        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
-          .as("novel"))
+    val grams = dg.groupBy("doc_id").agg(count(lit(1)).as("grams"))
+    val novel = dg.groupBy("hf").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    grams.join(novel, Seq("doc_id"), "left")
       .select(col("doc_id"), col("grams"),
-        expr("novel * 1000000 div grams").as("novelty_u"))
+        expr("coalesce(novel, 0L) * 1000000 div grams").as("novelty_u"))
   }
 
   def x29(s: SparkSession, d: String): DataFrame =
@@ -490,11 +492,12 @@ object Dedup {
   val x29Sql: String =
     s"""WITH hv AS ($charShingleHashesSql),
        |dg AS (SELECT DISTINCT doc_id, hf FROM hv),
-       |own AS (SELECT hf, min(doc_id) AS first_doc FROM dg GROUP BY hf)
-       |SELECT dg.doc_id, count(*) AS grams,
-       |  (sum(CASE WHEN dg.doc_id = o.first_doc THEN 1 ELSE 0 END)
-       |     * 1000000) // count(*) AS novelty_u
-       |FROM dg JOIN own o USING (hf) GROUP BY dg.doc_id""".stripMargin
+       |g AS (SELECT doc_id, count(*) AS grams FROM dg GROUP BY doc_id),
+       |own AS (SELECT min(doc_id) AS doc_id FROM dg GROUP BY hf),
+       |nv AS (SELECT doc_id, count(*) AS novel FROM own GROUP BY doc_id)
+       |SELECT g.doc_id, g.grams,
+       |  (coalesce(nv.novel, 0) * 1000000) // g.grams AS novelty_u
+       |FROM g LEFT JOIN nv USING (doc_id)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),
