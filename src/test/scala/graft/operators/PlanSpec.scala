@@ -114,6 +114,27 @@ class PlanSpec extends SparkSpec {
     assert(n == 2, s"x18 must have exactly 2 exchanges, saw $n:\n$p")
   }
 
+  test("x28 representative pick is a hash aggregation, not a window sort") {
+    import org.apache.spark.sql.functions.col
+    import graft.Tables
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.nearDupWordPairs(docs)
+    val p = plan(Clusters.survivorCorpus(docs, pairs))
+    assert(!p.contains("Window"), "argmin must not be a window function")
+    assert(p.contains("partial_min"), "struct argmin must partial-agg map-side")
+    assert(p.contains("LeftSemi"), "survivor filter must be a semi-join")
+  }
+
+  test("x29 never joins on the gram hash") {
+    val p = plan(Dedup.x29(spark, sf))
+    // the only join is doc_id x doc_id (one row per doc per side); the
+    // corpus-sized (doc,gram) relation must stop at its aggregations
+    val joins = "(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"x29 must join once (on doc_id), saw $joins")
+    assert(p.contains("partial_count"), "gram counts must map-side combine")
+  }
+
   test("x24 percentile aggregation groups once by source") {
     val p = plan(Sampling.x24(spark, sf))
     assert(p.contains("percentile_disc") || p.contains("PercentileDisc"),
