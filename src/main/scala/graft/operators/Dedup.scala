@@ -499,6 +499,76 @@ object Dedup {
        |  (coalesce(nv.novel, 0) * 1000000) // g.grams AS novelty_u
        |FROM g LEFT JOIN nv USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- x30
+  /** Containment pairs: partial-duplicate detection — one document
+    * quoted or embedded inside a larger one. Symmetric Jaccard misses
+    * these (a doc 5× smaller fully contained in another has j ≈ 0.2);
+    * the verified metric here is containment = |A∩B| / min(|A|,|B|)
+    * over word-3-gram hash sets.
+    *
+    * Candidates come from the same MinHash band join as x02 but with
+    * r=1 × 8 bands (single-row bands collide with P = j per band, so
+    * P(candidate) = 1-(1-j)^8): asymmetric pairs with low Jaccard still
+    * surface — cont=0.9 at a 1:3 size ratio (j≈0.29) is caught with
+    * ~94% probability, and recall rises toward 1 as the size ratio
+    * evens out. That recall floor is the documented trade for never
+    * leaving equi-join land; a higher-recall exact variant would band
+    * on bottom-k sketches of the SMALLER set only. Candidate volume is
+    * ~8× looser than x02's r=2 banding but still O(n·bands) rows on a
+    * uniform key — no cross product anywhere.
+    */
+  def containmentPairs(docs: DataFrame, thresh: Double = 0.8): DataFrame = {
+    val r = 1; val nBands = 8; val seed = 300
+    val sig = sigOf(wordShingleHashes(docs), seed, r, nBands)
+    val bands = sig.select(col("doc_id"),
+      bandKeyCol(r, nBands).as("bk")).hint("shuffle_hash")
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a"), col("hs").as("hsa"))
+    val sb = sig.select(col("doc_id").as("b"), col("hs").as("hsb"))
+    import graft.functions.ArrayMath
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("inter", ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+      .withColumn("cont", col("inter") /
+        least(size(col("hsa")), size(col("hsb"))).cast("double"))
+      .filter(col("cont") >= thresh)
+      .select(col("a"), col("b"),
+        floor(col("cont") * 1000000).cast("long").as("cont_u"))
+  }
+
+  def x30(s: SparkSession, d: String): DataFrame =
+    containmentPairs(Tables.documents(s, d))
+
+  val x30Sql: String = {
+    val r = 1; val nBands = 8; val seed = 300
+    val minCols = (0 until r * nBands).map { j =>
+      s"min((hf % $P * ${permA(seed + j)} + ${permB(seed + j)}) % $P) AS m$j"
+    }.mkString(",\n  ")
+    val bandKey = "concat_ws('_', bn, " +
+      (0 until r).map(k => s"sig[$r*bn+${k + 1}]").mkString(", ") + ")"
+    val sigList = (0 until r * nBands).map(j => s"m$j").mkString("[", ", ", "]")
+    s"""WITH base AS (SELECT doc_id, $wordShinglesSql AS sg FROM documents),
+       |hv AS (SELECT doc_id, ${duckH60("s")} AS hf
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM base)),
+       |sig AS (SELECT doc_id, list_sort(list(DISTINCT hf)) AS hs,
+       |  $minCols
+       |  FROM hv GROUP BY doc_id),
+       |sig2 AS (SELECT doc_id, hs, $sigList AS sig FROM sig),
+       |bands AS (SELECT doc_id, $bandKey AS bk
+       |  FROM sig2, (SELECT unnest(range(0, $nBands)) AS bn) t),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+       |v AS (SELECT a, b, len(list_intersect(sa.hs, sb.hs)) AS inter,
+       |    len(sa.hs) AS la, len(sb.hs) AS lb
+       |  FROM cand JOIN sig2 sa ON sa.doc_id = cand.a JOIN sig2 sb ON sb.doc_id = cand.b),
+       |c AS (SELECT a, b, inter / CAST(least(la, lb) AS DOUBLE) AS cont FROM v)
+       |SELECT a, b, CAST(floor(cont * 1000000) AS BIGINT) AS cont_u
+       |FROM c WHERE cont >= 0.8""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
@@ -507,6 +577,7 @@ object Dedup {
     "x05_dedup_embed" -> (x05 _),
     "x27_incremental_dedup" -> (x27 _),
     "x29_novelty" -> (x29 _),
+    "x30_containment" -> (x30 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -517,5 +588,6 @@ object Dedup {
     "x05_dedup_embed" -> x05Sql,
     "x27_incremental_dedup" -> x27Sql,
     "x29_novelty" -> x29Sql,
+    "x30_containment" -> x30Sql,
   )
 }

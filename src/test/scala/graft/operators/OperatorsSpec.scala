@@ -113,6 +113,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 666666L))) // (2 * 1e6) div 3
   }
 
+  test("containment catches a doc embedded in a larger one") {
+    import spark.implicits._
+    // doc 1 is a strict prefix of doc 2: containment exactly 1.0 even
+    // though Jaccard is only ~0.77; doc 3 shares nothing
+    val a = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, a + " x y z"),
+      (3L, (1 to 12).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1000000L)))
+  }
+
   test("repetition metrics count duplicate and dominant bigrams") {
     import spark.implicits._
     // "a b a b a b": bigrams (a b, b a, a b, b a, a b) → 5 total, 2
