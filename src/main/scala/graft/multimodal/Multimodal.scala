@@ -145,15 +145,64 @@ object Multimodal {
        |    CAST(16 + (h // 1024) % 1024 AS INT) AS height
        |  FROM (SELECT doc_id, ${PortableHash.duckH60("text")} AS h FROM documents))""".stripMargin
 
+  // ---------------------------------------------------------------- m04
+  /** m04 — audio feature extraction: treat the payload as a PCM sample
+    * stream (STUB: one signed-byte sample per code point, amp =
+    * cp % 256 − 128 — a real decoder would emit true samples into the
+    * same batch shape) and extract the classic clip-level features a
+    * speech-filtering pipeline keys on: sample count, total energy
+    * Σ amp², zero-crossing count (voicedness proxy), and peak |amp|
+    * (clipping detector). Integer arithmetic only, so the oracle replays
+    * it exactly; the Spark side runs the same batched typed
+    * mapPartitions as the image decode (one "decoder" per partition,
+    * BatchSize items per call, narrow plan). */
+  private[multimodal] def audioFeatures(text: String): (Int, Long, Int, Int) = {
+    val amps = text.codePoints().toArray.map(cp => cp % 256 - 128)
+    var energy = 0L; var zcr = 0; var peak = 0
+    var i = 0
+    while (i < amps.length) {
+      val a = amps(i)
+      energy += a.toLong * a
+      if (i > 0 && (amps(i - 1) < 0) != (a < 0)) zcr += 1
+      if (math.abs(a) > peak) peak = math.abs(a)
+      i += 1
+    }
+    (amps.length, energy, zcr, peak)
+  }
+
+  def m04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
+        val (n, energy, zcr, peak) = audioFeatures(text)
+        (m.media_id, n, energy, zcr, peak)
+      }))
+      .toDF("media_id", "n_samples", "energy", "zcr", "peak")
+  }
+
+  val m04Sql: String =
+    """SELECT media_id, CAST(len(a) AS INT) AS n_samples,
+      |  CAST(coalesce(list_sum(list_transform(a, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy,
+      |  CAST(coalesce(list_sum(list_transform(range(2, len(a) + 1),
+      |    i -> CASE WHEN (a[i-1] < 0) <> (a[i] < 0) THEN 1 ELSE 0 END)), 0) AS INT) AS zcr,
+      |  CAST(coalesce(list_max(list_transform(a, x -> abs(x))), 0) AS INT) AS peak
+      |FROM (
+      |  SELECT doc_id AS media_id, list_transform(range(1, length(text) + 1),
+      |    i -> unicode(substr(text, i, 1)) % 256 - 128) AS a
+      |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_resize" -> (m03 _),
+    "m04_audio_features" -> (m04 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "m01_media_decode" -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_resize" -> m03Sql,
+    "m04_audio_features" -> m04Sql,
   )
 }

@@ -25,4 +25,15 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nSampled == 1)
     assert(firstH == PortableHash.h60("a" * 1024))
   }
+
+  test("audioFeatures computes energy, crossings, and peak by hand") {
+    // 'a'=97 → amp 97%256−128 = −31; 'é'=233 → amp 105: one sign change
+    val (n, energy, zcr, peak) = Multimodal.audioFeatures("aé")
+    assert(n == 2)
+    assert(energy == 31L * 31 + 105L * 105)
+    assert(zcr == 1)
+    assert(peak == 105)
+    val (n0, e0, z0, p0) = Multimodal.audioFeatures("")
+    assert(n0 == 0 && e0 == 0L && z0 == 0 && p0 == 0)
+  }
 }
