@@ -28,6 +28,7 @@ object SparkEntry {
       operators.Clusters.queries ++
       operators.Decontaminate.queries ++
       operators.Sampling.queries ++
+      operators.Semi.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -43,6 +44,7 @@ object SparkEntry {
       operators.Clusters.oracleSql ++
       operators.Decontaminate.oracleSql ++
       operators.Sampling.oracleSql ++
+      operators.Semi.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

@@ -125,6 +125,17 @@ class OperatorsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L, 1000000L)))
   }
 
+  test("json extraction tolerates malformed rows as nulls") {
+    import spark.implicits._
+    val df = Seq(("a", """{"k": 5}"""), ("a", "not json"), ("b", """{"k": 2}"""))
+      .toDF("event_type", "props")
+    val got = Semi.jsonFieldStats(df, "props", "event_type").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.get(2)))).toMap
+    // malformed JSON parses to null: counted in n, ignored by sum
+    assert(got("a") == ((2L, 5L)))
+    assert(got("b") == ((1L, 2L)))
+  }
+
   test("repetition metrics count duplicate and dominant bigrams") {
     import spark.implicits._
     // "a b a b a b": bigrams (a b, b a, a b, b a, a b) → 5 total, 2
