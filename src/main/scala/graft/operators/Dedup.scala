@@ -66,7 +66,7 @@ object Dedup {
   /** Per-doc signature relation: sorted distinct shingle-hash set plus
     * the r*nBands min-hash slots — the shared kernel of the self-join
     * (lshPairs) and two-sided (incremental) LSH paths. */
-  private def sigOf(hv: DataFrame, seed: Int, r: Int,
+  private[operators] def sigOf(hv: DataFrame, seed: Int, r: Int,
       nBands: Int): DataFrame = {
     val aggs = sort_array(collect_set(col("hf"))).as("hs") +:
       (0 until r * nBands).map { j =>
@@ -98,6 +98,13 @@ object Dedup {
     val sig = if (materializeSig)
       sigPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else sigPlan
+    lshPairsFromSig(sig, r, nBands, thresh)
+  }
+
+  /** Band join + exact-Jaccard verification over a prebuilt signature
+    * relation (doc_id, hs, m0..m{r*nBands-1}). */
+  private def lshPairsFromSig(sig: DataFrame, r: Int,
+      nBands: Int, thresh: Double): DataFrame = {
     // shuffle_hash (not broadcast): identical shuffles on bk on both
     // sides canonicalize equal, so the band relation is also built once
     val bands = sig.select(col("doc_id"),
@@ -201,17 +208,35 @@ object Dedup {
        |    i -> substr(lower(text), i, 8))) AS s
        |  FROM documents)""".stripMargin
 
+  /** Per-doc char-gram signature relation via the one-pass
+    * [[graft.functions.CharShingleSig]] expression: a NARROW projection
+    * (no explode, no shuffle) that the persist shares across the band
+    * join's two sides and the two verify lookups. Persisting at the
+    * struct level also prevents any projection collapse from
+    * re-evaluating the signature once per extracted field. Value parity
+    * with the composed sigOf(charShingleHashes) path is asserted in
+    * ExactnessSpec. */
+  private[operators] def charSigOf(docs: DataFrame, seed: Int, r: Int,
+      nBands: Int): DataFrame = {
+    val ss = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.CharShingleSig(lower(col("text")), seed,
+          r * nBands).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ss.select(col("doc_id") +: col("ss.hs").as("hs") +:
+      (0 until r * nBands).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
+  }
+
   /** Library entry: char-8-gram near-dup pairs over (doc_id, text). */
-  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame = {
-    val hv = charShingleHashes(docs)
+  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame =
     // r=3 x 5 bands: random pairs (char-8 jaccard ~0.1) collide with
     // P ~ 0.5% instead of ~8% under r=2, cutting candidate volume ~15x;
     // true near-dups (j >= 0.9) still collide with P > 99.99%.
-    // materializeSig: char shingles ≈ 8 hashed rows per input byte, so
-    // replaying the signature merge agg per consumer dominates the query
-    // — cache it once instead.
-    lshPairs(hv, seed = 100, r = 3, nBands = 5, thresh, materializeSig = true)
-  }
+    // charSigOf: the char-gram path computes signatures in ONE narrow
+    // pass per document — the composed explode+agg path would shuffle
+    // ~8 hashed rows per input byte (a corpus-sized exchange at 100 TB).
+    lshPairsFromSig(charSigOf(docs, seed = 100, r = 3, nBands = 5),
+      r = 3, nBands = 5, thresh)
 
   def x04(s: SparkSession, d: String): DataFrame =
     nearDupCharPairs(Tables.documents(s, d))

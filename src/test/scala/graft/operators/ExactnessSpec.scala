@@ -20,6 +20,23 @@ class ExactnessSpec extends SparkSpec {
     assert(banded == brute)
   }
 
+  test("one-pass char signature is value-identical to the composed path") {
+    // the CharShingleSig expression must reproduce the exploded
+    // sigOf(charShingleHashes) relation EXACTLY — same distinct sorted
+    // hash sets, same minhash slots — including supplementary-plane
+    // text and the short-doc (len < 8) single-gram edge
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .union(Seq((9001L, "abc", "xx", "t", 3L),
+        (9002L, "😀😀😀😀😀😀😀😀😀😀 spark", "xx", "t", 12L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val oldSig = Dedup.sigOf(Dedup.charShingleHashes(docs), 100, 3, 5)
+    val newSig = Dedup.charSigOf(docs, 100, 3, 5)
+    val cols = oldSig.columns.sorted.map(col)
+    assert(newSig.select(cols: _*).exceptAll(oldSig.select(cols: _*)).isEmpty
+      && oldSig.select(cols: _*).exceptAll(newSig.select(cols: _*)).isEmpty)
+  }
+
   test("x12 k-means IVF recall vs the exact x06 baseline") {
     val emb = graft.Tables.embeddings(spark, sf)
     val qids = 0L until 10L

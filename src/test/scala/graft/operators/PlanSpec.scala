@@ -114,6 +114,15 @@ class PlanSpec extends SparkSpec {
     assert(n == 2, s"x18 must have exactly 2 exchanges, saw $n:\n$p")
   }
 
+  test("x04 signature relation is narrow: no explode, no exchange") {
+    import graft.Tables
+    val p = plan(Dedup.charSigOf(Tables.documents(spark, sf), 100, 3, 5))
+    assert(!p.contains("Exchange"),
+      s"one-pass char signatures must not shuffle:\n$p")
+    assert(!p.contains("Generate"),
+      s"one-pass char signatures must not explode rows:\n$p")
+  }
+
   test("x28 representative pick is a hash aggregation, not a window sort") {
     import org.apache.spark.sql.functions.col
     import graft.Tables
