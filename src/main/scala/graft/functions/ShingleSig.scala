@@ -9,26 +9,30 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One-pass per-document char-shingle signature.
+/** One-pass per-document shingle signatures.
   *
   * The composed formulation (explode one row per gram position → md5 →
   * groupBy doc) is correct but its COST MODEL is wrong at corpus scale:
-  * char 8-grams mean ~1 exploded row + 1 md5 per input BYTE, all of
-  * which transits a shuffle before the signature aggregation — at
-  * 100 TB that is a 100-TB-scale shuffle for what is conceptually a
-  * per-row map. This expression computes the whole signature — the
-  * sorted distinct 60-bit gram-hash set plus the nSlots MinHash
-  * permutation minima — in one narrow pass over each document: zero
-  * extra rows, zero exchanges, the md5 work identical.
+  * char 8-grams mean ~1 exploded row + 1 md5 per input BYTE (word
+  * 3-grams: per word), all of which transits a shuffle before the
+  * signature aggregation — at 100 TB that is a 100-TB-scale shuffle for
+  * what is conceptually a per-row map. These expressions compute the
+  * whole signature — the sorted distinct 60-bit gram-hash set plus the
+  * nSlots MinHash permutation minima — in one narrow pass over each
+  * document: zero extra rows, zero exchanges, the md5 work identical.
   *
-  * Value parity is exact: grams are `substr(t, i, gramLen)` for
-  * i ∈ [1, max(len−gramLen+1, 1)] via `UTF8String.substringSQL` (the
-  * same kernel the SQL path used), hashed with the same md5-prefix-60
-  * scheme as [[PortableHash.h60]], so the DuckDB oracle — and every
-  * previously recorded result — is bit-identical. Equivalence against
-  * the composed path is asserted in ExactnessSpec.
+  * Value parity is exact and asserted in ExactnessSpec:
+  *  - char grams are `substr(t, i, gramLen)` for
+  *    i ∈ [1, max(len−gramLen+1, 1)] via `UTF8String.substringSQL`
+  *    (the same kernel the SQL path used);
+  *  - word grams are `concat_ws(' ', slice(split(t, ' '), i, 3))` for
+  *    i ∈ [1, max(nWords−2, 1)] — regex-split with limit −1, exactly
+  *    like Spark's `split`;
+  *  - hashes use the same md5-prefix-60 scheme as [[PortableHash.h60]],
+  * so the DuckDB oracle — and every previously recorded result — is
+  * bit-identical.
   */
-final class ShingleSigComputer(seed: Int, nSlots: Int, gramLen: Int)
+sealed abstract class ShingleSigComputer(seed: Int, nSlots: Int)
     extends Serializable {
 
   private val as = Array.tabulate(nSlots)(j => PortableHash.permA(seed + j))
@@ -43,7 +47,7 @@ final class ShingleSigComputer(seed: Int, nSlots: Int, gramLen: Int)
   /** First 60 bits of md5(bytes) as a positive long — identical to
     * parsing the first 15 hex chars (dropping the 16th hex char of the
     * first 8 bytes == >>> 4). */
-  private def h60(bytes: Array[Byte]): Long = {
+  protected final def h60(bytes: Array[Byte]): Long = {
     val d = md.get().digest(bytes)
     var v = 0L
     var k = 0
@@ -51,19 +55,15 @@ final class ShingleSigComputer(seed: Int, nSlots: Int, gramLen: Int)
     v >>> 4
   }
 
+  /** One 60-bit hash per gram OCCURRENCE, in document order. */
+  protected def gramHashes(u: UTF8String): Array[Long]
+
   def compute(u: UTF8String): InternalRow = {
-    val n = u.numChars()
-    val count = math.max(n - gramLen + 1, 1)
-    val hashes = new Array[Long](count)
-    var i = 0
-    while (i < count) {
-      hashes(i) = h60(u.substringSQL(i + 1, gramLen).getBytes)
-      i += 1
-    }
+    val hashes = gramHashes(u)
     java.util.Arrays.sort(hashes)
     var distinct = 0
-    i = 0
-    while (i < count) {
+    var i = 0
+    while (i < hashes.length) {
       if (i == 0 || hashes(i) != hashes(i - 1)) {
         hashes(distinct) = hashes(i)
         distinct += 1
@@ -91,19 +91,57 @@ final class ShingleSigComputer(seed: Int, nSlots: Int, gramLen: Int)
   }
 }
 
-/** `char_shingle_sig(text)` → struct(hs: array<bigint>, sig:
-  * array<bigint>): the document's sorted distinct gram-hash set and its
-  * MinHash signature, computed in one codegen'd call into the
-  * reference-object computer (generated source is constant — one Janino
-  * compile per session regardless of seed/slot configuration). */
-case class CharShingleSig(child: Expression, seed: Int, nSlots: Int,
-    gramLen: Int) extends UnaryExpression {
+final class CharShingleSigComputer(seed: Int, nSlots: Int, gramLen: Int)
+    extends ShingleSigComputer(seed, nSlots) {
+  override protected def gramHashes(u: UTF8String): Array[Long] = {
+    val n = u.numChars()
+    val count = math.max(n - gramLen + 1, 1)
+    val hashes = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      hashes(i) = h60(u.substringSQL(i + 1, gramLen).getBytes)
+      i += 1
+    }
+    hashes
+  }
+}
 
-  override def dataType: DataType = CharShingleSig.outType
+final class WordShingleSigComputer(seed: Int, nSlots: Int, gramWords: Int)
+    extends ShingleSigComputer(seed, nSlots) {
+  override protected def gramHashes(u: UTF8String): Array[Long] = {
+    // regex split on " " with limit -1 — Spark's split() kernel
+    val words = u.toString.split(" ", -1)
+    val count = math.max(words.length - gramWords + 1, 1)
+    val hashes = new Array[Long](count)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      val end = math.min(i + gramWords, words.length)
+      var k = i
+      while (k < end) {
+        if (k > i) sb.append(' ')
+        sb.append(words(k))
+        k += 1
+      }
+      hashes(i) = h60(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
+    hashes
+  }
+}
+
+/** `shingle_sig(text)` → struct(hs: array<bigint>, sig: array<bigint>):
+  * the document's sorted distinct gram-hash set and its MinHash
+  * signature, computed in one codegen'd call into the reference-object
+  * computer (generated source is constant — one Janino compile per
+  * session regardless of seed/slot configuration). */
+case class ShingleSig(child: Expression, computer: ShingleSigComputer)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ShingleSig.outType
   override def nullable: Boolean = child.nullable
-
-  @transient private lazy val computer =
-    new ShingleSigComputer(seed, nSlots, gramLen)
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -111,7 +149,7 @@ case class CharShingleSig(child: Expression, seed: Int, nSlots: Int,
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"char_shingle_sig expects string, got ${child.dataType.sql}")
+        s"shingle_sig expects string, got ${child.dataType.sql}")
 
   override def nullSafeEval(t: Any): Any =
     computer.compute(t.asInstanceOf[UTF8String])
@@ -126,13 +164,22 @@ case class CharShingleSig(child: Expression, seed: Int, nSlots: Int,
     copy(child = newChild)
 }
 
-object CharShingleSig {
+object ShingleSig {
   val outType: StructType = StructType(Seq(
     StructField("hs", ArrayType(LongType, containsNull = false),
       nullable = false),
     StructField("sig", ArrayType(LongType, containsNull = false),
       nullable = false)))
+}
 
+object CharShingleSig {
   def apply(text: Column, seed: Int, nSlots: Int, gramLen: Int = 8): Column =
-    Bridge.column(CharShingleSig(Bridge.expression(text), seed, nSlots, gramLen))
+    Bridge.column(ShingleSig(Bridge.expression(text),
+      new CharShingleSigComputer(seed, nSlots, gramLen)))
+}
+
+object WordShingleSig {
+  def apply(text: Column, seed: Int, nSlots: Int, gramWords: Int = 3): Column =
+    Bridge.column(ShingleSig(Bridge.expression(text),
+      new WordShingleSigComputer(seed, nSlots, gramWords)))
 }

@@ -174,9 +174,13 @@ object Dedup {
   /** MinHash+LSH near-dup pairs on word 3-gram shingles, verified with
     * exact hashed-shingle Jaccard >= 0.8. 16 permutations in 8 bands x 2
     * rows (>=99.9% recall at j=0.8). */
-  /** Library entry: near-dup pairs over any (doc_id, text) DataFrame. */
+  /** Library entry: near-dup pairs over any (doc_id, text) DataFrame.
+    * Signatures come from the one-pass narrow expression (see
+    * [[narrowSigOf]]); the composed explode+agg path is kept as the
+    * equivalence reference in ExactnessSpec. */
   def nearDupWordPairs(docs: DataFrame, thresh: Double = 0.8): DataFrame =
-    lshPairs(wordShingleHashes(docs), seed = 0, r = 2, nBands = 8, thresh)
+    lshPairsFromSig(wordSigOf(docs, seed = 0, r = 2, nBands = 8),
+      r = 2, nBands = 8, thresh)
 
   def x02(s: SparkSession, d: String): DataFrame =
     nearDupWordPairs(Tables.documents(s, d))
@@ -208,24 +212,34 @@ object Dedup {
        |    i -> substr(lower(text), i, 8))) AS s
        |  FROM documents)""".stripMargin
 
-  /** Per-doc char-gram signature relation via the one-pass
-    * [[graft.functions.CharShingleSig]] expression: a NARROW projection
+  /** Per-doc signature relation via the one-pass
+    * [[graft.functions.ShingleSig]] expressions: a NARROW projection
     * (no explode, no shuffle) that the persist shares across the band
-    * join's two sides and the two verify lookups. Persisting at the
-    * struct level also prevents any projection collapse from
-    * re-evaluating the signature once per extracted field. Value parity
-    * with the composed sigOf(charShingleHashes) path is asserted in
-    * ExactnessSpec. */
-  private[operators] def charSigOf(docs: DataFrame, seed: Int, r: Int,
-      nBands: Int): DataFrame = {
+    * join's two sides and the two verify lookups — with no signature
+    * aggregation, the persist replaces the exchange ReuseExchange used
+    * to share. Persisting at the struct level also prevents any
+    * projection collapse from re-evaluating the signature once per
+    * extracted field. Value parity with the composed
+    * sigOf(shingleHashes) paths is asserted in ExactnessSpec. */
+  private def narrowSigOf(docs: DataFrame,
+      mk: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      nSlots: Int): DataFrame = {
     val ss = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        graft.functions.CharShingleSig(lower(col("text")), seed,
-          r * nBands).as("ss"))
+      .select(col("doc_id"), mk(lower(col("text"))).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ss.select(col("doc_id") +: col("ss.hs").as("hs") +:
-      (0 until r * nBands).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
+      (0 until nSlots).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
   }
+
+  private[operators] def charSigOf(docs: DataFrame, seed: Int, r: Int,
+      nBands: Int): DataFrame =
+    narrowSigOf(docs,
+      t => graft.functions.CharShingleSig(t, seed, r * nBands), r * nBands)
+
+  private[operators] def wordSigOf(docs: DataFrame, seed: Int, r: Int,
+      nBands: Int): DataFrame =
+    narrowSigOf(docs,
+      t => graft.functions.WordShingleSig(t, seed, r * nBands), r * nBands)
 
   /** Library entry: char-8-gram near-dup pairs over (doc_id, text). */
   def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame =
@@ -416,8 +430,8 @@ object Dedup {
   def incrementalDupPairs(corpus: DataFrame, batch: DataFrame,
       thresh: Double = 0.8): DataFrame = {
     val r = 2; val nBands = 8; val seed = 0
-    val sigC = sigOf(wordShingleHashes(corpus), seed, r, nBands)
-    val sigB = sigOf(wordShingleHashes(batch), seed, r, nBands)
+    val sigC = wordSigOf(corpus, seed, r, nBands)
+    val sigB = wordSigOf(batch, seed, r, nBands)
     val bandsC = sigC.select(col("doc_id"), bandKeyCol(r, nBands).as("bk"))
     val bandsB = sigB.select(col("doc_id"), bandKeyCol(r, nBands).as("bk"))
     val cand = bandsB.alias("x")
@@ -544,7 +558,7 @@ object Dedup {
     */
   def containmentPairs(docs: DataFrame, thresh: Double = 0.8): DataFrame = {
     val r = 1; val nBands = 8; val seed = 300
-    val sig = sigOf(wordShingleHashes(docs), seed, r, nBands)
+    val sig = wordSigOf(docs, seed, r, nBands)
     val bands = sig.select(col("doc_id"),
       bandKeyCol(r, nBands).as("bk")).hint("shuffle_hash")
     val cand = bands.alias("x")

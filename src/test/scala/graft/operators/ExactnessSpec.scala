@@ -37,6 +37,22 @@ class ExactnessSpec extends SparkSpec {
       && oldSig.select(cols: _*).exceptAll(newSig.select(cols: _*)).isEmpty)
   }
 
+  test("one-pass word signature is value-identical to the composed path") {
+    // regex-split parity edges: single word (one truncated gram),
+    // consecutive/trailing spaces (empty tokens are real tokens)
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .union(Seq((9001L, "solo", "xx", "t", 4L),
+        (9002L, "a  b ", "xx", "t", 5L),
+        (9003L, "x y", "xx", "t", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val oldSig = Dedup.sigOf(Dedup.wordShingleHashes(docs), 0, 2, 8)
+    val newSig = Dedup.wordSigOf(docs, 0, 2, 8)
+    val cols = oldSig.columns.sorted.map(col)
+    assert(newSig.select(cols: _*).exceptAll(oldSig.select(cols: _*)).isEmpty
+      && oldSig.select(cols: _*).exceptAll(newSig.select(cols: _*)).isEmpty)
+  }
+
   test("x12 k-means IVF recall vs the exact x06 baseline") {
     val emb = graft.Tables.embeddings(spark, sf)
     val qids = 0L until 10L

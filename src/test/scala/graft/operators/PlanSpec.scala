@@ -44,9 +44,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dotproduct"), "cosine must use the codegen'd expression")
   }
 
-  test("x02 signature aggregation is partial before the shuffle") {
-    val p = plan(Dedup.x02(spark, sf))
-    assert(p.contains("partial_min"))
+  test("x02/x04 signature relations are narrow: no explode, no exchange") {
+    import graft.Tables
+    for (sig <- Seq(Dedup.wordSigOf(Tables.documents(spark, sf), 0, 2, 8),
+        Dedup.charSigOf(Tables.documents(spark, sf), 100, 3, 5))) {
+      val p = plan(sig)
+      assert(!p.contains("Exchange"),
+        s"one-pass signatures must not shuffle:\n$p")
+      assert(!p.contains("Generate"),
+        s"one-pass signatures must not explode rows:\n$p")
+    }
   }
 
   test("x05 is banded: no cartesian product anywhere in the plan") {
@@ -112,15 +119,6 @@ class PlanSpec extends SparkSpec {
     // inherit the first exchange's partitioning, never add their own
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n == 2, s"x18 must have exactly 2 exchanges, saw $n:\n$p")
-  }
-
-  test("x04 signature relation is narrow: no explode, no exchange") {
-    import graft.Tables
-    val p = plan(Dedup.charSigOf(Tables.documents(spark, sf), 100, 3, 5))
-    assert(!p.contains("Exchange"),
-      s"one-pass char signatures must not shuffle:\n$p")
-    assert(!p.contains("Generate"),
-      s"one-pass char signatures must not explode rows:\n$p")
   }
 
   test("x28 representative pick is a hash aggregation, not a window sort") {
