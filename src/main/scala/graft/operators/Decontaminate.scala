@@ -44,23 +44,26 @@ object Decontaminate {
       .select(col("doc_id"), col("text"), lit(false).as("__bench"))
       .unionByName(benchmark
         .select(col("doc_id"), col("text"), lit(true).as("__bench"))))
-    // Shared with x04 — one definition of the 8-gram hash, tag threaded
-    // through so the two consumers cannot drift.
-    val sh = Dedup.charShingleHashes(tagged, extraCols = Seq("__bench"))
+    // One-pass distinct gram sets (same md5 scheme as x04, nSlots=0),
+    // exploded to (doc, hf) rows that are ALREADY distinct per doc: the
+    // exchange below ships the per-doc distinct grams, not every
+    // occurrence, and the old per-(hash, doc) dedup aggregation
+    // disappears entirely.
+    val shd0 = tagged.select(col("doc_id"), col("__bench"),
+      explode(graft.functions.CharShingleSig(lower(col("text")), 0, 0)
+        .getField("hs")).as("hf"))
     // ONE pinned exchange keyed by shingle hash; every later step's
-    // clustering requirement ({hf, doc_id}, then {hf}) is satisfied by
-    // it, so the whole chain below is exchange-free until the final
-    // tiny pair aggregation. The plan is deliberately LINEAR — a
-    // branching formulation (stats + two join sides over a shared
-    // relation) was measured to re-run the expensive shingle map stage
-    // once per branch (the adaptive stage cache does not dedup sibling
-    // exchanges, and persist() raced concurrent consumer stages), and
-    // an unpinned repartition lets AQE coalesce the tiny test-scale
-    // shuffle below the session's parallelism.
+    // clustering requirement is satisfied by it, so the whole chain
+    // below is exchange-free until the final tiny pair aggregation.
+    // The plan is deliberately LINEAR — a branching formulation (stats
+    // + two join sides over a shared relation) was measured to re-run
+    // the expensive shingle map stage once per branch (the adaptive
+    // stage cache does not dedup sibling exchanges, and persist() raced
+    // concurrent consumer stages), and an unpinned repartition lets AQE
+    // coalesce the tiny test-scale shuffle below the session's
+    // parallelism.
     val parts = corpus.sparkSession.sparkContext.defaultParallelism
-    val shd = sh.repartition(parts, col("hf"))
-      .groupBy("hf", "doc_id")
-      .agg(max(col("__bench")).as("__bench")) // per-(hash, doc) distinct
+    val shd = shd0.repartition(parts, col("hf"))
     // Document frequency via a window over the same partitioning, and
     // the cap applied BEFORE any per-hash document list exists: a
     // boilerplate shingle shared by a million documents is a counter
