@@ -132,13 +132,28 @@ final class WordShingleSigComputer(seed: Int, nSlots: Int, gramWords: Int)
   }
 }
 
+/** Shingle tokenization mode — a sealed enum so [[ShingleSig]] stays a
+  * case class of PRIMITIVES: expression equality (and therefore plan
+  * canonicalization, cache lookup, and exchange reuse) must be
+  * structural. Embedding the computer object directly made every
+  * invocation a distinct plan — each bench run registered a NEW cache
+  * entry and recomputed the signatures. */
+sealed trait ShingleMode
+case object CharGrams extends ShingleMode
+case object WordGrams extends ShingleMode
+
 /** `shingle_sig(text)` → struct(hs: array<bigint>, sig: array<bigint>):
   * the document's sorted distinct gram-hash set and its MinHash
   * signature, computed in one codegen'd call into the reference-object
   * computer (generated source is constant — one Janino compile per
   * session regardless of seed/slot configuration). */
-case class ShingleSig(child: Expression, computer: ShingleSigComputer)
-    extends UnaryExpression {
+case class ShingleSig(child: Expression, mode: ShingleMode, seed: Int,
+    nSlots: Int, gramLen: Int) extends UnaryExpression {
+
+  @transient private lazy val computer: ShingleSigComputer = mode match {
+    case CharGrams => new CharShingleSigComputer(seed, nSlots, gramLen)
+    case WordGrams => new WordShingleSigComputer(seed, nSlots, gramLen)
+  }
 
   override def dataType: DataType = ShingleSig.outType
   override def nullable: Boolean = child.nullable
@@ -174,12 +189,12 @@ object ShingleSig {
 
 object CharShingleSig {
   def apply(text: Column, seed: Int, nSlots: Int, gramLen: Int = 8): Column =
-    Bridge.column(ShingleSig(Bridge.expression(text),
-      new CharShingleSigComputer(seed, nSlots, gramLen)))
+    Bridge.column(ShingleSig(Bridge.expression(text), CharGrams, seed,
+      nSlots, gramLen))
 }
 
 object WordShingleSig {
   def apply(text: Column, seed: Int, nSlots: Int, gramWords: Int = 3): Column =
-    Bridge.column(ShingleSig(Bridge.expression(text),
-      new WordShingleSigComputer(seed, nSlots, gramWords)))
+    Bridge.column(ShingleSig(Bridge.expression(text), WordGrams, seed,
+      nSlots, gramWords))
 }
