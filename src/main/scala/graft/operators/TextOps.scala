@@ -225,6 +225,48 @@ object TextOps {
        |  FROM wd)
        |SELECT doc_id, term, tf, df, score FROM sc WHERE rn <= 3""".stripMargin
 
+  // ---------------------------------------------------------------- x32
+  /** Quality-filter verdicts: the Gopher-style admission stage that
+    * turns the per-doc signals into a keep/drop decision plus the FIRST
+    * failing rule, in fixed order — too_short (ws_tokens < minTokens),
+    * low_quality (score_u < minScoreU), repetitive (dup_frac_u >
+    * maxDupU). Rule order is part of the contract: a short repetitive
+    * doc reports too_short.
+    *
+    * Scale: three narrow per-doc signal relations (x09/x10/x21 shapes)
+    * equi-joined on the uniform doc_id key; docs with fewer than two
+    * words have no bigram row and LEFT-join in with dup 0. Thresholds
+    * are data-calibrated defaults (sf0.01: 19 too_short / 71
+    * low_quality / 410 ok) — callers tune per corpus. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 15,
+      minScoreU: Long = 550000L, maxDupU: Long = 120000L): DataFrame = {
+    val t = tokenCounts(docs).select("doc_id", "ws_tokens")
+    val q = qualityScore(docs).select("doc_id", "score_u")
+    val r = repetitionStats(docs).select("doc_id", "dup_frac_u")
+    t.join(q, "doc_id").join(r, Seq("doc_id"), "left")
+      .withColumn("reason",
+        when(col("ws_tokens") < minTokens, "too_short")
+          .when(col("score_u") < minScoreU, "low_quality")
+          .when(coalesce(col("dup_frac_u"), lit(0L)) > maxDupU, "repetitive")
+          .otherwise("ok"))
+      .select(col("doc_id"), (col("reason") === "ok").as("keep"),
+        col("reason"))
+  }
+
+  def x32(s: SparkSession, d: String): DataFrame =
+    qualityFilter(Tables.documents(s, d))
+
+  val x32Sql: String =
+    s"""WITH q AS (${x09SqlOn("documents")}),
+       |t AS (${x10SqlOn("documents")}),
+       |r AS (${x21SqlOn("documents")}),
+       |v AS (SELECT t.doc_id, CASE WHEN t.ws_tokens < 15 THEN 'too_short'
+       |    WHEN q.score_u < 550000 THEN 'low_quality'
+       |    WHEN coalesce(r.dup_frac_u, 0) > 120000 THEN 'repetitive'
+       |    ELSE 'ok' END AS reason
+       |  FROM t JOIN q USING (doc_id) LEFT JOIN r USING (doc_id))
+       |SELECT doc_id, (reason = 'ok') AS keep, reason FROM v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_lang_id" -> (x08 _),
     "x09_quality_score" -> (x09 _),
@@ -232,6 +274,7 @@ object TextOps {
     "x11_fingerprint" -> (x11 _),
     "x21_repetition" -> (x21 _),
     "x22_tfidf_topk" -> (x22 _),
+    "x32_quality_filter" -> (x32 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -241,5 +284,6 @@ object TextOps {
     "x11_fingerprint" -> x11Sql,
     "x21_repetition" -> x21Sql,
     "x22_tfidf_topk" -> x22Sql,
+    "x32_quality_filter" -> x32Sql,
   )
 }

@@ -136,6 +136,22 @@ class OperatorsSpec extends SparkSpec {
     assert(got("b") == ((1L, 2L)))
   }
 
+  test("quality filter reports the first failing rule in order") {
+    import spark.implicits._
+    val long = (1 to 40).map(i => s"unique$i").mkString(" ")
+    val docs = Seq(
+      (1L, "tiny doc"), // too_short
+      (2L, ("spam " * 40).trim), // long enough but repetitive
+      (3L, long + " " + long)) // repetitive bigrams, decent quality
+      .toDF("doc_id", "text")
+    val got = TextOps.qualityFilter(docs, minTokens = 15,
+      minScoreU = 0L, maxDupU = 120000L).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got(1L) == ((false, "too_short")))
+    assert(got(2L) == ((false, "repetitive")))
+    assert(got(3L) == ((false, "repetitive")))
+  }
+
   test("repetition metrics count duplicate and dominant bigrams") {
     import spark.implicits._
     // "a b a b a b": bigrams (a b, b a, a b, b a, a b) → 5 total, 2
