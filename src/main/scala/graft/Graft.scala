@@ -66,6 +66,23 @@ object Graft {
     operators.Decontaminate.overlapPairs(corpus, benchmark, minOverlap,
       maxShingleDocFreq)
 
+  /** Cluster-level dedup output: one keep-longest representative per
+    * connected component of `pairs`, plus all singletons. */
+  def survivorCorpus(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame =
+    operators.Clusters.survivorCorpus(docs, pairs, idCol, lenCol)
+
+  /** Partial-duplicate pairs by containment |A∩B|/min(|A|,|B|) —
+    * catches a doc quoted inside a larger one (recall floor documented
+    * on the operator). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    operators.Dedup.containmentPairs(docs, threshold)
+
+  /** Per-doc fraction of distinct char-8-grams first introduced by
+    * that document (novelty admission signal). */
+  def noveltyScores(docs: DataFrame): DataFrame =
+    operators.Dedup.noveltyScores(docs)
+
   // ---- similarity search -------------------------------------------
   /** Exact top-k cosine neighbors for the given query vector ids. */
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
@@ -98,6 +115,18 @@ object Graft {
   /** Top-k tf-idf terms per document (integer score = tf·1e12 div df). */
   def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
     operators.TextOps.tfIdfTopK(docs, k)
+
+  /** Admission verdicts: keep/drop plus the first failing rule
+    * (too_short | low_quality | repetitive), thresholds per corpus. */
+  def qualityFilter(docs: DataFrame, minTokens: Int = 15,
+      minScoreU: Long = 550000L, maxDupU: Long = 120000L): DataFrame =
+    operators.TextOps.qualityFilter(docs, minTokens, minScoreU, maxDupU)
+
+  /** Typed field extraction from a JSON string column (explicit
+    * schema — no corpus inference pass), aggregated per group. */
+  def jsonFieldStats(df: DataFrame, jsonCol: String,
+      groupCol: String): DataFrame =
+    operators.Semi.jsonFieldStats(df, jsonCol, groupCol)
 
   // ---- corpus composition ------------------------------------------
   /** Top-k vocabulary by document frequency (deterministic order). */

@@ -29,6 +29,26 @@ class GraftFacadeSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val knn = Graft.annTopK(emb, Seq(0L)).collect()
     assert(knn.head.getLong(1) == 1L) // nearest to (1,0) is (0.9,0.1)
+
+    // survivor corpus: the near-dup pair {1,2} collapses to the longer
+    // member (tie -> smaller id = 1); the unique doc 3 survives
+    val withLen = docs.withColumn("n_chars", length(col("text")))
+    val kept = Graft.survivorCorpus(withLen, Graft.nearDupPairs(docs))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+
+    // novelty: doc 2 duplicates doc 1 exactly -> zero novel grams
+    val nov = Graft.noveltyScores(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(nov(1L) == 1000000L && nov(2L) == 0L)
+
+    val verdicts = Graft.qualityFilter(docs, minTokens = 50).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(verdicts.values.toSet == Set("too_short")) // all < 50 tokens
+
+    val js = Seq(("a", """{"k": 7}""")).toDF("g", "props")
+    assert(Graft.jsonFieldStats(js, "props", "g").collect()
+      .head.getLong(2) == 7L)
   }
 
   test("rate-source generator composes with the detector end-to-end") {
