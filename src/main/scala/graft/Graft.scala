@@ -101,6 +101,13 @@ object Graft {
   def quantizeInt8(embeddings: DataFrame): DataFrame =
     operators.Similarity.quantizeInt8(embeddings)
 
+  /** SemDeDup-style semantic dedup: k-means cells (same quantizer as
+    * the IVF index), exact cosine verified within cells only, drop
+    * vectors with a smaller-id cell-mate above the threshold. Returns
+    * one (vec_id, cid, kept) verdict per vector. */
+  def semDedup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame =
+    operators.Similarity.semDedup(embeddings, threshold)
+
   // ---- text analysis ------------------------------------------------
   def languageId(docs: DataFrame): DataFrame = operators.TextOps.languageId(docs)
   def qualityScore(docs: DataFrame): DataFrame = operators.TextOps.qualityScore(docs)
@@ -147,6 +154,11 @@ object Graft {
   def tokenBudgetSample(docs: DataFrame, budget: Long = 5000L): DataFrame =
     operators.Sampling.tokenBudgetSample(docs, budget)
 
+  /** Training-shard packing: greedy sequential assignment of documents
+    * to fixed-token-capacity shards, deterministic per source. */
+  def shardAssign(docs: DataFrame, capacity: Long = 2000L): DataFrame =
+    operators.Sampling.shardAssign(docs, capacity)
+
   // ---- keyed upsert -------------------------------------------------
   /** Delta-style MERGE: one full-outer shuffle join applying matched
     * updates, source-only inserts, and target pass-through. */
@@ -186,6 +198,15 @@ object Graft {
   def rangeCount(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, windowMs: Long): DataFrame =
     operators.RangeJoin.rangeCount(left, right, key, leftTs, rightTs, windowMs)
+
+  /** Event-time interval join (batch or watermarked stream-stream):
+    * right rows within [leftTs, leftTs + boundMs] per key; TimestampType
+    * ts columns. Stream-stream state stays bounded by the interval. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, boundMs: Long): DataFrame =
+    operators.AsOf.intervalJoin(left, right, leftKey, rightKey,
+      leftTs, rightTs, boundMs)
 
   /** Inner join with the big side salted across buckets — the explicit
     * skew-mitigation form for known-hot keys. */

@@ -60,6 +60,24 @@ object AsOf {
       .select(col("__l.*"), col("asof"))
   }
 
+  /** Event-time interval join: every left row paired with the right
+    * rows sharing the key whose `rightTs` lies in the closed interval
+    * [leftTs, leftTs + boundMs]. Both ts columns must be TimestampType
+    * (event time). Works on batch AND streaming inputs with the same
+    * plan; for stream-stream use, the caller puts a watermark on each
+    * ts column first — the bounded predicate then lets Spark derive
+    * eviction watermarks for both join buffers, so state is bounded by
+    * the interval span (the s05 replay drives exactly that). Output is
+    * left.* ++ right.* — column names must not collide (alias before
+    * joining, as [[graft.operators.StreamingQueries.s05]] does). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, boundMs: Long): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $boundMs MILLISECOND"))
+
   // ---------------------------------------------------------------- x14
   /** Purchase attribution over the events stream: each `purchase` is
     * joined as-of to the user's latest strictly-prior non-purchase

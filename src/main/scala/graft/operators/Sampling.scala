@@ -136,11 +136,51 @@ object Sampling {
        |SELECT doc_id, source, toks, cum_toks FROM c
        |WHERE cum_toks <= 5000""".stripMargin
 
+  // ---------------------------------------------------------------- x34
+  /** Training-shard packing: assign every document to a fixed-capacity
+    * shard (`capacity` whitespace tokens) by greedy sequential packing
+    * in portable-hash order per source — the step that turns a cleaned
+    * corpus into the file-sized units a training job reads. A document
+    * lands wholly in the shard where its START offset falls
+    * (`(cum - toks) div capacity`), so shards overflow by at most one
+    * document rather than splitting documents — the standard greedy
+    * packing trade. Same single cumulative-sum shuffle as [[x26]];
+    * shard ids are deterministic across runs, engines, and input
+    * partitioning because the order key is the portable hash. */
+  def shardAssign(docs: DataFrame, capacity: Long = 2000L): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"),
+        h60(concat(lit("shard_"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .select(col("doc_id"), col("source"), col("toks"),
+        expr(s"(cum_toks - toks) div $capacity").as("shard_id"))
+  }
+
+  def x34(s: SparkSession, d: String): DataFrame =
+    shardAssign(Tables.documents(s, d))
+
+  val x34Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks,
+       |  ${duckH60("concat('shard_', CAST(doc_id AS VARCHAR))")} AS hk
+       |  FROM documents),
+       |c AS (SELECT doc_id, source, toks,
+       |  sum(toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |                  ROWS UNBOUNDED PRECEDING) AS cum_toks
+       |  FROM t)
+       |SELECT doc_id, source, toks,
+       |  CAST((cum_toks - toks) // 2000 AS BIGINT) AS shard_id
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_vocab_topk" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
     "x24_length_stats" -> (x24 _),
     "x26_token_budget" -> (x26 _),
+    "x34_shard_pack" -> (x34 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -148,5 +188,6 @@ object Sampling {
     "x20_stratified_sample" -> x20Sql,
     "x24_length_stats" -> x24Sql,
     "x26_token_budget" -> x26Sql,
+    "x34_shard_pack" -> x34Sql,
   )
 }

@@ -154,19 +154,20 @@ object Similarity {
     * micro-units (both operands exact in double, so the division and
     * floor are bit-identical everywhere). DuckDB replays the identical
     * centroids and therefore the identical cells. */
-  /** Library entry: IVF ANN over any (vec_id, embedding). */
-  def annIvf(emb: DataFrame, queryIds: Seq[Long],
-      lloydIters: Int = LloydIters): DataFrame = {
-    val e = vecsOf(emb)
-    // Centroids are MODEL STATE (K x dim doubles), held on the driver
-    // between passes — the MLlib k-means shape. Each training pass is
-    // ONE narrow map over the corpus (argmax via the codebook expression
-    // [[graft.functions.CentroidTopCids]] — no window sort, no join, no
-    // per-pass Janino recompile: the centroids travel as a codegen
-    // reference object, not as plan literals) plus a K-row aggregate;
-    // only K rows ever reach the driver. The driver-side mean arithmetic
-    // is the same floor(intSum/count) micro-unit form the DuckDB oracle
-    // computes.
+  /** Lloyd-trained centroid codebook over a normalized (vec_id, v, nrm)
+    * relation — the shared quantizer of IVF search (x12) and SemDeDup
+    * (x33). Centroids are MODEL STATE (K x dim doubles), held on the
+    * driver between passes — the MLlib k-means shape. Each training
+    * pass is ONE narrow map over the corpus (argmax via the codebook
+    * expression [[graft.functions.CentroidTopCids]] — no window sort,
+    * no join, no per-pass Janino recompile: the centroids travel as a
+    * codegen reference object, not as plan literals) plus a K-row
+    * aggregate; only K rows ever reach the driver. The driver-side mean
+    * arithmetic is the same floor(intSum/count) micro-unit form the
+    * DuckDB oracle computes. */
+  private def trainCentroids(e: DataFrame, lloydIters: Int)
+      : graft.functions.CentroidModel = {
+    import graft.functions.{CentroidModel, CentroidTopCids}
     var centroids: Seq[(Long, IndexedSeq[Double])] = e
       .withColumn("hk", graft.functions.PortableHash.h60(
         concat(lit("ctr_"), col("vec_id").cast("string"))))
@@ -174,18 +175,19 @@ object Similarity {
       .select(col("vec_id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toSeq
 
-    import graft.functions.{CentroidModel, CentroidTopCids}
-    // n = NProbe for EVERY use (assignment takes element 1): one codegen
-    // shape total, compiled once per session no matter how many passes.
-    def topCids: Column = CentroidTopCids(col("v"), col("nrm"),
-      new CentroidModel(centroids.map(_._1).toArray,
-        centroids.map(_._2.toArray).toArray), NProbe)
+    def model = new CentroidModel(centroids.map(_._1).toArray,
+      centroids.map(_._2.toArray).toArray)
 
     for (_ <- 0 until lloydIters) {
+      // n = NProbe for EVERY use (assignment takes element 1): one
+      // codegen shape total, compiled once per session however many
+      // passes (and consumers) there are.
+      val cid1 = element_at(
+        CentroidTopCids(col("v"), col("nrm"), model, NProbe), 1)
       val aggs = (0 until Dim).map { dd =>
         sum(floor(element_at(col("v"), dd + 1) * 1000000)).as(s"s$dd")
       } :+ count(lit(1)).as("cnt")
-      val stats = e.select(element_at(topCids, 1).as("cid"), col("v"))
+      val stats = e.select(cid1.as("cid"), col("v"))
         .groupBy("cid").agg(aggs.head, aggs.tail: _*).collect()
       centroids = stats.map { r =>
         val cnt = r.getLong(1 + Dim)
@@ -193,15 +195,30 @@ object Similarity {
           math.floor(r.getLong(dd + 1).toDouble / cnt) / 1000000.0)
       }.toSeq
     }
+    model
+  }
 
+  /** Cell assignment (vec_id, v, nrm, cid) under a trained codebook —
+    * a narrow map, no shuffle. */
+  private def assignCells(e: DataFrame,
+      model: graft.functions.CentroidModel): DataFrame =
+    e.select(col("vec_id"), col("v"), col("nrm"),
+      element_at(graft.functions.CentroidTopCids(
+        col("v"), col("nrm"), model, NProbe), 1).as("cid"))
+
+  /** Library entry: IVF ANN over any (vec_id, embedding). */
+  def annIvf(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters): DataFrame = {
+    val e = vecsOf(emb)
+    val model = trainCentroids(e, lloydIters)
     // Search: cell membership and query probes are both narrow maps over
     // the trained codebook; the only join is probe-cells (tiny, O(q·p)
     // rows, broadcast) against members on cell id.
-    val assign = e.select(col("vec_id"), col("v"), col("nrm"),
-      element_at(topCids, 1).as("cid"))
+    val assign = assignCells(e, model)
     val probes = e.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("v").as("vq"),
-        col("nrm").as("nq"), explode(topCids).as("cid"))
+        col("nrm").as("nq"), explode(graft.functions.CentroidTopCids(
+          col("v"), col("nrm"), model, NProbe)).as("cid"))
     rank(broadcast(probes).join(assign, Seq("cid"))
       .filter(col("vec_id") =!= col("qid")))
   }
@@ -209,9 +226,13 @@ object Similarity {
   def x12(s: SparkSession, d: String): DataFrame =
     annIvf(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
-  val x12Sql: String = {
+  /** Shared DuckDB CTE prefix replaying the k-means training + cell
+    * assignment (relations `sc` with per-vec centroid ranks and `assign`
+    * with the winning cell) — the oracle twin of [[trainCentroids]] +
+    * [[assignCells]], used by both x12 and x33. */
+  private val ivfAssignSqlPrefix: String = {
     // one Lloyd iteration: assign to nearest-cosine centroid, recompute
-    // means in integer micro-units (see annIvf's portability note)
+    // means in integer micro-units (see trainCentroids' portability note)
     def lloyd(ctrRel: String, i: Int): String =
       s"""a${i}_sc AS (SELECT n.vec_id, n.v, n.nrm, c.cid,
          |    list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
@@ -235,7 +256,11 @@ object Similarity {
        |    list_sum(list_transform(range(1, 65), i -> n.v[i] * c.cv[i])) / (n.nrm * c.cnrm) AS cos_c
        |  FROM n CROSS JOIN ctr$LloydIters c),
        |sc AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cid) AS crn FROM sc0),
-       |assign AS (SELECT vec_id, v, nrm, cid FROM sc WHERE crn = 1),
+       |assign AS (SELECT vec_id, v, nrm, cid FROM sc WHERE crn = 1)""".stripMargin
+  }
+
+  val x12Sql: String =
+    s"""$ivfAssignSqlPrefix,
        |probe AS (SELECT vec_id AS qid, v AS vq, nrm AS nq, cid FROM sc
        |  WHERE crn <= $NProbe AND vec_id < $NQueries),
        |c AS (SELECT p.qid, a.vec_id,
@@ -245,7 +270,55 @@ object Similarity {
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
        |FROM c
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+
+  // ---------------------------------------------------------------- x33
+  private val SemThresh = 0.3
+
+  /** SemDeDup-style semantic dedup: cluster the corpus with the SAME
+    * k-means quantizer as the IVF index, verify exact cosine only
+    * WITHIN each cell, and drop every vector that has a smaller-id
+    * cell-mate above the threshold (keep-lowest-id — deterministic; the
+    * paper's keep-farthest-from-centroid is a one-line orderBy swap).
+    * Output: one verdict row per vector (vec_id, cid, kept).
+    *
+    * Scale shape: assignment is a narrow map over the broadcast
+    * codebook; the only wide op is the within-cell self-join — an
+    * equi-join on cid whose candidate volume is sum(|cell|²), bounded
+    * by sizing K ~ sqrt(n) exactly as the SemDeDup recipe prescribes
+    * (the fixture's K=16 keeps the oracle replayable). No cross
+    * product; the verdict join is a broadcast of the removed-id set,
+    * which only shrinks the corpus. */
+  def semDedup(emb: DataFrame, thresh: Double = SemThresh,
+      lloydIters: Int = LloydIters): DataFrame = {
+    import graft.functions.ArrayMath
+    val e = vecsOf(emb)
+    val assign = assignCells(e, trainCentroids(e, lloydIters))
+      .hint("shuffle_hash")
+    val a = assign.select(col("cid"), col("vec_id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assign.select(col("cid"), col("vec_id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val removed = a.join(b, Seq("cid"))
+      .filter(col("a") < col("b"))
+      .filter(ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= thresh)
+      .select(col("b").as("vec_id")).distinct()
+      .withColumn("rm", lit(1))
+    assign.select(col("vec_id"), col("cid"))
+      .join(broadcast(removed), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("rm").isNull.as("kept"))
   }
+
+  def x33(s: SparkSession, d: String): DataFrame =
+    semDedup(Tables.embeddings(s, d))
+
+  val x33Sql: String =
+    s"""$ivfAssignSqlPrefix,
+       |rm AS (SELECT DISTINCT b.vec_id AS vec_id
+       |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) >= $SemThresh)
+       |SELECT s.vec_id, s.cid, rm.vec_id IS NULL AS kept
+       |FROM assign s LEFT JOIN rm ON rm.vec_id = s.vec_id""".stripMargin
 
   // ---------------------------------------------------------------- x25
   /** Symmetric int8 quantization of the embedding column — the storage/
@@ -297,6 +370,7 @@ object Similarity {
     "x07_ann_lsh" -> (x07 _),
     "x12_ann_ivf" -> (x12 _),
     "x25_embed_quantize" -> (x25 _),
+    "x33_semdedup" -> (x33 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -304,5 +378,6 @@ object Similarity {
     "x07_ann_lsh" -> x07Sql,
     "x12_ann_ivf" -> x12Sql,
     "x25_embed_quantize" -> x25Sql,
+    "x33_semdedup" -> x33Sql,
   )
 }

@@ -262,6 +262,55 @@ object StreamingQueries {
       |  CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status
       |FROM events""".stripMargin
 
+  /** s05 — STREAM-STREAM interval join: every sent event joined to the
+    * same key's delivered events within `JoinBoundMs`, emitting the
+    * delivery lag — the "match request to response" join every event
+    * pipeline runs, and the one stateful operator class the rest of the
+    * streaming surface doesn't exercise. Both sides carry watermarks
+    * and the join predicate bounds delivered-time to a closed interval
+    * after sent-time, so Spark derives state-eviction watermarks for
+    * BOTH join buffers: state is bounded by the interval span no matter
+    * how long the stream runs (an unconstrained stream-stream join
+    * would buffer each side forever). The oracle is the identical batch
+    * interval join. */
+  private[operators] val JoinBoundMs = 2 * 60 * 60 * 1000L
+
+  def s05(s: SparkSession, d: String): DataFrame = {
+    val base = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+      .toDF()
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+    val sent = base.filter(col("status") === "sent")
+      .select(col("messageId"), col("eventTime").as("sentTime"))
+      .withWatermark("sentTime", "1 minute")
+    val dlv = base.filter(col("status") === "delivered")
+      .select(col("messageId").as("d_id"), col("eventTime").as("dlvTime"))
+      .withWatermark("dlvTime", "1 minute")
+    val joined = AsOf.intervalJoin(sent, dlv, "messageId", "d_id",
+        "sentTime", "dlvTime", JoinBoundMs)
+      .select(col("messageId"),
+        unix_millis(col("sentTime")).as("sentMs"),
+        unix_millis(col("dlvTime")).as("deliveredMs"),
+        (unix_millis(col("dlvTime")) - unix_millis(col("sentTime")))
+          .as("lag_ms"))
+    runToSink(s, joined, "append")
+      .filter(col("messageId") =!= "sentinel")
+  }
+
+  // The join predicate compares epoch-MS (the stream's event-time
+  // resolution after the nanos->ms mapping), not raw ns timestamps — a
+  // pair landing inside the sub-millisecond boundary window must round
+  // the same way in both engines.
+  val s05Sql: String =
+    s"""SELECT CAST(e1.user_id AS VARCHAR) AS messageId,
+       |  epoch_ms(e1.ts) AS sentMs,
+       |  epoch_ms(e2.ts) AS deliveredMs,
+       |  epoch_ms(e2.ts) - epoch_ms(e1.ts) AS lag_ms
+       |FROM events e1 JOIN events e2 ON e1.user_id = e2.user_id
+       |  AND e1.event_type <> 'purchase' AND e2.event_type = 'purchase'
+       |  AND epoch_ms(e2.ts) >= epoch_ms(e1.ts)
+       |  AND epoch_ms(e2.ts) - epoch_ms(e1.ts) <= $JoinBoundMs""".stripMargin
+
   /** s03 — the deterministic reference-parity generator (10k message
     * lifecycles => sent/heartbeat/delivered transcript). */
   def s03(s: SparkSession, d: String): DataFrame =
@@ -275,6 +324,7 @@ object StreamingQueries {
     "s02_windowed_stream" -> (s02 _),
     "s03_generator" -> (s03 _),
     "s04_stream_dedup" -> (s04 _),
+    "s05_interval_join" -> (s05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -283,5 +333,6 @@ object StreamingQueries {
     "s02_windowed_stream" -> s02Sql,
     "s03_generator" -> s03Sql,
     "s04_stream_dedup" -> s04Sql,
+    "s05_interval_join" -> s05Sql,
   )
 }

@@ -255,6 +255,67 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("semDedup removes exactly the vectors with a smaller-id cell-mate") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val verdicts = Similarity.semDedup(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cid = verdicts.map(v => v._1 -> v._2).toMap
+    // independent removal recompute: the EXACT all-pairs relation at the
+    // same threshold, restricted to same-cell pairs
+    val expectRemoved = Dedup.embeddingDupPairsExact(emb, 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cid(a) == cid(b) }
+      .map(_._2).toSet
+    val gotRemoved = verdicts.filter(!_._3).map(_._1).toSet
+    assert(gotRemoved == expectRemoved)
+    assert(gotRemoved.nonEmpty, "fixture must exercise removal")
+  }
+
+  test("shard packing matches a sequential driver-side re-fold") {
+    val docs = graft.Tables.documents(spark, sf)
+    val cap = 500L
+    val got = Sampling.shardAssign(docs, cap).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // independent recompute: per source, fold token counts sequentially
+    // in portable-hash order on the driver
+    val rows = docs.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ", -1).length.toLong))
+    rows.groupBy(_._2).foreach { case (_, srcRows) =>
+      var off = 0L
+      srcRows.sortBy { case (id, _, _) =>
+        (graft.functions.PortableHash.h60(s"shard_$id"), id)
+      }.foreach { case (id, src, toks) =>
+        assert(got(id) == ((src, toks, off / cap)), s"doc $id")
+        off += toks
+      }
+    }
+  }
+
+  test("interval-join replay equals its batch twin") {
+    val ev = graft.Tables.events(spark, sf)
+      .withColumn("t", timestamp_millis(unix_millis(col("ts"))))
+    val sent = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").cast("string").as("messageId"),
+        col("t").as("sentTime"))
+    val dlv = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("d_id"),
+        col("t").as("dlvTime"))
+    val batch = AsOf.intervalJoin(sent, dlv, "messageId", "d_id",
+        "sentTime", "dlvTime", StreamingQueries.JoinBoundMs)
+      .select(col("messageId"),
+        unix_millis(col("sentTime")).as("sentMs"),
+        unix_millis(col("dlvTime")).as("deliveredMs"),
+        (unix_millis(col("dlvTime")) - unix_millis(col("sentTime")))
+          .as("lag_ms"))
+    val a = StreamingQueries.s05(spark, sf).collect()
+      .map(_.toSeq.toString).sorted.toSeq
+    val b = batch.collect().map(_.toSeq.toString).sorted.toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }

@@ -148,4 +148,20 @@ class PlanSpec extends SparkSpec {
       "x24 must use the native discrete-percentile aggregate")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("x33 semDedup verifies within cells only: equi-joins, no cross product") {
+    val p = plan(Similarity.x33(spark, sf))
+    assert(!p.contains("CartesianProduct"), "x33 must not cross-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "x33 must not nested-loop-join")
+    // verdict join builds on the removed-id set (the shrinking side)
+    assert(p.contains("BroadcastHashJoin"), "verdict marking must broadcast")
+  }
+
+  test("x34 shard packing is one cumulative-sum shuffle") {
+    val p = plan(Sampling.x34(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"x34 must shuffle exactly once (per-source window), saw $n")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "cumulative sum must be a running window")
+  }
 }
