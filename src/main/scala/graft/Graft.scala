@@ -129,6 +129,11 @@ object Graft {
       minScoreU: Long = 550000L, maxDupU: Long = 120000L): DataFrame =
     operators.TextOps.qualityFilter(docs, minTokens, minScoreU, maxDupU)
 
+  /** PII scrub: mask emails / IPv4s / phone numbers in the text column
+    * and report per-doc match counts (narrow, shuffle-free). */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    operators.TextOps.redactPii(docs, textCol)
+
   /** Typed field extraction from a JSON string column (explicit
     * schema — no corpus inference pass), aggregated per group. */
   def jsonFieldStats(df: DataFrame, jsonCol: String,

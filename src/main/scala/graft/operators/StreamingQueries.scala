@@ -311,6 +311,32 @@ object StreamingQueries {
        |  AND epoch_ms(e2.ts) >= epoch_ms(e1.ts)
        |  AND epoch_ms(e2.ts) - epoch_ms(e1.ts) <= $JoinBoundMs""".stripMargin
 
+  /** s06 — stream-STATIC enrichment join: the event stream joined to
+    * the static customer dimension and aggregated per market segment.
+    * The dimension side is broadcast — the stream itself never
+    * shuffles for the join, and the join keeps NO stream state (unlike
+    * s05's two buffers); the only state is the 5-row segment aggregate,
+    * emitted as a complete-mode snapshot. This is the "enrich events
+    * with a reference table" pattern every deployment runs; at scale
+    * the static side refreshes per micro-batch from its source, and a
+    * too-big dimension falls back to a shuffled stream-static join with
+    * the same plan contract. */
+  def s06(s: SparkSession, d: String): DataFrame = {
+    val cust = broadcast(graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment")))
+    val agg = eventsStream(s, d).toDF()
+      .filter(col("status") === "sent")
+      .join(cust, col("phoneNumber") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("sent_events"))
+    runToSink(s, agg, "complete")
+  }
+
+  val s06Sql: String =
+    """SELECT c_mktsegment, count(*) AS sent_events
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |WHERE e.event_type <> 'purchase'
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** s03 — the deterministic reference-parity generator (10k message
     * lifecycles => sent/heartbeat/delivered transcript). */
   def s03(s: SparkSession, d: String): DataFrame =
@@ -325,6 +351,7 @@ object StreamingQueries {
     "s03_generator" -> (s03 _),
     "s04_stream_dedup" -> (s04 _),
     "s05_interval_join" -> (s05 _),
+    "s06_stream_enrich" -> (s06 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -334,5 +361,6 @@ object StreamingQueries {
     "s03_generator" -> s03Sql,
     "s04_stream_dedup" -> s04Sql,
     "s05_interval_join" -> s05Sql,
+    "s06_stream_enrich" -> s06Sql,
   )
 }

@@ -267,6 +267,36 @@ object TextOps {
        |  FROM t JOIN q USING (doc_id) LEFT JOIN r USING (doc_id))
        |SELECT doc_id, (reason = 'ok') AS keep, reason FROM v""".stripMargin
 
+  // ------------------------------------------------------------- redact
+  /** PII redaction: mask emails, IPv4 addresses, and phone numbers in
+    * the text column and report per-document match counts — the scrub
+    * pass a corpus runs before anything ships to training. Entirely
+    * narrow (codegen'd regexp_replace/regexp_count, no shuffle at any
+    * scale); counts are taken on the ORIGINAL text, then patterns are
+    * masked in precedence order (email → ip → phone) so one pattern's
+    * replacement token cannot be re-matched by the next.
+    *
+    * Library-only entry (own spec, no oracle row): the synthetic
+    * fixture corpus contains no PII, so an oracle query would pin an
+    * all-zero answer and gate nothing. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private val PhoneRe = "\\+?\\d[\\d().-]{6,}\\d\\b"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
+      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(
+        regexp_replace(regexp_replace(col(textCol), EmailRe, ""),
+          Ipv4Re, ""), lit(PhoneRe)))
+      .withColumn(textCol,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+            Ipv4Re, "[IP]"),
+          PhoneRe, "[PHONE]"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_lang_id" -> (x08 _),
     "x09_quality_score" -> (x09 _),

@@ -316,6 +316,26 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("PII redaction masks and counts emails, IPs, and phones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@example.org or call +1 (555) 123-4567"),
+      (2L, "server 10.0.255.3 forwarded to 192.168.1.1 logs"),
+      (3L, "clean text with digits 42 and a year 2024"),
+      (4L, "a@b.io b@c.io and 555-867-5309")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Int]("n_emails"),
+          r.getAs[Int]("n_ips"), r.getAs[Int]("n_phones"))).toMap
+    // the space in "(555) 123-4567" splits the match: only the
+    // contiguous digit-punct run is masked
+    assert(got(1L) ==
+      (("mail me at [EMAIL] or call +1 (555) [PHONE]", 1, 0, 1)))
+    assert(got(2L) == (("server [IP] forwarded to [IP] logs", 0, 2, 0)))
+    assert(got(3L) == (("clean text with digits 42 and a year 2024", 0, 0, 0)))
+    assert(got(4L) == (("[EMAIL] [EMAIL] and [PHONE]", 2, 0, 1)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
