@@ -83,6 +83,12 @@ object Graft {
   def noveltyScores(docs: DataFrame): DataFrame =
     operators.Dedup.noveltyScores(docs)
 
+  /** Exact-substring duplication signal: per-doc count/fraction of
+    * distinct windowLen-char windows that also occur in another
+    * document (boilerplate and quoted-span detector). */
+  def exactSubstrStats(docs: DataFrame, windowLen: Int = 50): DataFrame =
+    operators.Dedup.exactSubstrStats(docs, windowLen)
+
   // ---- similarity search -------------------------------------------
   /** Exact top-k cosine neighbors for the given query vector ids. */
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =

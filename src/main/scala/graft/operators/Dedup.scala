@@ -195,22 +195,24 @@ object Dedup {
     * threads its benchmark tag through `extraCols` so the shingle
     * definition cannot drift between the two consumers). */
   private[graft] def charShingleHashes(docs: DataFrame,
-      extraCols: Seq[String] = Nil): DataFrame =
+      extraCols: Seq[String] = Nil, n: Int = 8): DataFrame =
     docs
       .select(col("doc_id") +: extraCols.map(col) :+
         lower(col("text")).as("t"): _*)
       .selectExpr("doc_id" +: extraCols ++: Seq("t",
-        "explode(sequence(1, greatest(length(t)-7, 1))) AS i"): _*)
+        s"explode(sequence(1, greatest(length(t)-${n - 1}, 1))) AS i"): _*)
       .select(col("doc_id") +: extraCols.map(col) :+
-        h60(expr("substr(t, i, 8)")).as("hf"): _*)
+        h60(expr(s"substr(t, i, $n)")).as("hf"): _*)
 
   /** DuckDB mirror of [[charShingleHashes]] as (doc_id, hf) rows. */
-  private[graft] val charShingleHashesSql: String =
+  private[graft] def charShingleHashesSqlN(n: Int): String =
     s"""SELECT doc_id, ${duckH60("s")} AS hf FROM (
        |  SELECT doc_id, unnest(list_transform(
-       |    range(1, greatest(len(lower(text))-6, 2)),
-       |    i -> substr(lower(text), i, 8))) AS s
+       |    range(1, greatest(len(lower(text))-${n - 2}, 2)),
+       |    i -> substr(lower(text), i, $n))) AS s
        |  FROM documents)""".stripMargin
+
+  private[graft] val charShingleHashesSql: String = charShingleHashesSqlN(8)
 
   /** Per-doc signature relation via the one-pass
     * [[graft.functions.ShingleSig]] expressions: a NARROW projection
@@ -550,6 +552,53 @@ object Dedup {
        |  (coalesce(nv.novel, 0) * 1000000) // g.grams AS novelty_u
        |FROM g LEFT JOIN nv USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- x35
+  /** Exact-substring duplication signal — the set-wise form of the
+    * ExactSubstr dedup recipe (suffix-array dedup of 50-token spans):
+    * per document, how many of its distinct `windowLen`-char windows
+    * also occur in ANOTHER document, plus the fraction in micro-units.
+    * High shared_u marks boilerplate/quoted/templated text that
+    * symmetric whole-doc Jaccard misses.
+    *
+    * Same two-aggregation shape as [[noveltyScores]]: windows come
+    * from the one-pass narrow signature expression (no occurrence
+    * explode+shuffle), ownership is a per-hash distinct-doc count, and
+    * windows owned by exactly ONE doc credit that doc's unique tally —
+    * shared = windows − unique, so no corpus-sized join on the window
+    * hash ever happens. Within-doc repeats do NOT count as shared
+    * (cross-document semantics, the contamination-relevant kind). */
+  def exactSubstrStats(docs: DataFrame, windowLen: Int = 50): DataFrame = {
+    val ss = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.CharShingleSig(lower(col("text")), 0, 0, windowLen)
+          .as("ss"))
+    val grams = ss.select(col("doc_id"),
+      size(col("ss.hs")).cast("long").as("windows"))
+    val uniq = ss.select(col("doc_id"), explode(col("ss.hs")).as("hf"))
+      .groupBy("hf").agg(count(lit(1)).as("nd"), min(col("doc_id")).as("doc_id"))
+      .filter(col("nd") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("uniq"))
+    grams.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("windows"),
+        expr("windows - coalesce(uniq, 0L)").as("shared"),
+        expr("(windows - coalesce(uniq, 0L)) * 1000000 div windows")
+          .as("shared_u"))
+  }
+
+  def x35(s: SparkSession, d: String): DataFrame =
+    exactSubstrStats(Tables.documents(s, d))
+
+  val x35Sql: String =
+    s"""WITH hv AS (${charShingleHashesSqlN(50)}),
+       |dg AS (SELECT DISTINCT doc_id, hf FROM hv),
+       |g AS (SELECT doc_id, count(*) AS windows FROM dg GROUP BY doc_id),
+       |u AS (SELECT min(doc_id) AS doc_id FROM dg GROUP BY hf HAVING count(*) = 1),
+       |uc AS (SELECT doc_id, count(*) AS uniq FROM u GROUP BY doc_id)
+       |SELECT g.doc_id, g.windows,
+       |  g.windows - coalesce(uc.uniq, 0) AS shared,
+       |  ((g.windows - coalesce(uc.uniq, 0)) * 1000000) // g.windows AS shared_u
+       |FROM g LEFT JOIN uc USING (doc_id)""".stripMargin
+
   // ---------------------------------------------------------------- x30
   /** Containment pairs: partial-duplicate detection — one document
     * quoted or embedded inside a larger one. Symmetric Jaccard misses
@@ -629,6 +678,7 @@ object Dedup {
     "x27_incremental_dedup" -> (x27 _),
     "x29_novelty" -> (x29 _),
     "x30_containment" -> (x30 _),
+    "x35_exact_substr" -> (x35 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -640,5 +690,6 @@ object Dedup {
     "x27_incremental_dedup" -> x27Sql,
     "x29_novelty" -> x29Sql,
     "x30_containment" -> x30Sql,
+    "x35_exact_substr" -> x35Sql,
   )
 }

@@ -336,6 +336,26 @@ class OperatorsSpec extends SparkSpec {
     assert(got(4L) == (("[EMAIL] [EMAIL] and [PHONE]", 2, 0, 1)))
   }
 
+  test("exact-substring stats count cross-doc windows, not self-repeats") {
+    import spark.implicits._
+    val shared40 = "a" * 20 + "shared boilerplate span" + "b" * 20
+    val docs = Seq(
+      (1L, shared40 + " unique tail one xxxxxxxxxxxxxxxxxxxxxxxxxxxxx"),
+      (2L, shared40 + " unique tail two yyyyyyyyyyyyyyyyyyyyyyyyyyyyy"),
+      (3L, "entirely distinct text " + "z" * 60),
+      // self-repetition only: the repeated window occurs twice in THIS
+      // doc but nowhere else
+      (4L, "q" * 120)).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrStats(docs, windowLen = 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1,2 share every window inside the common 63-char prefix
+    assert(got(1L)._2 > 0 && got(2L)._2 > 0)
+    assert(got(3L)._2 == 0)
+    // "q"*120 has 71 window positions but ONE distinct window; owned by
+    // doc 4 alone => zero shared
+    assert(got(4L) == ((1L, 0L)))
+  }
+
   test("entry flagship returns rows") {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
