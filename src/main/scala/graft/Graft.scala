@@ -167,7 +167,8 @@ object Graft {
 
   /** Training-shard packing: greedy sequential assignment of documents
     * to fixed-token-capacity shards, deterministic per source. */
-  def shardAssign(docs: DataFrame, capacity: Long = 2000L): DataFrame =
+  def shardAssign(docs: DataFrame,
+      capacity: Long = operators.Sampling.ShardCapacity): DataFrame =
     operators.Sampling.shardAssign(docs, capacity)
 
   // ---- keyed upsert -------------------------------------------------

@@ -67,16 +67,22 @@ object AsOf {
     * plan; for stream-stream use, the caller puts a watermark on each
     * ts column first — the bounded predicate then lets Spark derive
     * eviction watermarks for both join buffers, so state is bounded by
-    * the interval span (the s05 replay drives exactly that). Output is
-    * left.* ++ right.* — column names must not collide (alias before
-    * joining, as [[graft.operators.StreamingQueries.s05]] does). */
+    * the interval span (the s05 replay drives exactly that). The join
+    * condition is side-qualified, so `leftKey == rightKey` (and any
+    * other shared column names) analyze fine; the output is
+    * left.* ++ right.* with Spark's usual duplicate-name caveat —
+    * select through the same `l`/`r` qualifiers to disambiguate. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String, boundMs: Long): DataFrame =
-    left.join(right,
-      col(leftKey) === col(rightKey) &&
-        col(rightTs) >= col(leftTs) &&
-        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $boundMs MILLISECOND"))
+      leftTs: String, rightTs: String, boundMs: Long): DataFrame = {
+    val l = left.alias("l")
+    val r = right.alias("r")
+    l.join(r,
+      col(s"l.$leftKey") === col(s"r.$rightKey") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs") +
+          expr(s"INTERVAL $boundMs MILLISECOND"))
+  }
 
   // ---------------------------------------------------------------- x14
   /** Purchase attribution over the events stream: each `purchase` is

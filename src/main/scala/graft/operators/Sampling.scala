@@ -147,7 +147,9 @@ object Sampling {
     * packing trade. Same single cumulative-sum shuffle as [[x26]];
     * shard ids are deterministic across runs, engines, and input
     * partitioning because the order key is the portable hash. */
-  def shardAssign(docs: DataFrame, capacity: Long = 2000L): DataFrame = {
+  private[graft] val ShardCapacity = 2000L
+
+  def shardAssign(docs: DataFrame, capacity: Long = ShardCapacity): DataFrame = {
     val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
@@ -172,7 +174,7 @@ object Sampling {
        |                  ROWS UNBOUNDED PRECEDING) AS cum_toks
        |  FROM t)
        |SELECT doc_id, source, toks,
-       |  CAST((cum_toks - toks) // 2000 AS BIGINT) AS shard_id
+       |  CAST((cum_toks - toks) // $ShardCapacity AS BIGINT) AS shard_id
        |FROM c""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -272,9 +272,11 @@ object TextOps {
     * the text column and report per-document match counts — the scrub
     * pass a corpus runs before anything ships to training. Entirely
     * narrow (codegen'd regexp_replace/regexp_count, no shuffle at any
-    * scale); counts are taken on the ORIGINAL text, then patterns are
-    * masked in precedence order (email → ip → phone) so one pattern's
-    * replacement token cannot be re-matched by the next.
+    * scale). Patterns are masked in precedence order (email → ip →
+    * phone), and each count is taken on the SAME intermediate text its
+    * masking pass sees, so n_emails/n_ips/n_phones equal exactly the
+    * number of [EMAIL]/[IP]/[PHONE] tokens in the output — an IP
+    * absorbed into an email match counts once, as an email.
     *
     * Library-only entry (own spec, no oracle row): the synthetic
     * fixture corpus contains no PII, so an oracle query would pin an
@@ -283,19 +285,15 @@ object TextOps {
   private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   private val PhoneRe = "\\+?\\d[\\d().-]{6,}\\d\\b"
 
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "[EMAIL]")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "[IP]")
     docs
       .withColumn("n_emails", regexp_count(col(textCol), lit(EmailRe)))
-      .withColumn("n_ips", regexp_count(col(textCol), lit(Ipv4Re)))
-      .withColumn("n_phones", regexp_count(
-        regexp_replace(regexp_replace(col(textCol), EmailRe, ""),
-          Ipv4Re, ""), lit(PhoneRe)))
-      .withColumn(textCol,
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
-            Ipv4Re, "[IP]"),
-          PhoneRe, "[PHONE]"))
+      .withColumn("n_ips", regexp_count(afterEmail, lit(Ipv4Re)))
+      .withColumn("n_phones", regexp_count(afterIp, lit(PhoneRe)))
+      .withColumn(textCol, regexp_replace(afterIp, PhoneRe, "[PHONE]"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_lang_id" -> (x08 _),

@@ -322,7 +322,9 @@ class OperatorsSpec extends SparkSpec {
       (1L, "mail me at jo.doe+x@example.org or call +1 (555) 123-4567"),
       (2L, "server 10.0.255.3 forwarded to 192.168.1.1 logs"),
       (3L, "clean text with digits 42 and a year 2024"),
-      (4L, "a@b.io b@c.io and 555-867-5309")).toDF("doc_id", "text")
+      (4L, "a@b.io b@c.io and 555-867-5309"),
+      // an IP absorbed into an email match counts once, as an email
+      (5L, "ping 1.2.3.4@example.com now")).toDF("doc_id", "text")
     val got = TextOps.redactPii(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[String]("text"), r.getAs[Int]("n_emails"),
@@ -334,6 +336,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == (("server [IP] forwarded to [IP] logs", 0, 2, 0)))
     assert(got(3L) == (("clean text with digits 42 and a year 2024", 0, 0, 0)))
     assert(got(4L) == (("[EMAIL] [EMAIL] and [PHONE]", 2, 0, 1)))
+    assert(got(5L) == (("ping [EMAIL] now", 1, 0, 0)))
+  }
+
+  test("interval join analyzes with identical key names on both sides") {
+    import spark.implicits._
+    val l = Seq((1L, 1000L), (2L, 5000L)).toDF("user_id", "ms")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("sent_ts"))
+    val r = Seq((1L, 1500L), (1L, 9999L)).toDF("user_id", "ms")
+      .select(col("user_id"), timestamp_millis(col("ms")).as("dlv_ts"))
+    val out = AsOf.intervalJoin(l, r, "user_id", "user_id",
+      "sent_ts", "dlv_ts", 1000L)
+    assert(out.count() == 1) // only the 1500ms delivery is in bound
   }
 
   test("exact-substring stats count cross-doc windows, not self-repeats") {
