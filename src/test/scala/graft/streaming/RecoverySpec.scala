@@ -93,6 +93,45 @@ class RecoverySpec extends SparkSpec {
       "no pre-restart key delivered after restart — state was lost")
   }
 
+  test("stream-stream join buffer survives a restart via checkpoint") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val tmp = Files.createTempDirectory("joinckpt")
+    val ckpt = tmp.resolve("cp").toString
+    val out = tmp.resolve("out").toString
+    val src = MemoryStream[MessageStatus]
+    def start() = {
+      val base = src.toDS().toDF()
+        .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      val sent = base.filter(col("status") === "sent")
+        .select(col("messageId"), col("eventTime").as("sentTime"))
+        .withWatermark("sentTime", "1 minute")
+      val dlv = base.filter(col("status") === "delivered")
+        .select(col("messageId").as("d_id"), col("eventTime").as("dlvTime"))
+        .withWatermark("dlvTime", "1 minute")
+      graft.operators.AsOf.intervalJoin(sent, dlv, "messageId", "d_id",
+          "sentTime", "dlvTime", Timeout)
+        .select(col("messageId"), col("sentTime"), col("dlvTime"))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+    }
+    // phase 1: a sent event with no delivery yet — it lives only in the
+    // left join buffer when the query stops
+    val q1 = start()
+    src.addData(Seq(MessageStatus("a", "sent", 1L, "att", T0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: restart; the delivery arrives within the bound and must
+    // match the BUFFERED sent row — emission proves buffer recovery
+    val q2 = start()
+    src.addData(Seq(MessageStatus("a", "delivered", 1L, "att", T0 + 30000)))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a"))
+  }
+
   test("monitor listener observes progress and bounded state") {
     import spark.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
