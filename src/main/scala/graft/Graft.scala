@@ -129,6 +129,11 @@ object Graft {
   def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
     operators.TextOps.tfIdfTopK(docs, k)
 
+  /** Unigram corpus-frequency score per doc (micro-units) — the
+    * integer-portable perplexity-filter stand-in. */
+  def unigramScores(docs: DataFrame): DataFrame =
+    operators.TextOps.unigramScores(docs)
+
   /** Admission verdicts: keep/drop plus the first failing rule
     * (too_short | low_quality | repetitive), thresholds per corpus. */
   def qualityFilter(docs: DataFrame, minTokens: Int = 15,

@@ -267,6 +267,50 @@ object TextOps {
        |  FROM t JOIN q USING (doc_id) LEFT JOIN r USING (doc_id))
        |SELECT doc_id, (reason = 'ok') AS keep, reason FROM v""".stripMargin
 
+  // ---------------------------------------------------------------- x36
+  /** Unigram corpus-frequency score — the integer-portable stand-in for
+    * LM-perplexity filtering: per document, the mean corpus frequency
+    * of its tokens in micro-units (each token contributes
+    * `wf·1e6 div total`). Documents full of tokens the corpus has
+    * never seen score near zero (gibberish/noise); boilerplate scores
+    * high — used WITH x09/x21 as a band-pass, not alone. All
+    * arithmetic is integer division, so both engines floor
+    * identically (a log-prob variant would hit libm ulp divergence).
+    *
+    * Scale shape: the frequency table is vocab-sized and BROADCAST
+    * (word vocabularies are millions of rows — megabytes — at any
+    * corpus size), so the corpus-side token stream never shuffles for
+    * the join; the only corpus-sized exchange is the per-doc
+    * aggregation, which partial-aggregates map-side. */
+  def unigramScores(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+    // per-token micro-unit weight attached to the VOCAB relation: the
+    // corpus-total window runs over vocab rows (tiny), never the corpus
+    val freq = words.groupBy("wd").agg(count(lit(1)).as("wf"))
+      .withColumn("u", expr("wf * 1000000 div (sum(wf) OVER ())"))
+      .select(col("wd"), col("u"))
+    words
+      .join(broadcast(freq), "wd")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        expr("sum(u) div count(1)").as("mean_freq_u"))
+  }
+
+  def x36(s: SparkSession, d: String): DataFrame =
+    unigramScores(Tables.documents(s, d))
+
+  val x36Sql: String =
+    """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+      |  FROM documents),
+      |f AS (SELECT wd, count(*) AS wf FROM w GROUP BY wd),
+      |t AS (SELECT sum(wf) AS total FROM f),
+      |u AS (SELECT doc_id, (wf * 1000000) // total AS u
+      |  FROM w JOIN f USING (wd) CROSS JOIN t)
+      |SELECT doc_id, count(*) AS n_toks,
+      |  CAST(sum(u) // count(*) AS BIGINT) AS mean_freq_u
+      |FROM u GROUP BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- redact
   /** PII redaction: mask emails, IPv4 addresses, and phone numbers in
     * the text column and report per-document match counts — the scrub
@@ -303,6 +347,7 @@ object TextOps {
     "x21_repetition" -> (x21 _),
     "x22_tfidf_topk" -> (x22 _),
     "x32_quality_filter" -> (x32 _),
+    "x36_unigram_score" -> (x36 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -313,5 +358,6 @@ object TextOps {
     "x21_repetition" -> x21Sql,
     "x22_tfidf_topk" -> x22Sql,
     "x32_quality_filter" -> x32Sql,
+    "x36_unigram_score" -> x36Sql,
   )
 }

@@ -339,6 +339,16 @@ class OperatorsSpec extends SparkSpec {
     assert(got(5L) == (("ping [EMAIL] now", 1, 0, 0)))
   }
 
+  test("unigram score is the mean corpus token frequency in micro-units") {
+    import spark.implicits._
+    // corpus tokens: a a a b => total 4, u(a)=750000, u(b)=250000
+    val docs = Seq((1L, "a a"), (2L, "a b")).toDF("doc_id", "text")
+    val got = TextOps.unigramScores(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((2L, 750000L)))
+    assert(got(2L) == ((2L, 500000L)))
+  }
+
   test("interval join analyzes with identical key names on both sides") {
     import spark.implicits._
     val l = Seq((1L, 1000L), (2L, 5000L)).toDF("user_id", "ms")

@@ -157,6 +157,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "verdict marking must broadcast")
   }
 
+  test("x36 broadcasts the vocab; the corpus never shuffles for the join") {
+    val p = plan(TextOps.x36(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      "frequency table must broadcast")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "corpus total must come from the vocab window, not a scalar join")
+  }
+
   test("x34 shard packing is one cumulative-sum shuffle") {
     val p = plan(Sampling.x34(spark, sf))
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
