@@ -337,6 +337,50 @@ object StreamingQueries {
       |WHERE e.event_type <> 'purchase'
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** s07 — streaming SESSION windows: per-key sessions that close when
+    * `SessionGapMs` passes with no event, emitted in append mode once
+    * the watermark passes each session's end and evicted — the
+    * merging-window state class (s02 covers fixed tumbling windows;
+    * q20 is the batch islands-and-gaps twin of this shape). Session
+    * semantics pinned by the oracle: an event exactly `gap` after its
+    * predecessor starts a NEW session (Spark merges only on strict
+    * overlap), and a session's end is its last event + gap. */
+  private[operators] val SessionGapMs = 600000L
+
+  def s07(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+      .toDF()
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 minutes")
+    val agg = stream
+      .groupBy(col("messageId"),
+        session_window(col("eventTime"), s"${SessionGapMs / 1000} seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("messageId"),
+        unix_millis(col("session_window.start")).as("sess_start"),
+        unix_millis(col("session_window.end")).as("sess_end"),
+        col("n_events"))
+    runToSink(s, agg, "append")
+      .filter(col("messageId") =!= "sentinel")
+  }
+
+  val s07Sql: String =
+    s"""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS messageId,
+       |    epoch_ms(ts) AS ms FROM events),
+       |x AS (SELECT messageId, ms,
+       |    CASE WHEN lag(ms) OVER w IS NULL
+       |         OR ms - lag(ms) OVER w >= $SessionGapMs THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY messageId ORDER BY ms)),
+       |g AS (SELECT messageId, ms,
+       |    sum(brk) OVER (PARTITION BY messageId ORDER BY ms
+       |                   ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x)
+       |SELECT messageId, min(ms) AS sess_start,
+       |  max(ms) + $SessionGapMs AS sess_end,
+       |  count(*) AS n_events
+       |FROM g GROUP BY messageId, sid""".stripMargin
+
   /** s03 — the deterministic reference-parity generator (10k message
     * lifecycles => sent/heartbeat/delivered transcript). */
   def s03(s: SparkSession, d: String): DataFrame =
@@ -352,6 +396,7 @@ object StreamingQueries {
     "s04_stream_dedup" -> (s04 _),
     "s05_interval_join" -> (s05 _),
     "s06_stream_enrich" -> (s06 _),
+    "s07_session_stream" -> (s07 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -362,5 +407,6 @@ object StreamingQueries {
     "s04_stream_dedup" -> s04Sql,
     "s05_interval_join" -> s05Sql,
     "s06_stream_enrich" -> s06Sql,
+    "s07_session_stream" -> s07Sql,
   )
 }
