@@ -343,8 +343,9 @@ object StreamingQueries {
     * merging-window state class (s02 covers fixed tumbling windows;
     * q20 is the batch islands-and-gaps twin of this shape). Session
     * semantics pinned by the oracle: an event exactly `gap` after its
-    * predecessor starts a NEW session (Spark merges only on strict
-    * overlap), and a session's end is its last event + gap. */
+    * predecessor still MERGES (Spark extends a session whose end
+    * touches the new event's start; only a strictly larger silence
+    * breaks), and a session's end is its last event + gap. */
   private[operators] val SessionGapMs = 600000L
 
   def s07(s: SparkSession, d: String): DataFrame = {
@@ -370,7 +371,7 @@ object StreamingQueries {
        |    epoch_ms(ts) AS ms FROM events),
        |x AS (SELECT messageId, ms,
        |    CASE WHEN lag(ms) OVER w IS NULL
-       |         OR ms - lag(ms) OVER w >= $SessionGapMs THEN 1 ELSE 0 END AS brk
+       |         OR ms - lag(ms) OVER w > $SessionGapMs THEN 1 ELSE 0 END AS brk
        |  FROM e WINDOW w AS (PARTITION BY messageId ORDER BY ms)),
        |g AS (SELECT messageId, ms,
        |    sum(brk) OVER (PARTITION BY messageId ORDER BY ms

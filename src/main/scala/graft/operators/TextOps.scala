@@ -283,8 +283,8 @@ object TextOps {
     * the join; the only corpus-sized exchange is the per-doc
     * aggregation, which partial-aggregates map-side. */
   def unigramScores(docs: DataFrame): DataFrame = {
-    val words = docs
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("wd"))
+    val words = withWordsOf(docs)
+      .select(col("doc_id"), explode(col("w")).as("wd"))
     // per-token micro-unit weight attached to the VOCAB relation: the
     // corpus-total window runs over vocab rows (tiny), never the corpus
     val freq = words.groupBy("wd").agg(count(lit(1)).as("wf"))

@@ -349,6 +349,25 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2L) == ((2L, 500000L)))
   }
 
+  test("session windows merge at exactly-gap spacing, break past it") {
+    import spark.implicits._
+    // the boundary the s07 oracle must mirror: Spark extends a session
+    // whose end TOUCHES the next event; only silence > gap breaks
+    val gapMs = 10000L
+    val rows = Seq(("k", 0L), ("k", gapMs), ("k", 2 * gapMs + 1))
+      .toDF("id", "ms")
+      .select(col("id"), timestamp_millis(col("ms")).as("et"))
+    val sess = rows
+      .groupBy(col("id"), session_window(col("et"), s"${gapMs / 1000} seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("session_window.start")).as("s"),
+        unix_millis(col("session_window.end")).as("e"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(sess.toSeq == Seq(
+      (0L, 2 * gapMs, 2L),           // t=0 and t=gap merged
+      (2 * gapMs + 1, 3 * gapMs + 1, 1L))) // gap+1 of silence breaks
+  }
+
   test("interval join analyzes with identical key names on both sides") {
     import spark.implicits._
     val l = Seq((1L, 1000L), (2L, 5000L)).toDF("user_id", "ms")
