@@ -51,6 +51,46 @@ class GraftFacadeSpec extends SparkSpec {
       .head.getLong(2) == 7L)
   }
 
+  test("text operators tolerate null and empty text without throwing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "normal document text here with several words"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "x")).toDF("doc_id", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))))
+    // every text-surface entry must run to completion on degenerate rows
+    val results = Seq(
+      "nearDupPairs" -> Graft.nearDupPairs(docs),
+      "nearDupCharPairs" -> Graft.nearDupCharPairs(docs),
+      "simhashPairs" -> Graft.simhashPairs(docs),
+      "languageId" -> Graft.languageId(docs),
+      "qualityScore" -> Graft.qualityScore(docs),
+      "tokenCounts" -> Graft.tokenCounts(docs),
+      "fingerprints" -> Graft.fingerprints(docs),
+      "repetitionStats" -> Graft.repetitionStats(docs),
+      "tfIdfTopK" -> Graft.tfIdfTopK(docs),
+      "qualityFilter" -> Graft.qualityFilter(docs),
+      "unigramScores" -> Graft.unigramScores(docs),
+      "noveltyScores" -> Graft.noveltyScores(docs),
+      "exactSubstrStats" -> Graft.exactSubstrStats(docs),
+      "containmentPairs" -> Graft.containmentPairs(docs),
+      "vocabTopK" -> Graft.vocabTopK(docs),
+      "stratifiedSample" -> Graft.stratifiedSample(docs),
+      "lengthStats" -> Graft.lengthStats(docs),
+      "tokenBudgetSample" -> Graft.tokenBudgetSample(docs),
+      "shardAssign" -> Graft.shardAssign(docs),
+      "redactPii" -> Graft.redactPii(docs),
+      "cleanCorpus" -> Graft.cleanCorpus(docs))
+    results.foreach { case (name, df) =>
+      val n = try df.count() catch {
+        case t: Throwable => fail(s"$name threw on null/empty text: $t")
+      }
+      assert(n >= 0, name)
+    }
+  }
+
   test("rate-source generator composes with the detector end-to-end") {
     import spark.implicits._
     // live Structured Streaming pipeline: rate source -> generator
