@@ -186,6 +186,12 @@ object Graft {
     operators.Merge.merge(target, source, targetKey, sourceKey,
       whenMatched, insertValues)
 
+  /** Small-file compaction of a parquet directory to ~targetMB files
+    * (post-streaming-sink hygiene); returns (filesBefore, filesAfter). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetMB: Int = 128): (Int, Int) =
+    sources.ParquetStore.compact(spark, path, targetMB)
+
   // ---- streaming ----------------------------------------------------
   /** The north-star stateful timeout detector (works on batch or
     * streaming Datasets; streaming needs a watermark-capable source). */

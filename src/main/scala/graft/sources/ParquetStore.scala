@@ -81,6 +81,35 @@ object ParquetStore {
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~targetMB-sized files, preserving every row — the hygiene pass
+    * that follows streaming sinks and fine-grained appends at scale
+    * (thousands of KB-sized files turn a scan into a file-listing
+    * benchmark). Output file count = ceil(inputBytes / targetMB),
+    * floor 1; the rewrite stages into a sibling directory and swaps,
+    * so a concurrent reader sees either the old or the new layout —
+    * but, like [[insertIfAbsent]], cross-driver atomicity needs a
+    * transactional table format; plain directories have no commit
+    * protocol. Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetMB * (1L << 20) - 1) /
+      (targetMB * (1L << 20))).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    spark.read.parquet(path).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val nAfter = fs.listStatus(tmp)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (parts.length, nAfter)
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -191,6 +191,21 @@ class SourcesSpec extends SparkSpec {
     assert(opts("kafka.delivery.timeout.ms") == "60000")
   }
 
+  test("compaction shrinks the file count and preserves every row") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact_").toString + "/t"
+    // 20 one-row appends => 20+ tiny files, the streaming-sink pathology
+    (0 until 20).foreach { i =>
+      ParquetStore.append(Seq((i.toLong, s"row$i")).toDF("k", "v"), dir)
+    }
+    val before = spark.read.parquet(dir).collect().map(_.toSeq.toString).sorted
+    val (nBefore, nAfter) = ParquetStore.compact(spark, dir, targetMB = 128)
+    assert(nBefore >= 20)
+    assert(nAfter == 1) // 20 tiny rows fit one target-sized file
+    val after = spark.read.parquet(dir).collect().map(_.toSeq.toString).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("insertIfAbsent ignores duplicate keys across batches") {
     import spark.implicits._
     val dir = Files.createTempDirectory("pqstore").toString + "/t"
