@@ -38,6 +38,12 @@ object Graft {
   def embeddingDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
     operators.Dedup.embeddingDupPairs(embeddings, threshold)
 
+  /** Global top-k most-similar embedding pairs (closest-pairs mining)
+    * over the banded candidate set — LSH-bounded recall, no cross
+    * product, top-k fused (TakeOrderedAndProject). */
+  def closestPairs(embeddings: DataFrame, k: Int = 100): DataFrame =
+    operators.Dedup.closestPairs(embeddings, k)
+
   /** Exact all-pairs variant — the recall baseline; fixture-scale only. */
   def embeddingDupPairsExact(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
     operators.Dedup.embeddingDupPairsExact(embeddings, threshold)

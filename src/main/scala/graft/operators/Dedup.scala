@@ -398,7 +398,9 @@ object Dedup {
   def x05(s: SparkSession, d: String): DataFrame =
     embeddingDupPairs(Tables.embeddings(s, d))
 
-  val x05Sql: String = {
+  /** Shared DuckDB CTE body of the x05 banding: candidate pairs with
+    * their exact cosine in relation `p` (a, b, cos). */
+  private val x05SqlBody: String = {
     def fmt(x: Double): String = f"$x%.3f"
     val planeRows = (0 until NTables * BitsPerTable).map { i =>
       s"(${i / BitsPerTable}, ${i % BitsPerTable}, [${x05Planes(i).map(fmt).mkString(", ")}])"
@@ -415,9 +417,36 @@ object Dedup {
        |  FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id),
        |p AS (SELECT a, b,
        |  list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) AS cos
-       |  FROM cand JOIN n na ON na.vec_id = cand.a JOIN n nb ON nb.vec_id = cand.b)
-       |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p WHERE cos >= 0.4""".stripMargin
+       |  FROM cand JOIN n na ON na.vec_id = cand.a JOIN n nb ON nb.vec_id = cand.b)""".stripMargin
   }
+
+  val x05Sql: String =
+    s"""$x05SqlBody
+       |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p WHERE cos >= 0.4""".stripMargin
+
+  // ---------------------------------------------------------------- x37
+  /** Closest-pairs mining: the global top-k most-similar embedding
+    * pairs. Candidates come from the same sign-projection banding as
+    * x05 (equi-join on band keys, never a cross product); every
+    * candidate is ranked by exact cosine with a total-order tie-break
+    * (cos_u DESC, a, b), and the top-k compiles to
+    * TakeOrderedAndProject — per-partition heads merged on the driver,
+    * no global sort. Recall is LSH-bounded exactly like x05: a pair
+    * missing from every band cannot be ranked — acceptable because
+    * high-cosine pairs are precisely the ones banding collides with
+    * highest probability (the paired-dataset trade documented there). */
+  def closestPairs(emb: DataFrame, k: Int = 100): DataFrame =
+    embeddingDupPairs(emb, thresh = -1.0)
+      .orderBy(col("cos_u").desc, col("a").asc, col("b").asc)
+      .limit(k)
+
+  def x37(s: SparkSession, d: String): DataFrame =
+    closestPairs(Tables.embeddings(s, d))
+
+  val x37Sql: String =
+    s"""$x05SqlBody
+       |SELECT a, b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_u FROM p
+       |ORDER BY cos_u DESC, a, b LIMIT 100""".stripMargin
 
   // ---------------------------------------------------------------- x27
   /** Incremental near-dup: an incoming BATCH checked against the
@@ -679,6 +708,7 @@ object Dedup {
     "x29_novelty" -> (x29 _),
     "x30_containment" -> (x30 _),
     "x35_exact_substr" -> (x35 _),
+    "x37_closest_pairs" -> (x37 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -691,5 +721,6 @@ object Dedup {
     "x29_novelty" -> x29Sql,
     "x30_containment" -> x30Sql,
     "x35_exact_substr" -> x35Sql,
+    "x37_closest_pairs" -> x37Sql,
   )
 }

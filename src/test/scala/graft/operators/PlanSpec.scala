@@ -166,6 +166,15 @@ class PlanSpec extends SparkSpec {
       "corpus total must come from the vocab window, not a scalar join")
   }
 
+  test("x37 closest pairs fuses top-k and stays banded") {
+    val p = plan(Dedup.x37(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "global top-k must be per-partition heads, not a global sort")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must come from the band join")
+  }
+
   test("x34 shard packing is one cumulative-sum shuffle") {
     val p = plan(Sampling.x34(spark, sf))
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
