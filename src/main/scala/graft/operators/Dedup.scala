@@ -229,8 +229,30 @@ object Dedup {
     val ss = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), mk(lower(col("text"))).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persistedSigs.add(ss)
     ss.select(col("doc_id") +: col("ss.hs").as("hs") +:
       (0 until nSlots).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
+  }
+
+  /** Signature relations persisted by [[narrowSigOf]], tracked so a
+    * long-lived driver can release them: each near-dup entry point
+    * (word/char pairs, containment, incremental) pins one cached
+    * relation for the lifetime of the session otherwise. */
+  private val persistedSigs =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Unpersist every signature relation cached by the near-dup entry
+    * points and forget them. Call after the returned plans have been
+    * consumed (e.g. between corpora in a long-lived driver); returns
+    * the number of relations released. Safe to call at any time — an
+    * in-flight query that still needs a released relation just
+    * recomputes the narrow projection. */
+  def unpersistSignatures(blocking: Boolean = false): Int = {
+    var n = 0
+    val it = persistedSigs.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking); it.remove(); n += 1 }
+    n
   }
 
   private[operators] def charSigOf(docs: DataFrame, seed: Int, r: Int,
@@ -348,7 +370,16 @@ object Dedup {
     }
 
   /** Library entry: banded cosine near-dup over (vec_id, embedding). */
-  def embeddingDupPairs(emb: DataFrame, thresh: Double = 0.4): DataFrame = {
+  def embeddingDupPairs(emb: DataFrame, thresh: Double = 0.4): DataFrame =
+    bandedCosinePairs(emb, Some(thresh))
+
+  /** Shared banded-candidate builder for [[embeddingDupPairs]] (with a
+    * cosine floor) and [[closestPairs]] (no floor — `thresh = None`
+    * ranks EVERY banded candidate, so Spark and the oracle evaluate the
+    * identical candidate set; a sentinel like -1.0 would drop an
+    * antipodal pair whose float cosine lands fractionally below -1). */
+  private def bandedCosinePairs(emb: DataFrame, thresh: Option[Double])
+      : DataFrame = {
     import graft.functions.ArrayMath
     val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -371,9 +402,9 @@ object Dedup {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()
     val ea = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val eb = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(ea, "a").join(eb, "b")
+    val scored = cand.join(ea, "a").join(eb, "b")
       .withColumn("cos", ArrayMath.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= thresh)
+    thresh.fold(scored)(t => scored.filter(col("cos") >= t))
       .select(col("a"), col("b"),
         floor(col("cos") * 1000000).cast("long").as("cos_u"))
   }
@@ -436,7 +467,7 @@ object Dedup {
     * high-cosine pairs are precisely the ones banding collides with
     * highest probability (the paired-dataset trade documented there). */
   def closestPairs(emb: DataFrame, k: Int = 100): DataFrame =
-    embeddingDupPairs(emb, thresh = -1.0)
+    bandedCosinePairs(emb, thresh = None)
       .orderBy(col("cos_u").desc, col("a").asc, col("b").asc)
       .limit(k)
 

@@ -130,8 +130,8 @@ object Sampling {
        |  ${duckH60("concat('budget_', CAST(doc_id AS VARCHAR))")} AS hk
        |  FROM documents),
        |c AS (SELECT doc_id, source, toks,
-       |  sum(toks) OVER (PARTITION BY source ORDER BY hk, doc_id
-       |                  ROWS UNBOUNDED PRECEDING) AS cum_toks
+       |  CAST(sum(toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
        |  FROM t)
        |SELECT doc_id, source, toks, cum_toks FROM c
        |WHERE cum_toks <= 5000""".stripMargin

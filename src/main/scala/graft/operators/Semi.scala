@@ -36,7 +36,7 @@ object Semi {
 
   val x31Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(k) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type,
       |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
       |      FROM events)

@@ -286,8 +286,10 @@ object Similarity {
     * equi-join on cid whose candidate volume is sum(|cell|²), bounded
     * by sizing K ~ sqrt(n) exactly as the SemDeDup recipe prescribes
     * (the fixture's K=16 keeps the oracle replayable). No cross
-    * product; the verdict join is a broadcast of the removed-id set,
-    * which only shrinks the corpus. */
+    * product; the verdict join is a shuffle-hash left join on vec_id —
+    * NOT a broadcast: at an aggressive threshold SemDeDup removes a
+    * large fraction of the corpus, so the removed set is O(n) and must
+    * stay distributed. */
   def semDedup(emb: DataFrame, thresh: Double = SemThresh,
       lloydIters: Int = LloydIters): DataFrame = {
     import graft.functions.ArrayMath
@@ -305,7 +307,7 @@ object Similarity {
       .select(col("b").as("vec_id")).distinct()
       .withColumn("rm", lit(1))
     assign.select(col("vec_id"), col("cid"))
-      .join(broadcast(removed), Seq("vec_id"), "left")
+      .join(removed.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid"), col("rm").isNull.as("kept"))
   }
 

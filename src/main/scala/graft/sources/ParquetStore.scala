@@ -86,11 +86,16 @@ object ParquetStore {
     * that follows streaming sinks and fine-grained appends at scale
     * (thousands of KB-sized files turn a scan into a file-listing
     * benchmark). Output file count = ceil(inputBytes / targetMB),
-    * floor 1; the rewrite stages into a sibling directory and swaps,
-    * so a concurrent reader sees either the old or the new layout —
-    * but, like [[insertIfAbsent]], cross-driver atomicity needs a
-    * transactional table format; plain directories have no commit
-    * protocol. Returns (filesBefore, filesAfter).
+    * floor 1; the rewrite stages into a sibling directory, renames the
+    * live directory aside, renames the staging directory into place,
+    * then deletes the old data — the live path is absent only between
+    * two metadata renames (not during the data rewrite), and a crash at
+    * any point leaves the full dataset in a discoverable named
+    * directory (`path`, `path + "_compact_old"`, or
+    * `path + "_compact_tmp"`). Directory rename is atomic on HDFS and
+    * POSIX but NOT on object stores (S3 renames are copies), and, like
+    * [[insertIfAbsent]], cross-driver coordination needs a
+    * transactional table format. Returns (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -101,12 +106,15 @@ object ParquetStore {
     val nOut = math.max(1L, (bytes + targetMB * (1L << 20) - 1) /
       (targetMB * (1L << 20))).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
     spark.read.parquet(path).repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val nAfter = fs.listStatus(tmp)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    fs.delete(p, true)
+    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
+    fs.rename(p, old)
     fs.rename(tmp, p)
+    fs.delete(old, true)
     (parts.length, nAfter)
   }
 

@@ -153,8 +153,10 @@ class PlanSpec extends SparkSpec {
     val p = plan(Similarity.x33(spark, sf))
     assert(!p.contains("CartesianProduct"), "x33 must not cross-join")
     assert(!p.contains("BroadcastNestedLoopJoin"), "x33 must not nested-loop-join")
-    // verdict join builds on the removed-id set (the shrinking side)
-    assert(p.contains("BroadcastHashJoin"), "verdict marking must broadcast")
+    // verdict join stays distributed: the removed set is O(corpus) at an
+    // aggressive threshold, so broadcasting it is a driver OOM at scale
+    assert(p.contains("ShuffledHashJoin"),
+      "verdict marking must shuffle-hash join, not broadcast")
   }
 
   test("x36 broadcasts the vocab; the corpus never shuffles for the join") {
