@@ -8,70 +8,226 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * typed metadata, decoded in BATCHES through a typed mapPartitions —
   * the Spark-side shape a real vectorized image/audio decoder plugs
   * into (fixed batch size, one decoder instance per partition, columnar
-  * in/out). The decode itself is a STUB (this container has no codec
-  * libraries): a deterministic fake derives dimensions from the
-  * payload's md5, which keeps the pipeline end-to-end testable and
-  * oracle-checkable while the real codec is a drop-in replacement for
-  * [[Decode.decodeBatch]].
+  * in/out).
+  *
+  * The image and audio paths decode REAL bytes: payloads are valid
+  * binary PPM (P6) images and RIFF/WAVE 16-bit PCM files, and
+  * [[Decode]] parses them back — header walk, chunk scan, sample
+  * extraction — with no codec libraries (both formats are uncompressed
+  * and fully specified by their public format docs). The generator and
+  * parser share no arithmetic: the oracle recomputes every expected
+  * value independently from doc_id, so a parser bug fails the gate.
+  * Only VIDEO decode (m02) remains a declared stub — inter-frame
+  * compression genuinely needs a codec library this container lacks —
+  * so m02 exercises the decimation plumbing over char frames.
   */
 object Multimodal {
 
   /** Opaque media row: payload is the raw encoded bytes. */
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String)
 
-  /** Typed decode output (what a codec would yield per item). */
+  /** Typed decode output: header dimensions plus a checksum over the
+    * actual pixel bytes (proof the parser read the payload body, not
+    * just the header). */
   case class DecodedMedia(media_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, aspect_milli: Int)
+      width: Int, height: Int, aspect_milli: Int, pix_sum: Long)
 
   /** Decoder batch size — real codecs amortize model/codec setup per
     * batch; the contract is batch-in/batch-out. */
   val BatchSize = 64
 
-  object Decode {
-    /** STUB decoder ???: stands in for an image codec (libjpeg etc.).
-      * Deterministic fake — dimensions derived from md5(payload) — so
-      * the surrounding plumbing (schema, batching, partitioning) is
-      * real and verified even though no pixels are decoded. */
-    def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedMedia] =
-      batch.map { m =>
-        val h = PortableHash.h60(m.payload)
-        val width = (16 + (h % 1024)).toInt
-        val height = (16 + ((h / 1024) % 1024)).toInt
-        DecodedMedia(m.media_id, m.kind, m.payload.length,
-          width, height, (width * 1000 / height).toInt)
+  /** Deterministic VALID media payloads derived from doc_id alone, so
+    * the DuckDB oracle can recompute the expected decode output without
+    * parsing binary itself. */
+  object MediaGen {
+    /** Binary PPM (P6): `P6\n<w> <h>\n255\n` + 3·w·h RGB bytes.
+      * w in [8,31], h in [8,31], pixel i = (id·31 + i·7) mod 256. */
+    def ppm(docId: Long): Array[Byte] = {
+      val w = (8 + Math.floorMod(docId, 24)).toInt
+      val h = (8 + Math.floorMod(docId * 3, 24)).toInt
+      val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val px = Array.tabulate(3 * w * h)(i =>
+        Math.floorMod(docId * 31 + i.toLong * 7, 256).toByte)
+      header ++ px
+    }
+
+    /** RIFF/WAVE, mono 16-bit PCM @8 kHz: 44-byte canonical header +
+      * n samples, n = 64 + id mod 128, sample i = (id·13 + i·17) mod
+      * 2001 − 1000 (range ±1000, well inside 16-bit). */
+    def wav(docId: Long): Array[Byte] = {
+      val n = (64 + Math.floorMod(docId, 128)).toInt
+      val dataSz = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataSz)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataSz)
+      bb.put("WAVE".getBytes(ascii))
+      bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+      bb.putShort(1); bb.putShort(1)           // PCM, mono
+      bb.putInt(8000); bb.putInt(16000)        // sample rate, byte rate
+      bb.putShort(2); bb.putShort(16)          // block align, bits/sample
+      bb.put("data".getBytes(ascii)); bb.putInt(dataSz)
+      var i = 0
+      while (i < n) {
+        bb.putShort((Math.floorMod(docId * 13 + i.toLong * 17, 2001) - 1000).toShort)
+        i += 1
       }
+      bb.array()
+    }
   }
 
-  /** Build the media table from the documents fixture (payload = utf-8
-    * bytes of the text standing in for encoded media). */
+  object Decode {
+    /** Parse a binary PPM (P6): magic, whitespace/comment-tolerant
+      * header ints, then the exact 3·w·h pixel body. Returns
+      * (width, height, pixel byte sum). Throws on malformed input —
+      * this is a parser, not a guesser. */
+    def parsePpm(b: Array[Byte]): (Int, Int, Long) = {
+      require(b.length > 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM")
+      var i = 2
+      def skipWs(): Unit = {
+        while (i < b.length &&
+          (b(i) == ' ' || b(i) == '\n' || b(i) == '\t' || b(i) == '\r')) i += 1
+        if (i < b.length && b(i) == '#') { // header comment line
+          while (i < b.length && b(i) != '\n') i += 1
+          skipWs()
+        }
+      }
+      def readInt(): Int = {
+        skipWs()
+        require(i < b.length && b(i) >= '0' && b(i) <= '9', "bad header int")
+        var v = 0
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = readInt(); val h = readInt(); val maxVal = readInt()
+      require(maxVal == 255, s"unsupported maxval $maxVal")
+      i += 1 // exactly one whitespace byte separates header from pixels
+      require(b.length - i == 3 * w * h, "pixel body length mismatch")
+      var s = 0L
+      var j = i
+      while (j < b.length) { s += (b(j) & 0xff); j += 1 }
+      (w, h, s)
+    }
+
+    /** Parse a RIFF/WAVE file: verify the RIFF/WAVE magic, walk the
+      * chunk list (word-aligned, per the RIFF spec) to `fmt ` (require
+      * mono 16-bit PCM) and `data`, and return the little-endian
+      * samples. Throws on malformed input. */
+    def parseWav(b: Array[Byte]): Array[Short] = {
+      def le32(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def tag(o: Int): String =
+        new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE file")
+      var o = 12
+      var fmtOk = false
+      var data: Array[Short] = null
+      while (o + 8 <= b.length) {
+        val id = tag(o); val sz = le32(o + 4)
+        require(sz >= 0 && o + 8 + sz <= b.length, s"chunk $id overruns file")
+        if (id == "fmt ") {
+          require(le16(o + 8) == 1, "not PCM")
+          require(le16(o + 10) == 1, "not mono")
+          require(le16(o + 22) == 16, "not 16-bit")
+          fmtOk = true
+        } else if (id == "data") {
+          val base = o + 8
+          data = Array.tabulate(sz / 2)(k => le16(base + 2 * k).toShort)
+        }
+        o += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(fmtOk, "missing fmt chunk")
+      require(data != null, "missing data chunk")
+      data
+    }
+
+    /** Image decode over a batch: parse each payload's header and
+      * pixel body. Batch-in/batch-out — a vectorized codec drops into
+      * this same signature. */
+    def decodeBatch(batch: Seq[MediaRow]): Seq[DecodedMedia] =
+      batch.map { m =>
+        val (w, h, pixSum) = parsePpm(m.payload)
+        DecodedMedia(m.media_id, m.kind, m.payload.length,
+          w, h, w * 1000 / h, pixSum)
+      }
+
+    /** Clip-level PCM features from parsed samples: count, energy
+      * Σ amp², zero crossings (voicedness proxy), peak |amp|
+      * (clipping detector). */
+    def pcmFeatures(samples: Array[Short]): (Int, Long, Int, Int) = {
+      var energy = 0L; var zcr = 0; var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val a = samples(i).toInt
+        energy += a.toLong * a
+        if (i > 0 && (samples(i - 1) < 0) != (a < 0)) zcr += 1
+        if (math.abs(a) > peak) peak = math.abs(a)
+        i += 1
+      }
+      (samples.length, energy, zcr, peak)
+    }
+  }
+
+  /** Image table: one valid binary PPM per document row, synthesized
+    * from doc_id (the fixture ships no real media; at deploy the same
+    * schema reads encoded bytes from any binary column). */
+  def imageTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .map(id => MediaRow(id, MediaGen.ppm(id), "image"))
+      .toDF()
+  }
+
+  /** Audio table: one valid mono 16-bit PCM WAV per document row. */
+  def audioTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .map(id => MediaRow(id, MediaGen.wav(id), "audio"))
+      .toDF()
+  }
+
+  /** Text-payload media table — the VIDEO stub's input (m02): payload
+    * is the utf-8 text standing in for an encoded stream, because
+    * inter-frame video decode needs codec libraries this container
+    * lacks. */
   def mediaTable(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).selectExpr(
       "doc_id AS media_id",
       "cast(text as binary) AS payload",
-      "'image' AS kind")
+      "'video' AS kind")
 
-  /** m01 — the full decode pipeline: binary payloads -> batched decode
-    * -> typed metadata. Narrow plan (no shuffle); each partition streams
-    * its rows through the decoder in BatchSize groups. */
+  /** m01 — the full image decode pipeline: binary payloads -> batched
+    * parse -> typed metadata + pixel checksum. Narrow plan (no
+    * shuffle); each partition streams its rows through the decoder in
+    * BatchSize groups. */
   def m01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d).as[MediaRow]
+    imageTable(s, d).as[MediaRow]
       .mapPartitions(_.grouped(BatchSize).flatMap(Decode.decodeBatch))
       .toDF()
   }
 
-  /** Oracle: md5(payload) == md5(text) because the payload IS the utf-8
-    * text, so DuckDB replays the stub decoder arithmetic exactly. */
+  /** Oracle: recomputes the expected decode output from doc_id alone —
+    * header length arithmetic for n_bytes, the generator's pixel
+    * formula for pix_sum — sharing NO code with the Spark-side parser,
+    * which must read the same numbers out of the actual bytes. */
   val m01Sql: String =
-    s"""SELECT media_id, kind, n_bytes, width, height,
-       |  CAST(width * 1000 // height AS INT) AS aspect_milli
-       |FROM (
-       |  SELECT doc_id AS media_id, 'image' AS kind,
-       |    CAST(octet_length(encode(text)) AS INT) AS n_bytes,
-       |    CAST(16 + h % 1024 AS INT) AS width,
-       |    CAST(16 + (h // 1024) % 1024 AS INT) AS height
-       |  FROM (SELECT doc_id, text, ${PortableHash.duckH60("text")} AS h
-       |        FROM documents))""".stripMargin
+    """SELECT media_id, kind,
+      |  CAST(9 + len(CAST(width AS VARCHAR)) + len(CAST(height AS VARCHAR))
+      |       + 3 * width * height AS INT) AS n_bytes,
+      |  width, height,
+      |  CAST(width * 1000 // height AS INT) AS aspect_milli,
+      |  CAST(list_sum(list_transform(range(0, 3 * width * height),
+      |    i -> (media_id * 31 + i * 7) % 256)) AS BIGINT) AS pix_sum
+      |FROM (
+      |  SELECT doc_id AS media_id, 'image' AS kind,
+      |    CAST(8 + doc_id % 24 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 24 AS INT) AS height
+      |  FROM documents)""".stripMargin
 
   /** Frame size for the frame-sampling stub (a video decoder would
     * yield real frames; chunking the payload keeps the plumbing and
@@ -136,46 +292,27 @@ object Multimodal {
   }
 
   val m03Sql: String =
-    s"""SELECT media_id, width, height,
-       |  CAST(CASE WHEN width >= height THEN 256 ELSE width * 256 // height END AS INT) AS new_width,
-       |  CAST(CASE WHEN width >= height THEN height * 256 // width ELSE 256 END AS INT) AS new_height
-       |FROM (
-       |  SELECT doc_id AS media_id,
-       |    CAST(16 + h % 1024 AS INT) AS width,
-       |    CAST(16 + (h // 1024) % 1024 AS INT) AS height
-       |  FROM (SELECT doc_id, ${PortableHash.duckH60("text")} AS h FROM documents))""".stripMargin
+    """SELECT media_id, width, height,
+      |  CAST(CASE WHEN width >= height THEN 256 ELSE width * 256 // height END AS INT) AS new_width,
+      |  CAST(CASE WHEN width >= height THEN height * 256 // width ELSE 256 END AS INT) AS new_height
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    CAST(8 + doc_id % 24 AS INT) AS width,
+      |    CAST(8 + (doc_id * 3) % 24 AS INT) AS height
+      |  FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------- m04
-  /** m04 — audio feature extraction: treat the payload as a PCM sample
-    * stream (STUB: one signed-byte sample per code point, amp =
-    * cp % 256 − 128 — a real decoder would emit true samples into the
-    * same batch shape) and extract the classic clip-level features a
-    * speech-filtering pipeline keys on: sample count, total energy
-    * Σ amp², zero-crossing count (voicedness proxy), and peak |amp|
-    * (clipping detector). Integer arithmetic only, so the oracle replays
-    * it exactly; the Spark side runs the same batched typed
-    * mapPartitions as the image decode (one "decoder" per partition,
-    * BatchSize items per call, narrow plan). */
-  private[multimodal] def audioFeatures(text: String): (Int, Long, Int, Int) = {
-    val amps = text.codePoints().toArray.map(cp => cp % 256 - 128)
-    var energy = 0L; var zcr = 0; var peak = 0
-    var i = 0
-    while (i < amps.length) {
-      val a = amps(i)
-      energy += a.toLong * a
-      if (i > 0 && (amps(i - 1) < 0) != (a < 0)) zcr += 1
-      if (math.abs(a) > peak) peak = math.abs(a)
-      i += 1
-    }
-    (amps.length, energy, zcr, peak)
-  }
-
+  /** m04 — audio feature extraction: parse each WAV payload (RIFF
+    * chunk walk, 16-bit LE PCM) and extract the classic clip-level
+    * features a speech-filtering pipeline keys on. Same batched typed
+    * mapPartitions as the image decode (one decoder per partition,
+    * BatchSize items per call, narrow plan); the oracle recomputes the
+    * expected samples from doc_id via the generator formula. */
   def m04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, d).as[MediaRow]
+    audioTable(s, d).as[MediaRow]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-        val (n, energy, zcr, peak) = audioFeatures(text)
+        val (n, energy, zcr, peak) = Decode.pcmFeatures(Decode.parseWav(m.payload))
         (m.media_id, n, energy, zcr, peak)
       }))
       .toDF("media_id", "n_samples", "energy", "zcr", "peak")
@@ -183,13 +320,14 @@ object Multimodal {
 
   val m04Sql: String =
     """SELECT media_id, CAST(len(a) AS INT) AS n_samples,
-      |  CAST(coalesce(list_sum(list_transform(a, x -> CAST(x AS BIGINT) * x)), 0) AS BIGINT) AS energy,
-      |  CAST(coalesce(list_sum(list_transform(range(2, len(a) + 1),
-      |    i -> CASE WHEN (a[i-1] < 0) <> (a[i] < 0) THEN 1 ELSE 0 END)), 0) AS INT) AS zcr,
-      |  CAST(coalesce(list_max(list_transform(a, x -> abs(x))), 0) AS INT) AS peak
+      |  CAST(list_sum(list_transform(a, x -> x * x)) AS BIGINT) AS energy,
+      |  CAST(list_sum(list_transform(range(2, len(a) + 1),
+      |    i -> CASE WHEN (a[i-1] < 0) <> (a[i] < 0) THEN 1 ELSE 0 END)) AS INT) AS zcr,
+      |  CAST(list_max(list_transform(a, x -> abs(x))) AS INT) AS peak
       |FROM (
-      |  SELECT doc_id AS media_id, list_transform(range(1, length(text) + 1),
-      |    i -> unicode(substr(text, i, 1)) % 256 - 128) AS a
+      |  SELECT doc_id AS media_id,
+      |    list_transform(range(0, 64 + doc_id % 128),
+      |      i -> (doc_id * 13 + i * 17) % 2001 - 1000) AS a
       |  FROM documents)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -322,9 +322,11 @@ object TextOps {
     * number of [EMAIL]/[IP]/[PHONE] tokens in the output — an IP
     * absorbed into an email match counts once, as an email.
     *
-    * Library-only entry (own spec, no oracle row): the synthetic
-    * fixture corpus contains no PII, so an oracle query would pin an
-    * all-zero answer and gate nothing. */
+    * Gated by x38: the synthetic fixture corpus contains no PII, so
+    * the driver query synthesizes PII-bearing text deterministically
+    * from doc_id INSIDE the query (both engines build the identical
+    * string), making the masked output and per-kind counts nonzero and
+    * fully oracle-checked. */
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
   private val PhoneRe = "\\+?\\d[\\d().-]{6,}\\d\\b"
@@ -339,6 +341,59 @@ object TextOps {
       .withColumn(textCol, regexp_replace(afterIp, PhoneRe, "[PHONE]"))
   }
 
+  /** PII-bearing fixture built from doc_id alone: every doc gets one
+    * email and one private-range IP; every third doc a second email;
+    * every fourth a phone. Both engines construct the identical bytes,
+    * so the redacted text and counts are exact-match checkable. */
+  private def piiFixture(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        lit("Reach u"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" cc admin"), col("doc_id").cast("string"),
+            lit("@corp.net"))).otherwise(lit("")),
+        lit(" via 192.168."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+        when(col("doc_id") % 4 === 1,
+          concat(lit(" or call +1-202-"),
+            lpad((col("doc_id") % 10000).cast("string"), 7, "0")))
+          .otherwise(lit(" no phone")),
+        lit(" end.")).as("text"))
+
+  def x38(s: SparkSession, d: String): DataFrame =
+    redactPii(piiFixture(Tables.documents(s, d)))
+      .select(col("doc_id"), col("text"),
+        col("n_emails").cast("long").as("n_emails"),
+        col("n_ips").cast("long").as("n_ips"),
+        col("n_phones").cast("long").as("n_phones"))
+
+  val x38Sql: String =
+    s"""WITH p AS (SELECT doc_id,
+       |  concat('Reach u', CAST(doc_id AS VARCHAR),
+       |    '@mail', CAST(doc_id % 7 AS VARCHAR), '.com',
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN concat(' cc admin', CAST(doc_id AS VARCHAR), '@corp.net')
+       |      ELSE '' END,
+       |    ' via 192.168.', CAST(doc_id % 256 AS VARCHAR),
+       |    '.', CAST((doc_id * 7) % 256 AS VARCHAR),
+       |    CASE WHEN doc_id % 4 = 1
+       |      THEN concat(' or call +1-202-',
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0'))
+       |      ELSE ' no phone' END,
+       |    ' end.') AS t
+       |  FROM documents),
+       |e AS (SELECT doc_id,
+       |  len(regexp_extract_all(t, '$EmailRe')) AS n_emails,
+       |  regexp_replace(t, '$EmailRe', '[EMAIL]', 'g') AS t1 FROM p),
+       |i AS (SELECT doc_id, n_emails,
+       |  len(regexp_extract_all(t1, '$Ipv4Re')) AS n_ips,
+       |  regexp_replace(t1, '$Ipv4Re', '[IP]', 'g') AS t2 FROM e),
+       |f AS (SELECT doc_id, n_emails, n_ips,
+       |  len(regexp_extract_all(t2, '$PhoneRe')) AS n_phones,
+       |  regexp_replace(t2, '$PhoneRe', '[PHONE]', 'g') AS text FROM i)
+       |SELECT doc_id, text, n_emails, n_ips, n_phones FROM f""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x08_lang_id" -> (x08 _),
     "x09_quality_score" -> (x09 _),
@@ -348,6 +403,7 @@ object TextOps {
     "x22_tfidf_topk" -> (x22 _),
     "x32_quality_filter" -> (x32 _),
     "x36_unigram_score" -> (x36 _),
+    "x38_redact_pii" -> (x38 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -359,5 +415,6 @@ object TextOps {
     "x22_tfidf_topk" -> x22Sql,
     "x32_quality_filter" -> x32Sql,
     "x36_unigram_score" -> x36Sql,
+    "x38_redact_pii" -> x38Sql,
   )
 }
