@@ -29,6 +29,8 @@ object SparkEntry {
       operators.Decontaminate.queries ++
       operators.Sampling.queries ++
       operators.Semi.queries ++
+      operators.Skew.queries ++
+      operators.Bucketed.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -45,6 +47,8 @@ object SparkEntry {
       operators.Decontaminate.oracleSql ++
       operators.Sampling.oracleSql ++
       operators.Semi.oracleSql ++
+      operators.Skew.oracleSql ++
+      operators.Bucketed.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

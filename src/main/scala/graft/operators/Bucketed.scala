@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import graft.sources.ParquetStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed zero-shuffle join — the decisive 100 TB repeated-join
+  * technique (SURVEY §4): pay the shuffle ONCE at write time
+  * (`bucketBy` on the join key, both sides, same bucket count), then
+  * every subsequent equi-join on that key reads co-partitioned bucket
+  * files and joins with NO exchange at all. At 100 TB this converts a
+  * per-query two-sided shuffle of the fact table into a one-time
+  * layout cost amortized over every join that follows.
+  */
+object Bucketed {
+
+  private[graft] val NBuckets = 8
+
+  /** Write both sides bucketed on the join key (the one-time layout
+    * pass) and return the bucket-scan relations. Catalog table names
+    * are caller-scoped; SaveMode.Overwrite makes re-runs idempotent. */
+  def writeBucketedPair(s: SparkSession, left: DataFrame, leftTable: String,
+      leftKey: String, right: DataFrame, rightTable: String,
+      rightKey: String, nBuckets: Int = NBuckets)
+      : (DataFrame, DataFrame) = {
+    ParquetStore.writeBucketed(left, leftTable, leftKey, nBuckets)
+    ParquetStore.writeBucketed(right, rightTable, rightKey, nBuckets)
+    (s.table(leftTable), s.table(rightTable))
+  }
+
+  /** The join both bucket scans feed — exposed separately so PlanSpec
+    * can assert the exchange-free shape of the JOIN subtree itself
+    * (the aggregation above it legitimately shuffles on its own key). */
+  def bucketedJoin(cust: DataFrame, ord: DataFrame): DataFrame =
+    // merge hint: at fixture scale the planner would broadcast the
+    // small side, bypassing the bucket layout entirely; at the target
+    // scale NEITHER side is broadcastable — the hint pins the plan
+    // shape bucketing exists for (exchange-free sort-merge on buckets)
+    cust.hint("merge").join(ord, cust("c_custkey") === ord("o_custkey"))
+
+  /** q23 — customer ⋈ orders through the bucketed layout, aggregated to
+    * a stable integer-only result. The oracle runs the plain join on
+    * the raw parquet: identical output proves the bucketed path is a
+    * pure layout change, and PlanSpec proves it joins with zero
+    * exchanges. */
+  def q23(s: SparkSession, d: String): DataFrame = {
+    val (cust, ord) = writeBucketedPair(s,
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+      "g23_customer_bkt", "c_custkey",
+      Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+      "g23_orders_bkt", "o_custkey")
+    bucketedJoin(cust, ord)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+  }
+
+  val q23Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_bucketed_join" -> (q23 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q23_bucketed_join" -> q23Sql,
+  )
+}

@@ -76,10 +76,20 @@ object ParquetStore {
     * 100 TB (both sides bucketed on the join key => zero-shuffle
     * sort-merge join). Requires a catalog table (saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): Unit = {
+    val s = df.sparkSession
+    // Idempotent re-create: the in-memory catalog forgets tables across
+    // JVMs but the managed-table directory survives, and CREATE refuses
+    // a location that already exists — drop both.
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Small-file compaction: rewrite a parquet directory into
     * ~targetMB-sized files, preserving every row — the hygiene pass

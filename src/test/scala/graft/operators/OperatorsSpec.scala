@@ -403,13 +403,18 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
-  test("multimodal decode emits plausible typed metadata") {
+  test("multimodal decode parses real PPM headers and pixel bodies") {
     val rows = graft.multimodal.Multimodal.m01(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
+      val nBytes = r.getInt(2)
       val width = r.getInt(3); val height = r.getInt(4)
-      assert(width >= 16 && width < 1040)
-      assert(height >= 16 && height < 1040)
+      val pixSum = r.getLong(6)
+      assert(width >= 8 && width < 32)
+      assert(height >= 8 && height < 32)
+      // header + exactly 3wh pixel bytes
+      assert(nBytes == s"P6\n$width $height\n255\n".length + 3 * width * height)
+      assert(pixSum >= 0 && pixSum <= 3L * width * height * 255)
     }
   }
 }

@@ -184,4 +184,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       "cumulative sum must be a running window")
   }
+
+  test("q22 salted join spreads the hot key: join is on (k, __salt)") {
+    val p = plan(Skew.q22(spark, sf))
+    assert(p.contains("__salt"), "join keys must include the salt column")
+    assert(p.contains("Generate explode"),
+      "small side must replicate once per salt bucket")
+  }
+
+  test("q23 bucketed join subtree has zero exchanges") {
+    import graft.Tables
+    val (cust, ord) = Bucketed.writeBucketedPair(spark,
+      Tables.customer(spark, sf).select("c_custkey", "c_mktsegment"),
+      "g23_customer_bkt_spec", "c_custkey",
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey"),
+      "g23_orders_bkt_spec", "o_custkey")
+    val p = plan(Bucketed.bucketedJoin(cust, ord))
+    assert(!p.contains("Exchange"),
+      s"bucketed equi-join must read co-partitioned buckets, not shuffle:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "must still be a real join")
+    assert(p.contains("Bucketed: true"),
+      "both scans must report bucketed reads")
+  }
 }
