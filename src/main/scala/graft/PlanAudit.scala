@@ -27,6 +27,53 @@ object PlanAudit {
       "scalar subquery: the build side is ONE aggregated row",
   )
 
+  /** Plan features counted over the TREE (not the rendered string,
+    * which inlines cached plans and truncates deep trees — both of
+    * which corrupt counts): the audited plan PLUS every distinct
+    * cached-relation build plan reachable from it, recursively. A
+    * persisted intermediate would otherwise hide its upstream exchanges
+    * (and any nested-loop join!) behind an InMemoryTableScan. Relations
+    * are deduped by identity — one persisted signature relation scanned
+    * from both sides of a band join is one build, not two. */
+  private[graft] case class PlanFeatures(shuffles: Int, bcasts: Int,
+      codegen: Int, nlj: Int, topk: Boolean, cachedBuilds: Int,
+      ckptTruncated: Boolean)
+
+  private[graft] def planFeatures(
+      root: org.apache.spark.sql.execution.SparkPlan): PlanFeatures = {
+    import org.apache.spark.sql.execution._
+    val seen = scala.collection.mutable.Set[Int]()
+    def cachedPlans(p: SparkPlan): Seq[SparkPlan] = {
+      val fresh = p.collect {
+        case s: columnar.InMemoryTableScanExec => s.relation
+      }.filter(r => seen.add(System.identityHashCode(r))).map(_.cachedPlan)
+      fresh ++ fresh.flatMap(cachedPlans)
+    }
+    val cached = cachedPlans(root)
+    val all = root +: cached
+    def count(pf: PartialFunction[SparkPlan, Unit]): Int =
+      all.map(_.collect(pf).size).sum
+    PlanFeatures(
+      shuffles = count {
+        case e: exchange.ShuffleExchangeExec
+          if e.outputPartitioning
+            .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => ()
+      },
+      bcasts = count { case _: exchange.BroadcastExchangeExec => () },
+      codegen = count { case _: WholeStageCodegenExec => () },
+      nlj = count {
+        case _: joins.CartesianProductExec => ()
+        case _: joins.BroadcastNestedLoopJoinExec => ()
+      },
+      topk = all.exists(_.collectFirst {
+        case _: TakeOrderedAndProjectExec => () }.nonEmpty),
+      cachedBuilds = cached.size,
+      // an RDD scan (localCheckpoint/checkpoint) has no child plan: its
+      // upstream cost is structurally unrecoverable — a lower bound
+      ckptTruncated = all.exists(_.collectFirst {
+        case r: RDDScanExec => r }.nonEmpty))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val out = args.lift(1).getOrElse("PLANS.md")
@@ -46,22 +93,22 @@ object PlanAudit {
     val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("s0"))
       .map { case (name, fn) =>
-        val p = fn(spark, sfDir).queryExecution
-          .explainString(org.apache.spark.sql.execution.SimpleMode)
-        def n(pat: String) = pat.r.findAllIn(p).size
-        val shuffles = n("Exchange hashpartitioning")
-        val bcasts = n("BroadcastExchange")
-        // simple mode marks each codegen stage as "*(id)"; distinct ids
-        // = whole-stage spans
-        val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(p)
-          .map(_.group(1)).toSet.size
-        val nlj = n("(?:CartesianProduct|BroadcastNestedLoopJoin)")
-        val topk = if (p.contains("TakeOrderedAndProject")) "✓" else ""
+        val f = planFeatures(fn(spark, sfDir).queryExecution.executedPlan)
+        val topk = if (f.topk) "✓" else ""
         val flag =
-          if (nlj > 0 && !nestedLoopSanctioned.contains(name)) "NESTED-LOOP!"
-          else if (nlj > 0) "sanctioned-nl"
+          if (f.nlj > 0 && !nestedLoopSanctioned.contains(name)) "NESTED-LOOP!"
+          else if (f.nlj > 0) "sanctioned-nl"
           else ""
-        (name, shuffles, bcasts, codegen, topk, flag)
+        val cachedNote =
+          if (f.cachedBuilds > 0) s" (+${f.cachedBuilds} cached)" else ""
+        // checkpointed lineage is UNRECOVERABLE from the plan tree (an
+        // RDD scan has no child plan): mark those rows as lower bounds
+        // instead of silently blessing them; their per-pass kernel is
+        // separately audited un-truncated in PlanSpec.
+        val ckpt =
+          if (f.ckptTruncated) " (ckpt-truncated: lower bound)" else ""
+        (name, f.shuffles, f.bcasts, f.codegen, topk,
+          flag + cachedNote + ckpt)
       }
 
     val bad = rows.filter(_._6 == "NESTED-LOOP!")
@@ -70,8 +117,11 @@ object PlanAudit {
     md ++= s"Generated by `graft.PlanAudit` on `$sfDir`. Columns: shuffle\n"
     md ++= "exchanges / broadcast exchanges / whole-stage-codegen spans in\n"
     md ++= "the physical plan (pre-AQE), top-k fusion, and a flag if a\n"
-    md ++= "nested-loop or cartesian join appears anywhere. Sanctioned\n"
-    md ++= "nested loops:\n\n"
+    md ++= "nested-loop or cartesian join appears anywhere. The audit walks\n"
+    md ++= "INTO cached relations (recursively, deduped by identity), so a\n"
+    md ++= "persisted intermediate cannot hide its upstream exchanges — a\n"
+    md ++= "`(+N cached)` note marks rows counting N cached builds.\n"
+    md ++= "Sanctioned nested loops:\n\n"
     nestedLoopSanctioned.toSeq.sortBy(_._1).foreach { case (k, why) =>
       md ++= s"- `$k` — $why\n"
     }

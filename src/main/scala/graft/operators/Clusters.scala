@@ -41,11 +41,28 @@ object Clusters {
     *         it. Singletons (docs in no pair) are absent by design —
     *         callers keep them unconditionally.
     */
-  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxPasses: Int = 50): DataFrame = {
-    val edges = pairs
+  /** Both directions of every pair — the propagation graph. */
+  private[graft] def symmetricEdges(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame =
+    pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
+
+  /** One min-label propagation pass: send labels across edges, keep the
+    * minimum seen. Exposed so PlanSpec can audit the per-pass kernel
+    * UN-truncated — the loop checkpoints each pass, which hides this
+    * plan from the final query tree (PLANS.md marks those rows as lower
+    * bounds). */
+  private[graft] def propagationPass(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val msgs = edges.join(labels, edges("src") === labels("id"))
+      .select(col("dst").as("id"), col("lbl"))
+    labels.union(msgs).groupBy("id").agg(min(col("lbl")).as("lbl"))
+  }
+
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxPasses: Int = 50): DataFrame = {
+    val edges = symmetricEdges(pairs, aCol, bCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Each pass MUST rebase the labels DataFrame on materialized data
     // (localCheckpoint, eager): a mere persist() leaves the logical plan
@@ -74,9 +91,7 @@ object Clusters {
     var pass = 0
     var converged = false
     while (!converged && pass < maxPasses) {
-      val msgs = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      labels = labels.union(msgs).groupBy("id").agg(min(col("lbl")).as("lbl"))
+      labels = propagationPass(edges, labels)
         .localCheckpoint(eager = false)
       val nextSum = checksum(labels)
       converged = nextSum == prevSum

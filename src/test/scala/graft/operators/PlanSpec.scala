@@ -185,6 +185,28 @@ class PlanSpec extends SparkSpec {
       "cumulative sum must be a running window")
   }
 
+  test("x17 per-pass kernel (un-truncated): equi-join + agg, no nested loop") {
+    import graft.Tables
+    import org.apache.spark.sql.functions.{col, least, min}
+    // the CC loop checkpoints each pass, hiding this plan from the
+    // final tree — audit the kernel directly at its real per-pass shape:
+    // both inputs materialized (edges are built once and amortized over
+    // all passes; labels are the previous pass's checkpoint), so the
+    // plan contains exactly one pass's work and nothing upstream
+    val edges = Clusters.symmetricEdges(
+      Dedup.nearDupWordPairs(Tables.documents(spark, sf)), "a", "b")
+      .localCheckpoint()
+    val labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    val p = plan(Clusters.propagationPass(edges, labels))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "label propagation must be an equi-join")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 4, s"per-pass shuffle budget exceeded: $n exchanges\n$p")
+  }
+
   test("q22 salted join spreads the hot key: join is on (k, __salt)") {
     val p = plan(Skew.q22(spark, sf))
     assert(p.contains("__salt"), "join keys must include the salt column")
