@@ -50,10 +50,34 @@ object KafkaIO {
         struct(col("status"), col("phoneNumber"), col("carrier"), col("timestamp")),
         AvroWire.MessageStatusSchema).as("value"))
 
-  /** Registry schema ids for the two subjects; a deployment wires the
-    * real ids here (offline there is no registry to assign them). */
+  /** Registry subjects for the topic's key/value schemas (Confluent
+    * TopicNameStrategy, the reference serializer's default). */
+  val KeySubject = s"$Topic-key"
+  val ValueSubject = s"$Topic-value"
+
+  /** Fallback ids for the explicit-id entry points = what a fresh
+    * registry issues for (key, value) registration order. Production
+    * framing should go through the resolver overloads below, mirroring
+    * the reference's register-then-use flow. */
   val KeySchemaId = 1
   val ValueSchemaId = 2
+
+  /** Register both schemas (idempotently) with the resolver and frame
+    * with the ids IT issues — the reference producer's register-then-
+    * use flow (phone_message_producer.py:327-340). */
+  def frameConfluent(ds: Dataset[MessageStatus],
+      registry: SchemaIdResolver): DataFrame =
+    frameConfluent(ds,
+      registry.register(KeySubject, AvroWire.MessageKeySchema),
+      registry.register(ValueSubject, AvroWire.MessageStatusSchema))
+
+  /** Consumer side of the resolver flow: look up the registered ids
+    * (throws if the subjects were never registered) and unframe. */
+  def unframeConfluent(df: DataFrame,
+      registry: SchemaIdResolver): Dataset[MessageStatus] =
+    unframeConfluent(df,
+      registry.idFor(KeySubject, AvroWire.MessageKeySchema),
+      registry.idFor(ValueSubject, AvroWire.MessageStatusSchema))
 
   /** [[frame]] in Confluent Schema-Registry wire format (magic + schema
     * id header) — what a registry-aware consumer of the reference's

@@ -33,6 +33,30 @@ class SourcesSpec extends SparkSpec {
     assert(back.nonEmpty)
   }
 
+  test("resolver flow: ids issued by the registry, not constants") {
+    import spark.implicits._
+    val reg = new InMemorySchemaRegistry
+    // seed an unrelated subject so the message ids are NOT (1, 2) — a
+    // hardcoded-constant path would fail this round trip
+    assert(reg.register("other-subject", "{\"type\":\"string\"}") == 1)
+    val in = Generator.batch(spark, 30L).as[MessageStatus]
+    val framed = KafkaIO.frameConfluent(in, reg)
+    assert(reg.idFor(KafkaIO.KeySubject, AvroWire.MessageKeySchema) == 2)
+    assert(reg.idFor(KafkaIO.ValueSubject, AvroWire.MessageStatusSchema) == 3)
+    // registration is idempotent: same ids on re-register
+    assert(reg.register(KafkaIO.KeySubject, AvroWire.MessageKeySchema) == 2)
+    // the embedded header carries the issued id (BE int32 after magic)
+    val key = framed.head().getAs[Array[Byte]]("key")
+    assert(key.take(5).toSeq == Seq[Byte](0, 0, 0, 0, 2))
+    val back = KafkaIO.unframeConfluent(framed, reg).collect().toSet
+    assert(back == in.collect().toSet && back.nonEmpty)
+    // an unregistered consumer cannot guess ids: lookup throws
+    intercept[NoSuchElementException] {
+      new InMemorySchemaRegistry().idFor(KafkaIO.KeySubject,
+        AvroWire.MessageKeySchema)
+    }
+  }
+
   test("confluent wire bytes: magic 0x00 + BE schema id + bare avro body") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
