@@ -5,13 +5,22 @@ import graft.sources.ParquetStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Bucketed zero-shuffle join — the decisive 100 TB repeated-join
+/** Physical-layout techniques, both gated end-to-end:
+  *
+  * Bucketed zero-shuffle join (q23) — the decisive 100 TB repeated-join
   * technique (SURVEY §4): pay the shuffle ONCE at write time
   * (`bucketBy` on the join key, both sides, same bucket count), then
   * every subsequent equi-join on that key reads co-partitioned bucket
   * files and joins with NO exchange at all. At 100 TB this converts a
   * per-query two-sided shuffle of the fact table into a one-time
   * layout cost amortized over every join that follows.
+  *
+  * Partition-pruned scan (q24) — the reference's secondary indexes
+  * (A15, idx_messages_status) re-expressed as directory layout: write
+  * partitioned by the hot filter column and an equality predicate
+  * never opens non-matching directories (PartitionFilters in the scan,
+  * zero rows read from other partitions) — the columnar analogue of an
+  * index seek, and the first pruning lever at 100 TB.
   */
 object Bucketed {
 
@@ -81,11 +90,53 @@ object Bucketed {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** One partitioned layout per (session, source dir), mirroring
+    * [[bucketedTables]]' amortization. */
+  private val writtenPart = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Orders laid out as o_orderstatus=X directories under /tmp. */
+  private[graft] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val path = writtenPart.getOrElseUpdate(
+      s"${s.sparkContext.applicationId}/$d", {
+        val suffix = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+        val p = s"${System.getProperty("java.io.tmpdir")}/graft_q24_$suffix"
+        ParquetStore.writePartitioned(
+          Tables.orders(s, d).select("o_orderkey", "o_custkey",
+            "o_orderpriority", "o_orderstatus"),
+          p, "o_orderstatus")
+        p
+      })
+    s.read.parquet(path)
+  }
+
+  /** The pruned scan q24 aggregates — exposed for PlanSpec to assert
+    * the predicate lands in PartitionFilters (directory pruning), not
+    * a row-level filter. */
+  def prunedScan(s: SparkSession, d: String): DataFrame =
+    partitionedOrders(s, d).filter(col("o_orderstatus") === "F")
+
+  /** q24 — equality filter served by partition pruning. The oracle
+    * aggregates the raw parquet with a row filter: identical output
+    * proves the partitioned layout is a pure access-path change. */
+  def q24(s: SparkSession, d: String): DataFrame =
+    prunedScan(s, d)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+
+  val q24Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_bucketed_join" -> (q23 _),
+    "q24_partition_prune" -> (q24 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q23_bucketed_join" -> q23Sql,
+    "q24_partition_prune" -> q24Sql,
   )
 }

@@ -207,6 +207,16 @@ class PlanSpec extends SparkSpec {
     assert(n <= 4, s"per-pass shuffle budget exceeded: $n exchanges\n$p")
   }
 
+  test("q24 equality filter is served by partition pruning, not row filtering") {
+    val p = plan(Bucketed.prunedScan(spark, sf))
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+      s"predicate must prune directories:\n$p")
+    assert(p.contains("(o_orderstatus") && p.contains("= F"),
+      "the equality must appear as a partition filter")
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderstatus"),
+      "no row-group filter should remain for the partition column")
+  }
+
   test("q22 salted join spreads the hot key: join is on (k, __salt)") {
     val p = plan(Skew.q22(spark, sf))
     assert(p.contains("__salt"), "join keys must include the salt column")
