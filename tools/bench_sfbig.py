@@ -1,0 +1,124 @@
+#!/usr/bin/env python3
+"""Scale-rehearsal bench: run the corpus-operator queries on sf0.1 AND
+on the 10x corpus (built by build_sfbig.py), in both Spark
+(graft.Bench) and DuckDB (the oracle SQL), and write BENCH_sfbig.json
+— the committed artifact behind SURVEY's 100 TB posture claim (Spark
+sub-linear where the answer scales; DuckDB inverting its small-SF
+edge). Driver-side tooling; run from the repo root:
+
+    python3 tools/build_sfbig.py
+    python3 tools/bench_sfbig.py
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+import duckdb
+
+QUERIES = [
+    "x02_dedup_minhash", "x04_dedup_chargram", "x05_dedup_embed",
+    "x07_ann_lsh", "x13_clean_corpus", "x17_dedup_clusters",
+    "x27_incremental_dedup", "x28_dedup_survivors", "x29_novelty",
+    "x30_containment", "x33_semdedup", "x35_exact_substr",
+]
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def spark_bench(sf_dir, names):
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_ONLY=",".join(names),
+               SPARK_GRAFT_BENCH_RUNS="3")
+    subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    with open("bench_result.json") as f:
+        return json.load(f)["queries"]
+
+
+TIMEOUT_S = 300   # cap per DuckDB run; a hit records "timeout:<cap>"
+SLOW_S = 30       # one sample suffices when a single run exceeds this
+
+
+def duck_bench(sf_dir, oracles, names, runs=3):
+    import threading
+    res = {}
+    for name in names:
+        con = duckdb.connect()  # fresh connection: no cross-query cache
+        for t in TABLES:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                con.sql(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{p}')")
+        ts = []
+        timed_out = False
+        for _ in range(runs):
+            timer = threading.Timer(TIMEOUT_S, con.interrupt)
+            timer.start()
+            t0 = time.time()
+            try:
+                con.sql(oracles[name]).fetchall()
+                ts.append(time.time() - t0)
+            except Exception:       # interrupted (or genuinely failed
+                timed_out = True    # mid-flight) -> record the cap hit
+                break
+            finally:
+                timer.cancel()
+            if ts[-1] >= SLOW_S:    # slow-but-finite: one sample is
+                break               # plenty, do not triple the cost
+        if timed_out:
+            res[name] = f"timeout:{TIMEOUT_S}"
+        elif ts:
+            res[name] = round(sorted(ts)[len(ts) // 2], 3)
+        con.close()
+        print(f"  duckdb {sf_dir} {name}: {res.get(name)}", flush=True)
+    return res
+
+
+def main(sf1="/root/testdata/sf0.1", sf10="/tmp/sfbig",
+         out="BENCH_sfbig.json"):
+    if not os.path.exists(os.path.join(sf10, "documents.parquet")):
+        sys.exit(f"{sf10} missing - run tools/build_sfbig.py first")
+    # oracle SQL comes from the library itself (Verify dumps it; the
+    # __none__ filter skips the query dumps)
+    subprocess.run(["sbt", "-batch",
+                    "runMain graft.Verify /root/testdata/sf0.001 /tmp/sfbig_oracle"],
+                   env=dict(os.environ, SPARK_GRAFT_VERIFY_ONLY="__none__"),
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    oracles = json.load(open("/tmp/sfbig_oracle/oracle_sql.json"))
+
+    result = {
+        "base": sf1, "big": sf10,
+        "queries": QUERIES,
+        "spark_1x": spark_bench(sf1, QUERIES),
+        "spark_10x": spark_bench(sf10, QUERIES),
+        "duckdb_1x": duck_bench(sf1, oracles, QUERIES),
+        "duckdb_10x": duck_bench(sf10, oracles, QUERIES),
+    }
+    def ratio(a, b):
+        ok = all(isinstance(v, (int, float)) and v for v in (a, b))
+        return round(b / a, 2) if ok else None
+
+    result["spark_scaling"] = {
+        q: ratio(result["spark_1x"].get(q), result["spark_10x"].get(q))
+        for q in QUERIES}
+    result["duckdb_scaling"] = {
+        q: ratio(result["duckdb_1x"].get(q), result["duckdb_10x"].get(q))
+        for q in QUERIES}
+    with open(out, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"wrote {out}")
+    for q in QUERIES:
+        print(f"{q:24s} spark {result['spark_1x'].get(q)!s:>7} -> "
+              f"{result['spark_10x'].get(q)!s:>7}  duckdb "
+              f"{result['duckdb_1x'].get(q)!s:>7} -> "
+              f"{result['duckdb_10x'].get(q)!s:>7}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

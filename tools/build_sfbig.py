@@ -1,0 +1,84 @@
+#!/usr/bin/env python3
+"""Build the 10x scale-rehearsal corpus (driver-side tooling, like
+compare_oracle.py — NOT part of the Spark library).
+
+Replicates sf0.1's documents/embeddings REPLICAS times into <outDir>:
+
+- documents: replica r gets doc_id' = doc_id + r*ID_STRIDE; for r>0
+  every 13th word is suffixed with the replica number, so each replica
+  is a ~0.92-Jaccard near-duplicate of its original — the LSH dedup
+  family (x02/x04/x13/x17/x27/x28/x30) sees realistic near-dup
+  structure whose ANSWER grows with the corpus, not just its input.
+- embeddings: replica r gets vec_id' = vec_id + r*ID_STRIDE with the
+  embedding unchanged — every replica pair is a true semantic
+  duplicate (cos = 1), the worst case for x05/x33/x37 candidate
+  volume.
+
+Deterministic (no RNG), so the Spark results at 10x remain
+hash-comparable against DuckDB running the same oracle SQL on the
+same parquet. Usage: build_sfbig.py [srcDir] [outDir] [replicas]
+"""
+import os
+import sys
+
+import duckdb
+
+ID_STRIDE = 10_000_000
+
+
+def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    docs = os.path.join(src, "documents.parquet")
+    embs = os.path.join(src, "embeddings.parquet")
+
+    doc_parts = []
+    for r in range(replicas):
+        if r == 0:
+            doc_parts.append(
+                f"SELECT doc_id, text, lang, source, n_chars "
+                f"FROM read_parquet('{docs}')")
+        else:
+            # suffix every 13th word with the replica number: jaccard
+            # vs the original ~ 12/13, safely above the 0.8 word-LSH
+            # verify threshold -> each replica IS a near-dup
+            doc_parts.append(f"""
+                SELECT doc_id + {r * ID_STRIDE} AS doc_id,
+                  array_to_string(list_transform(string_split(text, ' '),
+                    (w, i) -> CASE WHEN i % 13 = 0
+                              THEN concat(w, '{r}') ELSE w END), ' ') AS text,
+                  lang, source,
+                  CAST(len(array_to_string(list_transform(string_split(text, ' '),
+                    (w, i) -> CASE WHEN i % 13 = 0
+                              THEN concat(w, '{r}') ELSE w END), ' ')) AS BIGINT)
+                    AS n_chars
+                FROM read_parquet('{docs}')""")
+    con.sql(f"COPY ({' UNION ALL '.join(doc_parts)}) TO "
+            f"'{out}/documents.parquet' (FORMAT PARQUET)")
+
+    emb_parts = [
+        (f"SELECT vec_id + {r * ID_STRIDE} AS vec_id, embedding, label "
+         f"FROM read_parquet('{embs}')")
+        for r in range(replicas)]
+    con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO "
+            f"'{out}/embeddings.parquet' (FORMAT PARQUET)")
+
+    # the relational/stream tables are not scaled here (the rehearsal
+    # targets the corpus operators); symlink them so Tables.* resolves
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events"]:
+        link = os.path.join(out, f"{t}.parquet")
+        target = os.path.join(src, f"{t}.parquet")
+        if not os.path.exists(link) and os.path.exists(target):
+            os.symlink(target, link)
+
+    nd = con.sql(f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')").fetchone()[0]
+    ne = con.sql(f"SELECT count(*) FROM read_parquet('{out}/embeddings.parquet')").fetchone()[0]
+    print(f"built {out}: {nd} documents, {ne} embeddings ({replicas}x {src})")
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(a[0] if len(a) > 0 else "/root/testdata/sf0.1",
+         a[1] if len(a) > 1 else "/tmp/sfbig",
+         int(a[2]) if len(a) > 2 else 10)
