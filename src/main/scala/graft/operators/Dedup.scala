@@ -729,7 +729,67 @@ object Dedup {
        |FROM c WHERE cont >= 0.8""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x39
+  /** C4/RefinedWeb-style LINE-level exact dedup: split each document
+    * into fixed `chunkWords`-word chunks (the fixture's texts have no
+    * newlines, so fixed windows play the "line" role), keep exactly the
+    * FIRST instance of every distinct chunk corpus-wide (global order:
+    * doc_id, then position), drop the rest, and reassemble each
+    * document's surviving chunks in original order. Unlike x35 (which
+    * only SCORES duplication) this emits the cleaned corpus — the pass
+    * that removes boilerplate repeated across pages before training.
+    *
+    * Scale shape: one narrow explode (chunks), ONE shuffle for the
+    * keep-first window on the md5-uniform chunk hash, one shuffle for
+    * the per-doc reassembly agg. The window never sees more rows than
+    * the corpus's chunk count; no joins, no candidate blowup. */
+  def lineDedup(docs: DataFrame, chunkWords: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(ceil(size(ws) / $chunkWords.0) as int) - 1),
+             |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))""".stripMargin))
+          .as(Seq("pos", "chunk")))
+    val w = Window.partitionBy(h60(col("chunk"))).orderBy("doc_id", "pos")
+    chunks
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(!col("kept"), 1)).as("n_dup"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("pos"), col("chunk"))))),
+            x => x.getField("chunk")), " ").as("text"))
+  }
+
+  def x39(s: SparkSession, d: String): DataFrame =
+    lineDedup(Tables.documents(s, d))
+
+  val x39Sql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+       |  FROM documents),
+       |c AS (SELECT doc_id,
+       |    unnest(list_transform(range(0, CAST(ceil(len(ws) / 20.0) AS BIGINT)),
+       |      i -> {'pos': i, 'chunk': array_to_string(ws[20*i+1 : 20*i+20], ' ')}),
+       |      recursive := true)
+       |  FROM w),
+       |k AS (SELECT doc_id, pos, chunk,
+       |    row_number() OVER (PARTITION BY ${duckH60("chunk")}
+       |                       ORDER BY doc_id, pos) = 1 AS kept
+       |  FROM c)
+       |SELECT doc_id,
+       |  count(*) AS n_chunks,
+       |  CAST(count(*) FILTER (WHERE NOT kept) AS BIGINT) AS n_dup,
+       |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+       |    AS text
+       |FROM k GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x39_line_dedup" -> (x39 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
     "x03_dedup_simhash" -> (x03 _),
@@ -743,6 +803,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x39_line_dedup" -> x39Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,
     "x03_dedup_simhash" -> x03Sql,

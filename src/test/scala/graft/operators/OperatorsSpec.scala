@@ -403,6 +403,21 @@ class OperatorsSpec extends SparkSpec {
     assert(graft.SparkEntry.entry(spark).count() > 0)
   }
 
+  test("lineDedup keeps exactly the first instance of every chunk") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"), // both chunks first: untouched
+      (2L, "a b c x y z"), // first chunk is doc 1's: removed
+      (3L, "d e f")        // whole doc is doc 1's 2nd chunk: emptied
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, chunkWords = 3).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 0L, "a b c d e f")))
+    assert(got(2L) == ((2L, 1L, "x y z")))
+    assert(got(3L) == ((1L, 1L, "")))
+  }
+
   test("multimodal decode parses real PPM headers and pixel bodies") {
     val rows = graft.multimodal.Multimodal.m01(spark, sf).collect()
     assert(rows.length == 500)
