@@ -95,6 +95,17 @@ object Graft {
   def exactSubstrStats(docs: DataFrame, windowLen: Int = 50): DataFrame =
     operators.Dedup.exactSubstrStats(docs, windowLen)
 
+  /** C4-style line-level exact dedup: keep the first instance of every
+    * distinct chunkWords-word chunk corpus-wide and reassemble each
+    * document from its surviving chunks (emits the cleaned corpus). */
+  def lineDedup(docs: DataFrame, chunkWords: Int = 20): DataFrame =
+    operators.Dedup.lineDedup(docs, chunkWords)
+
+  /** Release the signature relations the near-dup entry points persist
+    * (call between corpora in a long-lived driver). */
+  def unpersistSignatures(blocking: Boolean = false): Int =
+    operators.Dedup.unpersistSignatures(blocking)
+
   // ---- similarity search -------------------------------------------
   /** Exact top-k cosine neighbors for the given query vector ids. */
   def annTopK(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
@@ -263,10 +274,22 @@ object Graft {
   def frameConfluent(ds: Dataset[MessageStatus]): DataFrame =
     sources.KafkaIO.frameConfluent(ds)
 
+  /** [[frame]] with header ids issued by a schema registry (the
+    * register-then-use flow; pass an [[sources.InMemorySchemaRegistry]]
+    * offline or an [[sources.HttpSchemaRegistry]] at deploy). */
+  def frameConfluent(ds: Dataset[MessageStatus],
+      registry: sources.SchemaIdResolver): DataFrame =
+    sources.KafkaIO.frameConfluent(ds, registry)
+
   /** Decode (key, value) binary back to messages (bare Avro bodies). */
   def unframe(df: DataFrame): Dataset[MessageStatus] = sources.KafkaIO.unframe(df)
 
   /** Decode Confluent-framed (key, value) binary back to messages. */
   def unframeConfluent(df: DataFrame): Dataset[MessageStatus] =
     sources.KafkaIO.unframeConfluent(df)
+
+  /** [[unframe]] with registry-resolved header ids. */
+  def unframeConfluent(df: DataFrame,
+      registry: sources.SchemaIdResolver): Dataset[MessageStatus] =
+    sources.KafkaIO.unframeConfluent(df, registry)
 }
