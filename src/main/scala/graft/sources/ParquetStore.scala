@@ -122,8 +122,10 @@ object ParquetStore {
     val nAfter = fs.listStatus(tmp)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
-    fs.rename(p, old)
-    fs.rename(tmp, p)
+    // Hadoop rename reports failure by RETURNING false, not throwing —
+    // an unchecked false here would silently lose the swap
+    require(fs.rename(p, old), s"compact: rename $p -> $old failed")
+    require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
     fs.delete(old, true)
     (parts.length, nAfter)
   }
