@@ -42,11 +42,14 @@ object PlanAudit {
   private[graft] def planFeatures(
       root: org.apache.spark.sql.execution.SparkPlan): PlanFeatures = {
     import org.apache.spark.sql.execution._
-    val seen = scala.collection.mutable.Set[Int]()
+    // identity semantics, not identityHashCode (31-bit, can collide and
+    // would silently drop a distinct cached build from the audit)
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
     def cachedPlans(p: SparkPlan): Seq[SparkPlan] = {
       val fresh = p.collect {
         case s: columnar.InMemoryTableScanExec => s.relation
-      }.filter(r => seen.add(System.identityHashCode(r))).map(_.cachedPlan)
+      }.filter(seen.add(_)).map(_.cachedPlan)
       fresh ++ fresh.flatMap(cachedPlans)
     }
     val cached = cachedPlans(root)

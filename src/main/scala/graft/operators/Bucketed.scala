@@ -53,22 +53,29 @@ object Bucketed {
     * so repeated q23 calls (the bench's interleaved rounds, verify
     * re-runs) pay it once and measure the join, exactly the production
     * read pattern. Table names are suffixed per source dir so scale
-    * factors never cross-contaminate. */
-  private val written = scala.collection.concurrent.TrieMap[String, (String, String)]()
+    * factors never cross-contaminate. The write block is synchronized
+    * (TrieMap.getOrElseUpdate does not make a side-effecting builder
+    * atomic; two threads would race the DROP/delete/save sequence on
+    * identical names); SEPARATE drivers sharing one warehouse still
+    * must not run this concurrently — same single-writer caveat as
+    * every plain-parquet path in [[graft.sources.ParquetStore]]. */
+  private val written = scala.collection.mutable.Map[String, (String, String)]()
 
   private def bucketedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val suffix = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-    val (ct, ot) = written.getOrElseUpdate(s"${s.sparkContext.applicationId}/$d", {
-      val names = (s"g23_customer_bkt_$suffix", s"g23_orders_bkt_$suffix")
-      ParquetStore.writeBucketed(
-        Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
-        names._1, "c_custkey", NBuckets)
-      ParquetStore.writeBucketed(
-        Tables.orders(s, d).select("o_custkey", "o_orderkey"),
-        names._2, "o_custkey", NBuckets)
-      names
-    })
+    val (ct, ot) = written.synchronized {
+      written.getOrElseUpdate(s"${s.sparkContext.applicationId}/$d", {
+        val names = (s"g23_customer_bkt_$suffix", s"g23_orders_bkt_$suffix")
+        ParquetStore.writeBucketed(
+          Tables.customer(s, d).select("c_custkey", "c_mktsegment"),
+          names._1, "c_custkey", NBuckets)
+        ParquetStore.writeBucketed(
+          Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+          names._2, "o_custkey", NBuckets)
+        names
+      })
+    }
     (s.table(ct), s.table(ot))
   }
 

@@ -740,10 +740,15 @@ object Dedup {
     * that removes boilerplate repeated across pages before training.
     *
     * Scale shape: one narrow explode (chunks), ONE shuffle for the
-    * keep-first window on the md5-uniform chunk hash, one shuffle for
-    * the per-doc reassembly agg. The window never sees more rows than
-    * the corpus's chunk count; no joins, no candidate blowup. */
+    * keep-first window, one shuffle for the per-doc reassembly agg.
+    * The window partitions on the chunk STRING itself, not a hash:
+    * this op deletes text, so a hash collision would silently destroy
+    * a distinct chunk (the count-shaped h60 users tolerate collisions;
+    * a destructive op must not) — and the chunk column already travels
+    * in the row, so exactness costs no extra shuffle bytes. No joins,
+    * no candidate blowup. */
   def lineDedup(docs: DataFrame, chunkWords: Int = 20): DataFrame = {
+    require(chunkWords > 0, s"chunkWords must be positive, got $chunkWords")
     import org.apache.spark.sql.expressions.Window
     val chunks = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
@@ -752,7 +757,7 @@ object Dedup {
           s"""transform(sequence(0, cast(ceil(size(ws) / $chunkWords.0) as int) - 1),
              |  i -> array_join(slice(ws, i * $chunkWords + 1, $chunkWords), ' '))""".stripMargin))
           .as(Seq("pos", "chunk")))
-    val w = Window.partitionBy(h60(col("chunk"))).orderBy("doc_id", "pos")
+    val w = Window.partitionBy(col("chunk")).orderBy("doc_id", "pos")
     chunks
       .withColumn("kept", row_number().over(w) === 1)
       .groupBy("doc_id")
@@ -778,7 +783,7 @@ object Dedup {
        |      recursive := true)
        |  FROM w),
        |k AS (SELECT doc_id, pos, chunk,
-       |    row_number() OVER (PARTITION BY ${duckH60("chunk")}
+       |    row_number() OVER (PARTITION BY chunk
        |                       ORDER BY doc_id, pos) = 1 AS kept
        |  FROM c)
        |SELECT doc_id,

@@ -77,15 +77,27 @@ object ParquetStore {
     * sort-merge join). Requires a catalog table (saveAsTable). */
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int): Unit = {
+    // Unqualified names only: the stale-location cleanup below derives
+    // the managed path from (current database, name), and a qualified
+    // name would make that derivation — and the recursive delete it
+    // feeds — point somewhere else.
+    require(!table.contains("."),
+      s"writeBucketed takes an unqualified table name, got '$table'")
     val s = df.sparkSession
     // Idempotent re-create: the in-memory catalog forgets tables across
     // JVMs but the managed-table directory survives, and CREATE refuses
-    // a location that already exists — drop both.
+    // a location that already exists — drop the table, then remove the
+    // directory ONLY if it is now orphaned (no catalog entry).
     s.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (!s.catalog.tableExists(table)) {
+      val db = s.catalog.currentDatabase
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new org.apache.hadoop.fs.Path(
+        if (db == "default") wh else new org.apache.hadoop.fs.Path(wh, s"$db.db"),
+        table.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)

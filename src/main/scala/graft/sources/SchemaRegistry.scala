@@ -51,6 +51,13 @@ final class HttpSchemaRegistry(baseUrl: String,
 
   private val client = java.net.http.HttpClient.newHttpClient()
 
+  /** Percent-encode a subject for use as one URL path segment (subjects
+    * are arbitrary strings under non-TopicName strategies; a raw '/' or
+    * space would target the wrong REST resource or fail URI parsing). */
+  private def seg(subject: String): String =
+    java.net.URLEncoder.encode(subject, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20")
+
   private def post(path: String, schemaJson: String): String = {
     val body = s"""{"schema": ${jsonQuote(schemaJson)}}"""
     var b = java.net.http.HttpRequest.newBuilder()
@@ -75,10 +82,10 @@ final class HttpSchemaRegistry(baseUrl: String,
       .getOrElse(throw new IllegalStateException(s"no id in: $body"))
 
   override def register(subject: String, schemaJson: String): Int =
-    extractId(post(s"/subjects/$subject/versions", schemaJson))
+    extractId(post(s"/subjects/${seg(subject)}/versions", schemaJson))
 
   override def idFor(subject: String, schemaJson: String): Int =
-    extractId(post(s"/subjects/$subject", schemaJson))
+    extractId(post(s"/subjects/${seg(subject)}", schemaJson))
 
   private def jsonQuote(s: String): String =
     "\"" + s.flatMap {

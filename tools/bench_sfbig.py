@@ -55,7 +55,7 @@ def duck_bench(sf_dir, oracles, names, runs=3):
                 con.sql(f"CREATE VIEW {t} AS SELECT * "
                         f"FROM read_parquet('{p}')")
         ts = []
-        timed_out = False
+        verdict = None
         for _ in range(runs):
             timer = threading.Timer(TIMEOUT_S, con.interrupt)
             timer.start()
@@ -63,17 +63,28 @@ def duck_bench(sf_dir, oracles, names, runs=3):
             try:
                 con.sql(oracles[name]).fetchall()
                 ts.append(time.time() - t0)
-            except Exception:       # interrupted (or genuinely failed
-                timed_out = True    # mid-flight) -> record the cap hit
+            except Exception as e:
+                # classify by elapsed time: only a run that actually
+                # reached the cap is a timeout — a genuine failure
+                # (missing view, SQL error) must be recorded as one,
+                # not published as a fake 300s runtime
+                if time.time() - t0 >= TIMEOUT_S * 0.98:
+                    verdict = f"timeout:{TIMEOUT_S}"
+                else:
+                    verdict = f"error:{type(e).__name__}"
                 break
             finally:
                 timer.cancel()
             if ts[-1] >= SLOW_S:    # slow-but-finite: one sample is
                 break               # plenty, do not triple the cost
-        if timed_out:
-            res[name] = f"timeout:{TIMEOUT_S}"
+        if verdict is not None:
+            res[name] = verdict
         elif ts:
             res[name] = round(sorted(ts)[len(ts) // 2], 3)
+        # close the connection even on success: a Timer that fired just
+        # as fetchall returned would otherwise poison the NEXT run on a
+        # shared connection (the per-query connection bounds the blast
+        # radius to this query)
         con.close()
         print(f"  duckdb {sf_dir} {name}: {res.get(name)}", flush=True)
     return res

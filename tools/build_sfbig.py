@@ -41,18 +41,18 @@ def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
         else:
             # suffix every 13th word with the replica number: jaccard
             # vs the original ~ 12/13, safely above the 0.8 word-LSH
-            # verify threshold -> each replica IS a near-dup
+            # verify threshold -> each replica IS a near-dup. Mutation
+            # computed once in the inner select; n_chars reads it.
             doc_parts.append(f"""
-                SELECT doc_id + {r * ID_STRIDE} AS doc_id,
-                  array_to_string(list_transform(string_split(text, ' '),
-                    (w, i) -> CASE WHEN i % 13 = 0
-                              THEN concat(w, '{r}') ELSE w END), ' ') AS text,
-                  lang, source,
-                  CAST(len(array_to_string(list_transform(string_split(text, ' '),
-                    (w, i) -> CASE WHEN i % 13 = 0
-                              THEN concat(w, '{r}') ELSE w END), ' ')) AS BIGINT)
-                    AS n_chars
-                FROM read_parquet('{docs}')""")
+                SELECT doc_id, text, lang, source,
+                  CAST(len(text) AS BIGINT) AS n_chars
+                FROM (
+                  SELECT doc_id + {r * ID_STRIDE} AS doc_id,
+                    array_to_string(list_transform(string_split(text, ' '),
+                      (w, i) -> CASE WHEN i % 13 = 0
+                                THEN concat(w, '{r}') ELSE w END), ' ') AS text,
+                    lang, source
+                  FROM read_parquet('{docs}'))""")
     con.sql(f"COPY ({' UNION ALL '.join(doc_parts)}) TO "
             f"'{out}/documents.parquet' (FORMAT PARQUET)")
 
