@@ -33,4 +33,43 @@ class SkewSpec extends SparkSpec {
     val out = Skew.saltedJoin(big, small, "k", 8)
     assert(out.count() == 10000)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the non-salt path)") {
+    import spark.implicits._
+    // AQE skew-join is the runtime complement to explicit salting: it
+    // needs no code change but only covers joins it can observe. Force
+    // observably-skewed tiny data with thresholds scaled down, then
+    // assert the FINAL adaptive plan really split the hot partition —
+    // this is the mechanism the 100 TB posture leans on for ad-hoc
+    // joins, so it gets a regression guard, not just a mention.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 50k rows on one key vs a uniform spread: one reducer partition
+      // dwarfs the others
+      val big = ((1 to 50000).map(_ => 42L) ++ (1L to 2000L))
+        .toDF("k").withColumn("pad", lpad(col("k").cast("string"), 32, "x"))
+      val dim = (1L to 2000L).toDF("k").withColumn("name", col("k").cast("string"))
+      val joined = big.join(dim.hint("merge"), "k")
+      // collect() (not count()) so THIS QueryExecution runs and its
+      // AdaptiveSparkPlan finalizes — count() spawns a separate one
+      assert(joined.collect().length == 52000) // 50k hot + 2k uniform
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the skewed join side(s):\n$finalPlan")
+      assert(finalPlan.contains("AQEShuffleRead coalesced and skewed"),
+        "the hot side's shuffle read must be split at runtime")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
