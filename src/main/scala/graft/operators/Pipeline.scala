@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.PortableHash.{duckH60, h60}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,11 +65,58 @@ object Pipeline {
        |SELECT l.doc_id, l.pred_lang, q.score_u, t.ws_tokens
        |FROM lang l JOIN qual q USING (doc_id) JOIN tok t USING (doc_id)""".stripMargin
 
+  // ---------------------------------------------------------------- x40
+  /** Rebuild pipeline: line-level dedup ([[Dedup.lineDedup]], x39)
+    * feeding training-shard packing (the x34 shape) — the cleaned,
+    * reassembled corpus is re-tokenized and greedily packed into
+    * fixed-capacity shards per source. What this gates beyond its
+    * stages is the COMPOSITION: the dedup stage's rebuilt text (not
+    * the original) must drive every downstream token count, so a
+    * column/type drift between stages fails the hash, not just a
+    * review. Scale: x39's two shuffles + the join back to `source` on
+    * uniform doc_id + one cumulative-sum shuffle. */
+  def rebuildShards(docs: DataFrame, chunkWords: Int = 20,
+      capacity: Long = 1500L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = Dedup.lineDedup(docs, chunkWords)
+      .select(col("doc_id"), col("text"))
+    val w = Window.partitionBy("source").orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cleaned.join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        h60(concat(lit("rebuild_"), col("doc_id").cast("string"))).as("hk"))
+      .withColumn("cum_toks", sum(col("toks")).over(w))
+      .select(col("doc_id"), col("source"), col("toks"),
+        expr(s"(cum_toks - toks) div $capacity").as("shard_id"))
+  }
+
+  def x40(s: SparkSession, d: String): DataFrame =
+    rebuildShards(Tables.documents(s, d))
+
+  val x40Sql: String =
+    s"""WITH clean AS (
+       |${Dedup.x39Sql}
+       |),
+       |j AS (SELECT c.doc_id, d.source,
+       |    CAST(len(string_split(c.text, ' ')) AS BIGINT) AS toks,
+       |    ${duckH60("concat('rebuild_', CAST(c.doc_id AS VARCHAR))")} AS hk
+       |  FROM clean c JOIN documents d USING (doc_id)),
+       |c2 AS (SELECT doc_id, source, toks,
+       |  CAST(sum(toks) OVER (PARTITION BY source ORDER BY hk, doc_id
+       |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+       |  FROM j)
+       |SELECT doc_id, source, toks,
+       |  CAST((cum_toks - toks) // 1500 AS BIGINT) AS shard_id
+       |FROM c2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x13_clean_corpus" -> (x13 _),
+    "x40_corpus_rebuild" -> (x40 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x13_clean_corpus" -> x13Sql,
+    "x40_corpus_rebuild" -> x40Sql,
   )
 }
