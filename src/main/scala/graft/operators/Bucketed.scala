@@ -98,22 +98,27 @@ object Bucketed {
       |GROUP BY c_mktsegment""".stripMargin
 
   /** One partitioned layout per (session, source dir), mirroring
-    * [[bucketedTables]]' amortization. */
-  private val writtenPart = scala.collection.concurrent.TrieMap[String, String]()
+    * [[bucketedTables]]' amortization — including its synchronization:
+    * TrieMap.getOrElseUpdate does not make the side-effecting
+    * writePartitioned atomic, and two concurrent q24 calls would race
+    * SaveMode.Overwrite's delete-and-write on the same directory. */
+  private val writtenPart = scala.collection.mutable.Map[String, String]()
 
   /** Orders laid out as o_orderstatus=X directories under /tmp. */
   private[graft] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
-    val path = writtenPart.getOrElseUpdate(
-      s"${s.sparkContext.applicationId}/$d", {
-        val suffix = java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
-        val p = s"${System.getProperty("java.io.tmpdir")}/graft_q24_$suffix"
-        ParquetStore.writePartitioned(
-          Tables.orders(s, d).select("o_orderkey", "o_custkey",
-            "o_orderpriority", "o_orderstatus"),
-          p, "o_orderstatus")
-        p
-      })
+    val path = writtenPart.synchronized {
+      writtenPart.getOrElseUpdate(
+        s"${s.sparkContext.applicationId}/$d", {
+          val suffix = java.lang.Long.toHexString(
+            scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
+          val p = s"${System.getProperty("java.io.tmpdir")}/graft_q24_$suffix"
+          ParquetStore.writePartitioned(
+            Tables.orders(s, d).select("o_orderkey", "o_custkey",
+              "o_orderpriority", "o_orderstatus"),
+            p, "o_orderstatus")
+          p
+        })
+    }
     s.read.parquet(path)
   }
 

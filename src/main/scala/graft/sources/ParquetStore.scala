@@ -114,14 +114,21 @@ object ParquetStore {
     * two metadata renames (not during the data rewrite), and a crash at
     * any point leaves the full dataset in a discoverable named
     * directory (`path`, `path + "_compact_old"`, or
-    * `path + "_compact_tmp"`). Directory rename is atomic on HDFS and
-    * POSIX but NOT on object stores (S3 renames are copies), and, like
-    * [[insertIfAbsent]], cross-driver coordination needs a
-    * transactional table format. Returns (filesBefore, filesAfter).
+    * `path + "_compact_tmp"`) and the next [[compact]] call recovers it
+    * automatically (see [[recoverCompact]], also callable standalone
+    * from read paths). NOTE a contract change vs the pre-round-4 swap:
+    * a concurrent reader hitting the two-rename window sees a transient
+    * FileNotFound rather than old-or-new data — retry the read, or
+    * schedule compaction in a maintenance window. Directory rename is
+    * atomic on HDFS and POSIX but NOT on object stores (S3 renames are
+    * copies), and, like [[insertIfAbsent]], cross-driver coordination
+    * needs a transactional table format. Returns
+    * (filesBefore, filesAfter).
     */
   def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompact(spark, path)
     val parts = fs.listStatus(p)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val bytes = parts.map(_.getLen).sum
@@ -140,6 +147,23 @@ object ParquetStore {
     require(fs.rename(tmp, p), s"compact: rename $tmp -> $p failed")
     fs.delete(old, true)
     (parts.length, nAfter)
+  }
+
+  /** Recover from a [[compact]] crash: if the live directory is absent
+    * but `_compact_old` survives (crash between the two renames), the
+    * old data is renamed back into place; an orphaned `_compact_tmp`
+    * (crash during the staging rewrite) is deleted — its contents were
+    * never the only copy. Idempotent and cheap (two metadata probes) —
+    * safe to call from read paths before opening a compacted
+    * directory. */
+  def recoverCompact(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + "_compact_old")
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"recoverCompact: rename $old -> $p failed")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {

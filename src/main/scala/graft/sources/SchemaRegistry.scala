@@ -76,10 +76,24 @@ final class HttpSchemaRegistry(baseUrl: String,
     resp.body()
   }
 
-  private def extractId(body: String): Int =
-    """"id"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(s"no id in: $body"))
+  /** The registry responds with a JSON object whose top-level `id`
+    * field is the schema id — but lookup responses also carry `schema`
+    * (the schema text, which can itself contain `"id":` as a field
+    * name) and `version`, and the API does not guarantee field order,
+    * so the id must be read from the parsed top level, not pattern-
+    * matched out of the raw body. */
+  private def extractId(body: String): Int = {
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      catch {
+        case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new IllegalStateException(s"unparseable registry response: $body", e)
+      }
+    val id = root.path("id")
+    if (!id.canConvertToInt)
+      throw new IllegalStateException(s"no integral top-level id in: $body")
+    id.intValue()
+  }
 
   override def register(subject: String, schemaJson: String): Int =
     extractId(post(s"/subjects/${seg(subject)}/versions", schemaJson))
