@@ -72,6 +72,16 @@ object Graft {
     operators.Decontaminate.overlapPairs(corpus, benchmark, minOverlap,
       maxShingleDocFreq)
 
+  /** Bloom-prefiltered contamination pairs by long-char-gram overlap:
+    * the corpus is pruned inside its scan by a broadcast Bloom sketch
+    * of the benchmark's grams; exact verify downstream makes the result
+    * identical to the no-bloom computation. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minOverlap: Int = 20, gramLen: Int = 24,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame =
+    operators.Decontaminate.bloomDecontaminate(corpus, benchmark,
+      minOverlap, gramLen, expectedItems, fpp)
+
   /** Cluster-level dedup output: one keep-longest representative per
     * connected component of `pairs`, plus all singletons. */
   def survivorCorpus(docs: DataFrame, pairs: DataFrame,

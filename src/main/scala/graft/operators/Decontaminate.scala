@@ -86,6 +86,49 @@ object Decontaminate {
       .filter(col("overlap") >= minOverlap)
   }
 
+  /** Bloom-prefiltered decontamination — the production ingest shape at
+    * 100 TB, where the corpus must NOT be shuffled just to discover that
+    * 99% of it shares nothing with the benchmark.
+    *
+    * Plan shape: a Bloom filter over the benchmark's distinct long-gram
+    * hashes is built once (distributed aggregation, driver holds only
+    * the ~megabyte sketch) and probed INSIDE the corpus scan's narrow
+    * pipeline via the codegen'd [[graft.functions.BloomMightContainLong]]
+    * — corpus rows whose gram cannot be in the benchmark die before any
+    * exchange. Survivors (measured ~1% of corpus shingles on the
+    * fixture) meet the benchmark shingles in a broadcast equi-join whose
+    * exact match discards the Bloom's false positives, so the result is
+    * EXACTLY the no-bloom computation — the sketch only prunes, never
+    * decides. The one hash exchange that remains moves survivor pairs,
+    * not the corpus.
+    *
+    * Versus [[overlapPairs]] (x18): that operator's document-frequency
+    * cap needs global per-gram counts over corpus ∪ benchmark — a full
+    * corpus shuffle by construction. This variant gets rarity by
+    * CONSTRUCTION instead: `gramLen` is long (default 24 chars ≈ 4
+    * words, the "long n-gram" decontamination convention), so grams are
+    * near-unique (fixture max document frequency 18 at sf0.1, join
+    * fanout 13k pairs from 1.3M shingle rows) and no frequency cap is
+    * needed. `expectedItems`/`fpp` size the sketch; undersizing only
+    * raises the false-positive rate (more survivors to verify), never
+    * changes the result. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minOverlap: Int = 20, gramLen: Int = 24,
+      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+    def shingles(docs: DataFrame, idAs: String): DataFrame =
+      docs.select(col("doc_id").as(idAs),
+        explode(graft.functions.CharShingleSig(lower(col("text")), 0, 0, gramLen)
+          .getField("hs")).as("hf"))
+    val benchSh = shingles(benchmark, "bench_id")
+    val bf = benchSh.stat.bloomFilter("hf", expectedItems, fpp)
+    val survivors = shingles(Tables.fanOut(corpus), "doc_id")
+      .filter(graft.functions.BloomMightContainLong(col("hf"), bf))
+    survivors.join(broadcast(benchSh), "hf")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
   // ---------------------------------------------------------------- x18
   /** Fixture split: every 20th doc_id plays the benchmark (5%, present
     * at every scale factor), the rest are the corpus — the fixture's
@@ -106,11 +149,29 @@ object Decontaminate {
        |FROM c JOIN rare USING (hf) JOIN b USING (hf)
        |GROUP BY 1, 2 HAVING count(*) >= 50""".stripMargin
 
+  def x41(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    bloomDecontaminate(docs.filter(!isBench), docs.filter(isBench))
+  }
+
+  /** The oracle computes the NO-BLOOM exact answer (plain join on the
+    * 24-gram hashes, no frequency cap) — identical output proves the
+    * sketch is a pure prefilter. */
+  val x41Sql: String =
+    s"""WITH sh AS (SELECT DISTINCT doc_id, hf FROM (${Dedup.charShingleHashesSqlN(24)})),
+       |c AS (SELECT doc_id, hf FROM sh WHERE doc_id % 20 <> 0),
+       |b AS (SELECT doc_id AS bench_id, hf FROM sh WHERE doc_id % 20 = 0)
+       |SELECT c.doc_id, b.bench_id, count(*) AS overlap
+       |FROM c JOIN b USING (hf)
+       |GROUP BY 1, 2 HAVING count(*) >= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_decontaminate" -> (x18 _),
+    "x41_bloom_decontaminate" -> (x41 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x18_decontaminate" -> x18Sql,
+    "x41_bloom_decontaminate" -> x41Sql,
   )
 }

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class ExactnessSpec extends SparkSpec {
 
+  test("x41 bloom prefilter is exact even when the sketch is saturated") {
+    // An absurdly undersized filter (16 expected items for thousands of
+    // grams, 40% fpp) floods the verify join with false positives; the
+    // exact match must discard every one — identical output to the
+    // no-bloom computation is the property that makes the sketch safe
+    // to size by guesswork at 100 TB.
+    val docs = graft.Tables.documents(spark, sf)
+    val (corpus, bench) =
+      (docs.filter(col("doc_id") % 20 =!= 0), docs.filter(col("doc_id") % 20 === 0))
+    def sh(d: org.apache.spark.sql.DataFrame, idAs: String) =
+      d.select(col("doc_id").as(idAs),
+        explode(graft.functions.CharShingleSig(lower(col("text")), 0, 0, 24)
+          .getField("hs")).as("hf"))
+    val exact = sh(corpus, "doc_id").join(sh(bench, "bench_id"), "hf")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = Decontaminate.bloomDecontaminate(corpus, bench,
+        expectedItems = 16, fpp = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed == exact)
+  }
+
   test("simhash chunk banding returns EXACTLY the brute-force hd<=3 pairs") {
     val sims = Dedup.simhashSignatures(spark, sf)
     val a = sims.select(col("doc_id").as("a"), col("sim").as("sa"))

@@ -121,6 +121,20 @@ class PlanSpec extends SparkSpec {
     assert(n == 2, s"x18 must have exactly 2 exchanges, saw $n:\n$p")
   }
 
+  test("x41 bloom prefilter probes inside the scan; one hash exchange total") {
+    val p = plan(Decontaminate.x41(spark, sf))
+    assert(p.contains("bloommightcontainlong"),
+      "corpus rows must be pruned by the codegen'd bloom probe")
+    assert(p.contains("BroadcastHashJoin"),
+      "the benchmark shingles (small side) must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the verify join must not shuffle the corpus")
+    // only the final (doc, bench) pair aggregation may hash-shuffle —
+    // the whole point is that the corpus is pruned BEFORE any exchange
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"x41 must have exactly 1 hash exchange, saw $n:\n$p")
+  }
+
   test("x28 representative pick is a hash aggregation, not a window sort") {
     import org.apache.spark.sql.functions.col
     import graft.Tables
