@@ -71,17 +71,25 @@ object AsOf {
     * condition is side-qualified, so `leftKey == rightKey` (and any
     * other shared column names) analyze fine; the output is
     * left.* ++ right.* with Spark's usual duplicate-name caveat —
-    * select through the same `l`/`r` qualifiers to disambiguate. */
+    * select through the same `l`/`r` qualifiers to disambiguate.
+    *
+    * `joinType` admits the outer variants: with "left_outer" a left row
+    * with no in-interval match is emitted once with nulls on the right
+    * — in streaming, that emission happens when the watermark passes
+    * `leftTs + boundMs` (the row provably can no longer match), which
+    * is the join-shaped form of the timeout alert (the s08 replay). */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String, boundMs: Long): DataFrame = {
+      leftTs: String, rightTs: String, boundMs: Long,
+      joinType: String = "inner"): DataFrame = {
     val l = left.alias("l")
     val r = right.alias("r")
     l.join(r,
       col(s"l.$leftKey") === col(s"r.$rightKey") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
         col(s"r.$rightTs") <= col(s"l.$leftTs") +
-          expr(s"INTERVAL $boundMs MILLISECOND"))
+          expr(s"INTERVAL $boundMs MILLISECOND"),
+      joinType)
   }
 
   // ---------------------------------------------------------------- x14

@@ -311,6 +311,60 @@ object StreamingQueries {
        |  AND epoch_ms(e2.ts) >= epoch_ms(e1.ts)
        |  AND epoch_ms(e2.ts) - epoch_ms(e1.ts) <= $JoinBoundMs""".stripMargin
 
+  /** s08 — stream-stream LEFT OUTER interval join: s05's join, but a
+    * sent event with NO delivery inside `JoinBoundMs` is emitted ONCE
+    * with nulls on the delivery side — when the watermark passes
+    * `sentTime + bound` and the match is provably impossible. This is
+    * the reference's undelivered-timeout alert (E1) re-expressed as a
+    * join instead of custom keyed state: the null-side rows ARE the
+    * alerts. State stays bounded exactly as in s05 (both buffers evict
+    * at the watermark); the only new machinery is the
+    * watermark-triggered null emission that inner joins never need.
+    *
+    * Watermark subtlety the inner join is insensitive to: each side's
+    * watermark node only sees rows passing its upstream filter, and
+    * null emission waits on the GLOBAL (min) watermark — so the
+    * sentinel rows must pass BOTH side filters, or the sent-side
+    * watermark would idle at the fixture's last event and the
+    * unmatched rows near the end of the fixture would never emit. */
+  def s08(s: SparkSession, d: String): DataFrame = {
+    val base = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+      .toDF()
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+    val isSentinel = col("messageId") === "sentinel"
+    val sent = base.filter(col("status") === "sent" || isSentinel)
+      .select(col("messageId"), col("eventTime").as("sentTime"))
+      .withWatermark("sentTime", "1 minute")
+    val dlv = base.filter(col("status") === "delivered")
+      .select(col("messageId").as("d_id"), col("eventTime").as("dlvTime"))
+      .withWatermark("dlvTime", "1 minute")
+    val joined = AsOf.intervalJoin(sent, dlv, "messageId", "d_id",
+        "sentTime", "dlvTime", JoinBoundMs, "left_outer")
+      .select(col("messageId"),
+        unix_millis(col("sentTime")).as("sentMs"),
+        unix_millis(col("dlvTime")).as("deliveredMs"),
+        (unix_millis(col("dlvTime")) - unix_millis(col("sentTime")))
+          .as("lag_ms"))
+    runToSink(s, joined, "append")
+      .filter(col("messageId") =!= "sentinel")
+  }
+
+  /** The left filter (`event_type <> 'purchase'`) lives in WHERE, not
+    * the ON clause — in a left join an ON-side left predicate would
+    * keep the filtered rows and null their match instead of dropping
+    * them. */
+  val s08Sql: String =
+    s"""SELECT CAST(e1.user_id AS VARCHAR) AS messageId,
+       |  epoch_ms(e1.ts) AS sentMs,
+       |  epoch_ms(e2.ts) AS deliveredMs,
+       |  epoch_ms(e2.ts) - epoch_ms(e1.ts) AS lag_ms
+       |FROM events e1 LEFT JOIN events e2 ON e1.user_id = e2.user_id
+       |  AND e2.event_type = 'purchase'
+       |  AND epoch_ms(e2.ts) >= epoch_ms(e1.ts)
+       |  AND epoch_ms(e2.ts) - epoch_ms(e1.ts) <= $JoinBoundMs
+       |WHERE e1.event_type <> 'purchase'""".stripMargin
+
   /** s06 — stream-STATIC enrichment join: the event stream joined to
     * the static customer dimension and aggregated per market segment.
     * The dimension side is broadcast — the stream itself never
@@ -398,6 +452,7 @@ object StreamingQueries {
     "s05_interval_join" -> (s05 _),
     "s06_stream_enrich" -> (s06 _),
     "s07_session_stream" -> (s07 _),
+    "s08_outer_join" -> (s08 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -409,5 +464,6 @@ object StreamingQueries {
     "s05_interval_join" -> s05Sql,
     "s06_stream_enrich" -> s06Sql,
     "s07_session_stream" -> s07Sql,
+    "s08_outer_join" -> s08Sql,
   )
 }
