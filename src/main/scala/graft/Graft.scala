@@ -251,12 +251,16 @@ object Graft {
 
   /** Event-time interval join (batch or watermarked stream-stream):
     * right rows within [leftTs, leftTs + boundMs] per key; TimestampType
-    * ts columns. Stream-stream state stays bounded by the interval. */
+    * ts columns. Stream-stream state stays bounded by the interval.
+    * With joinType "left_outer", an unmatched left row emits once with
+    * nulls when the watermark passes leftTs + boundMs — the join-shaped
+    * timeout alert. */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String, boundMs: Long): DataFrame =
+      leftTs: String, rightTs: String, boundMs: Long,
+      joinType: String = "inner"): DataFrame =
     operators.AsOf.intervalJoin(left, right, leftKey, rightKey,
-      leftTs, rightTs, boundMs)
+      leftTs, rightTs, boundMs, joinType)
 
   /** Inner join with the big side salted across buckets — the explicit
     * skew-mitigation form for known-hot keys. */

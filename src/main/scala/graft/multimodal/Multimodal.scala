@@ -10,16 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into (fixed batch size, one decoder instance per partition, columnar
   * in/out).
   *
-  * The image and audio paths decode REAL bytes: payloads are valid
-  * binary PPM (P6) images and RIFF/WAVE 16-bit PCM files, and
-  * [[Decode]] parses them back — header walk, chunk scan, sample
-  * extraction — with no codec libraries (both formats are uncompressed
-  * and fully specified by their public format docs). The generator and
-  * parser share no arithmetic: the oracle recomputes every expected
-  * value independently from doc_id, so a parser bug fails the gate.
-  * Only VIDEO decode (m02) remains a declared stub — inter-frame
-  * compression genuinely needs a codec library this container lacks —
-  * so m02 exercises the decimation plumbing over char frames.
+  * The image, audio AND video paths decode REAL bytes: payloads are
+  * valid binary PPM (P6) images, RIFF/WAVE 16-bit PCM files, and
+  * YUV4MPEG2 (.y4m) uncompressed video streams, and [[Decode]] parses
+  * them back — header walk, chunk scan, frame-plane reads — with no
+  * codec libraries (all three formats are uncompressed and fully
+  * specified by their public format docs). The generator and parser
+  * share no arithmetic: the oracle recomputes every expected value
+  * independently from doc_id, so a parser bug fails the gate.
+  * COMPRESSED codecs (JPEG/H.264/Opus) genuinely need libraries this
+  * container lacks and stay out of scope; m02 keeps the char-frame
+  * decimation stub as the plumbing contract a compressed-stream
+  * decoder would drop into, while m05 decodes actual video bytes.
   */
 object Multimodal {
 
@@ -73,6 +75,33 @@ object Multimodal {
         i += 1
       }
       bb.array()
+    }
+
+    /** YUV4MPEG2 uncompressed video: ASCII stream header
+      * `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C444\n`, then per frame a
+      * `FRAME\n` marker + 3·w·h raw plane bytes (Y,U,V at full
+      * resolution under C444). w in [8,23], h in [8,23], frames
+      * n = 2 + id mod 6, frame f's byte i = (id·7 + f·131 + i·3)
+      * mod 256. */
+    def y4m(docId: Long): Array[Byte] = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      val w = (8 + Math.floorMod(docId, 16)).toInt
+      val h = (8 + Math.floorMod(docId * 5, 16)).toInt
+      val nf = (2 + Math.floorMod(docId, 6)).toInt
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C444\n".getBytes(ascii))
+      var f = 0
+      while (f < nf) {
+        out.write("FRAME\n".getBytes(ascii))
+        var i = 0
+        val n = 3 * w * h
+        while (i < n) {
+          out.write(Math.floorMod(docId * 7 + f.toLong * 131 + i.toLong * 3, 256))
+          i += 1
+        }
+        f += 1
+      }
+      out.toByteArray
     }
   }
 
@@ -143,6 +172,66 @@ object Multimodal {
       require(fmtOk, "missing fmt chunk")
       require(data != null, "missing data chunk")
       data
+    }
+
+    /** Parsed Y4M clip: dimensions, frame count, and — for every
+      * SampleEvery-th frame — the byte sum over its raw planes (proof
+      * the parser read the sampled frame BODIES, not just counted
+      * markers). */
+    final case class Y4mClip(width: Int, height: Int, nFrames: Int,
+        nSampled: Int, sampledSum: Long)
+
+    /** Parse a YUV4MPEG2 stream: the ASCII stream-header line (require
+      * the W/H tags; C defaults to 420 per spec, so an explicit C444 is
+      * required here — subsampled layouts are a different plane size,
+      * not a silent fallback), then per frame a FRAME line (parameters
+      * after the marker are legal and skipped) followed by exactly
+      * 3·w·h plane bytes. Decimation happens INSIDE the parse: frames
+      * off the sample grid are skipped by offset arithmetic, never
+      * summed — at real scale that is the whole point of sampled
+      * decode (seek, don't read). Throws on malformed input. */
+    def parseY4m(b: Array[Byte], sampleEvery: Int = SampleEvery): Y4mClip = {
+      val ascii = java.nio.charset.StandardCharsets.US_ASCII
+      var i = 0
+      def readLine(): String = {
+        val start = i
+        while (i < b.length && b(i) != '\n') i += 1
+        require(i < b.length, "unterminated header line")
+        i += 1 // consume the newline
+        new String(b, start, i - 1 - start, ascii)
+      }
+      val header = readLine()
+      val toks = header.split(' ')
+      require(toks.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+      def tagVal(t: Char): Option[String] =
+        toks.tail.find(x => x.nonEmpty && x.head == t).map(_.tail)
+      val w = tagVal('W').getOrElse(
+        throw new IllegalArgumentException("missing W tag")).toInt
+      val h = tagVal('H').getOrElse(
+        throw new IllegalArgumentException("missing H tag")).toInt
+      require(w > 0 && h > 0, "bad dimensions")
+      val chroma = tagVal('C').getOrElse("420")
+      require(chroma == "444", s"unsupported chroma layout C$chroma")
+      val frameBytes = 3 * w * h
+      var nFrames = 0
+      var nSampled = 0
+      var sum = 0L
+      while (i < b.length) {
+        val marker = readLine()
+        require(marker == "FRAME" || marker.startsWith("FRAME "),
+          "bad FRAME marker")
+        require(i + frameBytes <= b.length, "truncated frame body")
+        if (nFrames % sampleEvery == 0) {
+          var j = i
+          val end = i + frameBytes
+          while (j < end) { sum += (b(j) & 0xff); j += 1 }
+          nSampled += 1
+        }
+        i += frameBytes // skipped frames are a seek, not a read
+        nFrames += 1
+      }
+      require(nFrames > 0, "no frames")
+      Y4mClip(w, h, nFrames, nSampled, sum)
     }
 
     /** Image decode over a batch: parse each payload's header and
@@ -330,11 +419,56 @@ object Multimodal {
       |      i -> (doc_id * 13 + i * 17) % 2001 - 1000) AS a
       |  FROM documents)""".stripMargin
 
+  /** Video table: one valid YUV4MPEG2 clip per document row. */
+  def videoTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .map(id => MediaRow(id, MediaGen.y4m(id), "video"))
+      .toDF()
+  }
+
+  // ---------------------------------------------------------------- m05
+  /** m05 — REAL video decode + frame sampling: parse each Y4M payload
+    * (stream header, FRAME markers, raw C444 planes), keep every
+    * SampleEvery-th frame, and sum the sampled frames' plane bytes.
+    * Same batched typed mapPartitions as the image/audio decodes;
+    * skipped frames are seeks, so a sampled decode reads ~1/SampleEvery
+    * of each clip's body — the I/O shape that matters when the clips
+    * are gigabytes, not rows. The oracle recomputes dimensions, frame
+    * counts, and the sampled byte sums from doc_id via the generator
+    * formulas, sharing no code with the parser. */
+  def m05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoTable(s, d).as[MediaRow]
+      .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
+        val c = Decode.parseY4m(m.payload)
+        (m.media_id, c.width, c.height, c.nFrames, c.nSampled, c.sampledSum)
+      }))
+      .toDF("media_id", "width", "height", "n_frames", "n_sampled",
+        "sampled_sum")
+  }
+
+  val m05Sql: String =
+    s"""SELECT media_id, width, height, n_frames,
+       |  CAST((n_frames + ${SampleEvery - 1}) // $SampleEvery AS INT) AS n_sampled,
+       |  CAST(list_sum(list_transform(range(0, n_frames), f ->
+       |    CASE WHEN f % $SampleEvery = 0 THEN list_sum(list_transform(
+       |      range(0, 3 * width * height),
+       |      i -> (media_id * 7 + f * 131 + i * 3) % 256)) ELSE 0 END))
+       |    AS BIGINT) AS sampled_sum
+       |FROM (
+       |  SELECT doc_id AS media_id,
+       |    CAST(8 + doc_id % 16 AS INT) AS width,
+       |    CAST(8 + (doc_id * 5) % 16 AS INT) AS height,
+       |    CAST(2 + doc_id % 6 AS INT) AS n_frames
+       |  FROM documents)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_resize" -> (m03 _),
     "m04_audio_features" -> (m04 _),
+    "m05_video_decode" -> (m05 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -342,5 +476,6 @@ object Multimodal {
     "m02_frame_sample" -> m02Sql,
     "m03_resize" -> m03Sql,
     "m04_audio_features" -> m04Sql,
+    "m05_video_decode" -> m05Sql,
   )
 }

@@ -74,4 +74,38 @@ class MultimodalSpec extends AnyFunSuite {
     stereo(22) = 2
     intercept[IllegalArgumentException] { Multimodal.Decode.parseWav(stereo) }
   }
+
+  test("Y4M parser reads back exactly what the generator wrote") {
+    val id = 11L
+    val c = Multimodal.Decode.parseY4m(Multimodal.MediaGen.y4m(id))
+    assert(c.width == 8 + id % 16)
+    assert(c.height == 8 + (id * 5) % 16)
+    assert(c.nFrames == 2 + id % 6)
+    assert(c.nSampled == (c.nFrames + 3) / 4)
+    val expected = (0 until c.nFrames).filter(_ % 4 == 0).map { f =>
+      (0 until 3 * c.width * c.height)
+        .map(i => (id * 7 + f * 131 + i * 3) % 256).sum
+    }.sum
+    assert(c.sampledSum == expected)
+  }
+
+  test("Y4M parser honors FRAME parameters and rejects malformed input") {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    // hand-built 1x1 C444 clip with a parameterized FRAME line
+    val clip = "YUV4MPEG2 W1 H1 F25:1 C444\n".getBytes(ascii) ++
+      "FRAME Ip\n".getBytes(ascii) ++ Array[Byte](5, 6, 7)
+    val c = Multimodal.Decode.parseY4m(clip)
+    assert(c == Multimodal.Decode.Y4mClip(1, 1, 1, 1, 18L))
+    intercept[IllegalArgumentException] { // wrong magic
+      Multimodal.Decode.parseY4m("MPEG4 W1 H1 C444\nFRAME\nxyz".getBytes(ascii))
+    }
+    intercept[IllegalArgumentException] { // C defaults to 420: unsupported
+      Multimodal.Decode.parseY4m(
+        "YUV4MPEG2 W1 H1\nFRAME\n".getBytes(ascii) ++ Array[Byte](1, 2, 3))
+    }
+    intercept[IllegalArgumentException] { // truncated frame body
+      Multimodal.Decode.parseY4m(
+        "YUV4MPEG2 W2 H2 C444\nFRAME\n".getBytes(ascii) ++ Array[Byte](1))
+    }
+  }
 }
