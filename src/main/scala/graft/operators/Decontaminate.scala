@@ -111,10 +111,15 @@ object Decontaminate {
     * fanout 13k pairs from 1.3M shingle rows) and no frequency cap is
     * needed. `expectedItems`/`fpp` size the sketch; undersizing only
     * raises the false-positive rate (more survivors to verify), never
-    * changes the result. */
+    * changes the result — while OVERSIZING is not free: every build
+    * task allocates the full bitset and the driver merges one per
+    * partition, so the build costs sketch-size × partitions regardless
+    * of the data (a 58×-oversized default was measured 6× slower
+    * under session memory pressure at the 10× rehearsal). Size to the
+    * benchmark's distinct gram count, not to a safety margin. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       minOverlap: Int = 20, gramLen: Int = 24,
-      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
     def shingles(docs: DataFrame, idAs: String): DataFrame =
       docs.select(col("doc_id").as(idAs),
         explode(graft.functions.CharShingleSig(lower(col("text")), 0, 0, gramLen)

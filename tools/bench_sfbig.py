@@ -20,8 +20,9 @@ import duckdb
 QUERIES = [
     "x02_dedup_minhash", "x04_dedup_chargram", "x05_dedup_embed",
     "x07_ann_lsh", "x13_clean_corpus", "x17_dedup_clusters",
-    "x27_incremental_dedup", "x28_dedup_survivors", "x29_novelty",
-    "x30_containment", "x33_semdedup", "x35_exact_substr",
+    "x18_decontaminate", "x27_incremental_dedup", "x28_dedup_survivors",
+    "x29_novelty", "x30_containment", "x33_semdedup", "x35_exact_substr",
+    "x41_bloom_decontaminate",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
