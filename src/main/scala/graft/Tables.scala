@@ -17,9 +17,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects. Read nanos as Long and derive a TimestampType column
-    * (integer DIV — a double roundtrip would lose precision above 2^53).
+  /** `events.ts` has shipped in two physical encodings across fixture
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects unless read as Long via the nanosAsLong flag) and
+    * plain TIMESTAMP(MICROS) (which reads natively, as TIMESTAMP_NTZ).
+    * Normalize BOTH to a session-zone TimestampType column carrying the
+    * same instant, so every downstream query is fixture-encoding
+    * agnostic. The NTZ->LTZ cast is instant-preserving because every
+    * graft entry point pins spark.sql.session.timeZone=UTC, matching
+    * DuckDB's naive-timestamp reading of the same file.
     *
     * The nanosAsLong flag is set session-wide and deliberately NOT
     * restored: the scan consults it lazily at physical-planning time, so
@@ -30,9 +36,21 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    normalizeEventTs(apply(s, d, "events"))
+  }
+
+  /** Nanos-as-long => integer DIV to micros (a double roundtrip would
+    * lose precision above 2^53); native timestamp => cast to the
+    * session-zone type. Shared by the batch loader and the streaming
+    * replay source so the two paths cannot drift. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

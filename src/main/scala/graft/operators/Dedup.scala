@@ -816,7 +816,46 @@ object Dedup {
        |    AS text
        |FROM k GROUP BY doc_id""".stripMargin
 
+  /** x43 — edit-distance verification of LSH candidates: each char-gram
+    * near-dup pair (x04's banded candidates + Jaccard gate) re-scored
+    * with the exact Levenshtein distance between the two documents'
+    * lowercased 120-char prefixes. Levenshtein is O(len²) per pair —
+    * viable only AFTER banding has cut the pair space to candidates
+    * (never corpus²), and the bounded prefix caps the per-pair cost; at
+    * 100 TB the plan shape is unchanged: two hash joins back to the
+    * (doc_id, prefix) projection of the corpus, distance evaluated
+    * inside codegen. Fixture text is ASCII (asserted by the oracle
+    * agreeing): Spark's Levenshtein counts Unicode code points while
+    * DuckDB's counts differently on multi-byte input, so a non-ASCII
+    * corpus should strip or normalize before this gate. */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 120,
+      thresh: Double = 0.7): DataFrame = {
+    val pairs = nearDupCharPairs(docs, thresh).select(col("a"), col("b"))
+    val pfx = docs.select(col("doc_id"),
+      lower(substring(col("text"), 1, prefixLen)).as("t"))
+    pairs
+      .join(pfx.select(col("doc_id").as("a"), col("t").as("ta")), Seq("a"))
+      .join(pfx.select(col("doc_id").as("b"), col("t").as("tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"))
+  }
+
+  def x43(s: SparkSession, d: String): DataFrame =
+    editDistancePairs(Tables.documents(s, d))
+
+  val x43Sql: String =
+    s"""WITH pairs AS (
+       |$x04Sql
+       |)
+       |SELECT p.a, p.b,
+       |  levenshtein(substr(lower(da.text), 1, 120),
+       |              substr(lower(db.text), 1, 120)) AS lev
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.a
+       |JOIN documents db ON db.doc_id = p.b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x43_edit_distance" -> (x43 _),
     "x39_line_dedup" -> (x39 _),
     "x01_dedup_exact" -> (x01 _),
     "x02_dedup_minhash" -> (x02 _),
@@ -831,6 +870,7 @@ object Dedup {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x43_edit_distance" -> x43Sql,
     "x39_line_dedup" -> x39Sql,
     "x01_dedup_exact" -> x01Sql,
     "x02_dedup_minhash" -> x02Sql,

@@ -244,7 +244,65 @@ object Relational {
       .groupBy("event_type")
       .agg(sum(col("c")).as("cnt"))
 
+  /** Q25 — PIVOT: order counts cross-tabbed priority × status. The
+    * pivot values are DECLARED (not discovered with an extra scan-and-
+    * collect pass), so the plan is a single groupBy with conditional
+    * aggregates — one shuffle of |priorities| rows after map-side
+    * partials, same cost as Q6 regardless of corpus size. Spark's pivot
+    * emits NULL for an absent (group, value) cell while SQL's
+    * FILTER-counts emit 0; na.fill pins the SQL semantics. */
+  def q25(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+
+  /** Q26 — moving-window frame over a pre-aggregated daily series:
+    * 7-day moving sum and average of daily revenue. Revenue is fixed to
+    * integer CENTS before the frame so the moving arithmetic is exact
+    * integer math — bit-identical across engines regardless of each
+    * engine's frame-summation association order (doubles would differ
+    * in the last ulp between a sequential and a segment-tree frame
+    * sum). The global ORDER BY runs AFTER the per-day aggregation, on
+    * |days| rows — at 100 TB the series is still thousands of rows, so
+    * the single-partition window is not a scale hazard. */
+  def q26(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")) * 100, 0).cast("long").as("revenue_c"))
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("mv7_sum_c", sum(col("revenue_c")).over(w))
+      .withColumn("mv7_avg_c", avg(col("revenue_c")).over(w))
+  }
+
+  /** Q27 — time-series gap fill: a generated day spine (min..max of the
+    * observed days) left-joined to the daily counts, absent days
+    * emitted as zero. The spine derives from a 1-row bounds aggregate
+    * exploded into |days| rows — never a driver-side loop — and the
+    * fill join broadcasts the spine side at any corpus size (the spine
+    * is calendar-bounded, not data-bounded). The high-value purchase
+    * filter makes the series genuinely sparse at the oracle scale
+    * factors, so absent-day zero rows are really emitted and checked
+    * (an unfiltered daily count has an event every day — the fill path
+    * would never fire). */
+  def q27(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value") > 300)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    broadcast(spine).join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_pivot" -> (q25 _),
+    "q26_moving_window" -> (q26 _),
+    "q27_gap_fill" -> (q27 _),
     "q17_window_rank" -> (q17 _),
     "q18_rollup" -> (q18 _),
     "q19_set_except" -> (q19 _),
@@ -270,6 +328,31 @@ object Relational {
 
   /** DuckDB-dialect oracle SQL, column-name-identical to the plans above. */
   val oracleSql: Map[String, String] = Map(
+    "q25_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q26_moving_window" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT) AS revenue_c
+        |  FROM orders GROUP BY 1)
+        |SELECT day, revenue_c,
+        |  CAST(sum(revenue_c) OVER w AS BIGINT) AS mv7_sum_c,
+        |  avg(revenue_c) OVER w AS mv7_avg_c
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q27_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value > 300 GROUP BY 1),
+        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
+        |SELECT spine.day AS day, coalesce(cnt, 0) AS cnt
+        |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
     "q17_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -32,9 +32,9 @@ object StreamingQueries {
     import s.implicits._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(rawSchema)
+    val raw = s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.Tables.normalizeEventTs(raw)
       .selectExpr(
         "cast(user_id as string) AS messageId",
         "CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status",
@@ -451,6 +451,63 @@ object StreamingQueries {
        |  count(*) AS n_events
        |FROM g GROUP BY messageId, sid""".stripMargin
 
+  /** s09 — CHAINED stateful aggregations in one streaming query (the
+    * multiple-stateful-operator pipeline Spark supports since 3.4/4.x):
+    * hourly counts per carrier, re-aggregated per hour into a total and
+    * a carrier-coverage count — the two-level rollup every monitoring
+    * view wants, previously impossible without a second query reading
+    * the first's sink. The second groupBy windows on
+    * `window_time(col("window"))` — window end minus 1ms, the event
+    * time Spark assigns a finalized window. window_time (not the raw
+    * struct) is what keeps the chain's late-record filter correct: the
+    * inner emits window W in the first batch whose eviction watermark
+    * passed W.end, and the outer's late filter compares W's event time
+    * against the PREVIOUS batch's watermark — `end-1 >= prevWm` always
+    * holds exactly when the event time is window_time, while comparing
+    * against W.start drops the final window of the stream. The sentinel
+    * rows advance the watermark twice (two files = two micro-batches),
+    * which is exactly the depth this chain needs.
+    *
+    * SENTINELS MUST NOT BE FILTERED INSIDE THE STREAMING PLAN: a
+    * deterministic pre-agg `filter(carrier =!= "none")` is pushed by
+    * Catalyst below the EventTimeWatermark node all the way into the
+    * parquet scan, so the sentinel rows vanish before the watermark
+    * collector ever sees their timestamps — the watermark then never
+    * passes the fixture's last window and the stream silently drops its
+    * final result row (observed: sentinel source contributes 0 input
+    * rows). Instead the sentinel rows flow through both aggregations as
+    * their own year-2100 windows — which the watermark never finalizes,
+    * so they stay in state and never reach the sink — and the post-sink
+    * batch filter on win_start is belt-and-braces, same pattern as
+    * s01/s02's post-sink messageId/carrier filters. */
+  def s09(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+      .toDF()
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "2 minutes")
+    val perCarrier = stream
+      .groupBy(window(col("eventTime"), "1 hour"), col("carrier"))
+      .agg(count(lit(1)).as("cnt"))
+    val perWindow = perCarrier
+      .groupBy(window(window_time(col("window")), "1 hour"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_carriers"))
+      .select(unix_millis(col("window.start")).as("win_start"),
+        col("total"), col("n_carriers"))
+    runToSink(s, perWindow, "append")
+      .filter(col("win_start") < lit(Sentinel1Ms))
+  }
+
+  val s09Sql: String =
+    s"""WITH pc AS (
+       |  SELECT date_trunc('hour', ts) AS w,
+       |    $carrierSql AS carrier, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2)
+       |SELECT epoch_ms(w) AS win_start,
+       |  CAST(sum(cnt) AS BIGINT) AS total,
+       |  count(*) AS n_carriers
+       |FROM pc GROUP BY w""".stripMargin
+
   /** s03 — the deterministic reference-parity generator (10k message
     * lifecycles => sent/heartbeat/delivered transcript). */
   def s03(s: SparkSession, d: String): DataFrame =
@@ -468,6 +525,7 @@ object StreamingQueries {
     "s06_stream_enrich" -> (s06 _),
     "s07_session_stream" -> (s07 _),
     "s08_outer_join" -> (s08 _),
+    "s09_chained_agg" -> (s09 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -480,5 +538,6 @@ object StreamingQueries {
     "s06_stream_enrich" -> s06Sql,
     "s07_session_stream" -> s07Sql,
     "s08_outer_join" -> s08Sql,
+    "s09_chained_agg" -> s09Sql,
   )
 }

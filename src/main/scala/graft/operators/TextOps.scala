@@ -394,7 +394,35 @@ object TextOps {
        |  regexp_replace(t2, '$PhoneRe', '[PHONE]', 'g') AS text FROM i)
        |SELECT doc_id, text, n_emails, n_ips, n_phones FROM f""".stripMargin
 
+  /** x42 — corpus length distribution: EXACT quartiles of document
+    * length per language (the curation report every dataset release
+    * ships). `percentile` is the exact sort-based aggregate — one
+    * shuffle of |langs| groups, each group's values gathered to its
+    * reducer; for a 100 TB corpus with bounded group count this is the
+    * intended plan (the approximate sketch `percentile_approx` is the
+    * escape hatch when a single group's values exceed one reducer, at
+    * the cost of oracle-exactness). Quartile fractions are exact
+    * binary rationals (k/4), so the linear interpolation between the
+    * two integer neighbors is exact double arithmetic — bit-identical
+    * across engines, no rounding canonicalization needed. */
+  def x42(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"))
+
+  val x42Sql: String =
+    """SELECT lang, count(*) AS n,
+      |  quantile_cont(n_chars, 0.25) AS p25,
+      |  quantile_cont(n_chars, 0.5) AS p50,
+      |  quantile_cont(n_chars, 0.75) AS p75
+      |FROM documents GROUP BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x42_length_quartiles" -> (x42 _),
     "x08_lang_id" -> (x08 _),
     "x09_quality_score" -> (x09 _),
     "x10_token_count" -> (x10 _),
@@ -407,6 +435,7 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x42_length_quartiles" -> x42Sql,
     "x08_lang_id" -> x08Sql,
     "x09_quality_score" -> x09Sql,
     "x10_token_count" -> x10Sql,
