@@ -246,11 +246,14 @@ object Relational {
 
   /** Q25 — PIVOT: order counts cross-tabbed priority × status. The
     * pivot values are DECLARED (not discovered with an extra scan-and-
-    * collect pass), so the plan is a single groupBy with conditional
-    * aggregates — one shuffle of |priorities| rows after map-side
-    * partials, same cost as Q6 regardless of corpus size. Spark's pivot
-    * emits NULL for an absent (group, value) cell while SQL's
-    * FILTER-counts emit 0; na.fill pins the SQL semantics. */
+    * collect pass over the data). Spark plans pivot as a two-level
+    * aggregation — groupBy(priority, status) count, then a pivotfirst
+    * re-shape keyed on priority — so the audit shows 2 exchanges, but
+    * the first has map-side partials and the second moves only
+    * |priorities × statuses| (~15) rows: constant-size shuffles at any
+    * corpus scale. Spark's pivot emits NULL for an absent
+    * (group, value) cell while SQL's FILTER-counts emit 0; na.fill pins
+    * the SQL semantics. */
   def q25(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy("o_orderpriority")
@@ -278,22 +281,27 @@ object Relational {
       .withColumn("mv7_avg_c", avg(col("revenue_c")).over(w))
   }
 
-  /** Q27 — time-series gap fill: a generated day spine (min..max of the
-    * observed days) left-joined to the daily counts, absent days
-    * emitted as zero. The spine derives from a 1-row bounds aggregate
-    * exploded into |days| rows — never a driver-side loop — and the
+  /** Q27 — time-series gap fill: a generated day spine left-joined to
+    * the daily counts, absent days emitted as zero. The spine bounds
+    * come from the WHOLE event table's date range (not the filtered
+    * series) so the fill really covers the observed calendar — a
+    * data-bounded spine silently shrinks to the sparse series' own
+    * span and can never emit leading/trailing gaps. The bounds are a
+    * 1-row min/max aggregate — at scale a parquet-stats/metadata-class
+    * scan — exploded into |days| rows, never a driver-side loop; the
     * fill join broadcasts the spine side at any corpus size (the spine
-    * is calendar-bounded, not data-bounded). The high-value purchase
-    * filter makes the series genuinely sparse at the oracle scale
-    * factors, so absent-day zero rows are really emitted and checked
-    * (an unfiltered daily count has an event every day — the fill path
-    * would never fire). */
+    * is calendar-bounded). The high-value purchase filter keeps the
+    * series genuinely sparse at the oracle scale factors, so absent-day
+    * zero rows are really emitted and checked (an unfiltered daily
+    * count has an event every day — the fill path would never fire). */
   def q27(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
-      .filter(col("event_type") === "purchase" && col("value") > 300)
+    val events = Tables.events(s, d)
+    val daily = events
+      .filter(col("event_type") === "purchase" && col("value") > 150)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val spine = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = events
+      .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
     broadcast(spine).join(daily, Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
@@ -348,8 +356,8 @@ object Relational {
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, count(*) AS cnt
         |  FROM events
-        |  WHERE event_type = 'purchase' AND value > 300 GROUP BY 1),
-        |b AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |  WHERE event_type = 'purchase' AND value > 150 GROUP BY 1),
+        |b AS (SELECT min(CAST(ts AS DATE)) AS lo, max(CAST(ts AS DATE)) AS hi FROM events),
         |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
         |SELECT spine.day AS day, coalesce(cnt, 0) AS cnt
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,

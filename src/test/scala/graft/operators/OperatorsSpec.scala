@@ -418,6 +418,69 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == ((1L, 1L, "")))
   }
 
+  test("q25 pivot cells partition the orders count and never go null") {
+    val rows = Relational.q25(spark, sf).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(total == graft.Tables.orders(spark, sf).count())
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
+  test("q26 moving frame equals a locally recomputed trailing-7 sum") {
+    val rows = Relational.q26(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toString, r.getLong(1),
+        r.getLong(2)))
+      .sortBy(_._1)
+    rows.zipWithIndex.foreach { case ((_, _, mv), i) =>
+      val expect = rows.slice(math.max(0, i - 6), i + 1).map(_._2).sum
+      assert(mv == expect, s"row $i")
+    }
+  }
+
+  test("q27 emits a contiguous day spine with zero-filled gaps") {
+    val rows = Relational.q27(spark, sf).collect()
+      .map(r => (r.getAs[java.sql.Date](0).toLocalDate, r.getLong(1)))
+      .sortBy(_._1.toEpochDay)
+    val days = rows.map(_._1.toEpochDay)
+    assert(days.nonEmpty && days.zip(days.tail).forall {
+      case (a, b) => b == a + 1 }, "spine must be contiguous")
+    // the high-value purchase filter makes the series genuinely sparse
+    // at fixture scale: the gap-fill path must really fire, and the
+    // spine (bounded by the WHOLE event table) must outspan the series
+    assert(rows.exists(_._2 == 0L), "expected at least one filled gap day")
+    assert(rows.exists(_._2 > 0L), "expected at least one observed day")
+  }
+
+  test("x42 quartiles are ordered and group counts cover the corpus") {
+    val rows = TextOps.x42(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75, r.getString(0))
+    }
+  }
+
+  test("x43 re-scores exactly the x04 candidate pairs within prefix bounds") {
+    val pairs = Dedup.x04(spark, sf).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scored = Dedup.x43(spark, sf).collect()
+    assert(scored.map(r => (r.getLong(0), r.getLong(1))).toSet == pairs)
+    // distance over 120-char prefixes is bounded by the prefix length
+    assert(scored.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 120))
+  }
+
+  test("s09 chained agg conserves the event count across both levels") {
+    val rows = graft.operators.StreamingQueries
+      .queries("s09_chained_agg")(spark, sf).collect()
+    // every fixture event lands in exactly one hourly window; the
+    // sentinel rows' year-2100 windows must never reach the sink
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.Tables.events(spark, sf).count())
+    assert(rows.forall(_.getLong(2) <= 3))
+    assert(rows.forall(_.getLong(0) <
+      graft.operators.StreamingQueries.Sentinel1Ms))
+  }
+
   test("multimodal decode parses real PPM headers and pixel bodies") {
     val rows = graft.multimodal.Multimodal.m01(spark, sf).collect()
     assert(rows.length == 500)
