@@ -25,6 +25,8 @@ object PlanAudit {
       "exact all-pairs baseline; broadcast query side is the point",
     "q09_subquery_avg" ->
       "scalar subquery: the build side is ONE aggregated row",
+    "x45_bigram_lm" ->
+      "vocabulary-size attach: broadcast cross join of ONE aggregated row",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -307,10 +307,41 @@ object Relational {
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Q28 — CUBE: all four grouping sets over status × priority in one
+    * pass (the remaining grouping-sets family member next to Q18's
+    * ROLLUP). Spark expands the cube BEFORE the exchange — each input
+    * row becomes |grouping sets| tagged rows but map-side partial
+    * aggregation collapses them to |groups| per task, so the shuffle
+    * carries at most tasks × total-group-count rows regardless of
+    * corpus size. Revenue is summed in per-row integer cents, exact
+    * across engines. */
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_c"))
+
+  /** Q29 — semi join as a first-class gated operator (EXISTS): customers
+    * with at least one very-high-value order. The left_semi join probes
+    * and emits each customer at most once — no duplicate-then-distinct,
+    * no row-width growth from the right side; the filtered order keys
+    * broadcast when small, degrade to a shuffled semi join when not.
+    * (Anti is Q10; semi previously appeared only inside composites.) */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 480000)
+      .select(col("o_custkey"))
+    Tables.customer(s, d)
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_pivot" -> (q25 _),
     "q26_moving_window" -> (q26 _),
     "q27_gap_fill" -> (q27 _),
+    "q28_cube" -> (q28 _),
+    "q29_semi_join" -> (q29 _),
     "q17_window_rank" -> (q17 _),
     "q18_rollup" -> (q18 _),
     "q19_set_except" -> (q19 _),
@@ -361,6 +392,15 @@ object Relational {
         |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
         |SELECT spine.day AS day, coalesce(cnt, 0) AS cnt
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+    "q28_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q29_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 480000)""".stripMargin,
     "q17_window_rank" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

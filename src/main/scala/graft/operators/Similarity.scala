@@ -367,12 +367,70 @@ object Similarity {
       |    i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))) * 1e9) AS BIGINT) AS sq_err_u
       |FROM q""".stripMargin
 
+  /** x44 — the distributed Gram matrix G = Σ_n v_n v_nᵀ over the whole
+    * embedding corpus: the uncentered second-moment matrix that PCA,
+    * whitening, and linear-probe training all start from. This is the
+    * one embedding op where a declarative explode is the WRONG scale
+    * shape (posexplode² shuffles N·d² product rows — 40 TB of shuffle
+    * for a billion 64-dim vectors), so it uses the sanctioned
+    * per-partition imperative path: each task folds its rows into ONE
+    * d×d double accumulator (upper triangle only), emits that single
+    * array, and a tiny (partitions × d²)-row distributed aggregation
+    * sums the partials — total shuffle volume is partitions·d² doubles,
+    * independent of corpus size, and nothing lands on the driver.
+    * Products are computed float→double (exact) on both engines; the
+    * output quantizes to 1e-4 units with floor, coarse enough that the
+    * association-order float drift of the partial sums (≪1e-9 relative)
+    * cannot flip a bucket. */
+  def gramMatrix(embs: DataFrame, dim: Int): DataFrame = {
+    val s = embs.sparkSession
+    import s.implicits._
+    val partials = embs.select(col("embedding").cast("array<float>"))
+      .as[Array[Float]]
+      .mapPartitions { it =>
+        val acc = new Array[Double](dim * dim)
+        while (it.hasNext) {
+          val v = it.next()
+          var i = 0
+          while (i < dim) {
+            val vi = v(i).toDouble
+            var j = i
+            while (j < dim) { acc(i * dim + j) += vi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        Iterator.single(acc)
+      }
+    partials.toDF("acc")
+      .select(posexplode(col("acc")).as(Seq("idx", "p")))
+      .groupBy("idx").agg(sum(col("p")).as("g"))
+      .select((col("idx") / dim).cast("int").as("i"),
+        (col("idx") % dim).cast("int").as("j"),
+        floor(col("g") * 1e4).cast("long").as("g_e4"))
+      .filter(col("i") <= col("j"))
+  }
+
+  def x44(s: SparkSession, d: String): DataFrame =
+    gramMatrix(Tables.embeddings(s, d), dim = 64)
+
+  val x44Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings)
+      |SELECT a.i AS i, b.i AS j,
+      |  CAST(floor(sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) * 1e4) AS BIGINT) AS g_e4
+      |FROM e a JOIN e b USING (vec_id)
+      |WHERE a.i <= b.i
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_brute" -> (x06 _),
     "x07_ann_lsh" -> (x07 _),
     "x12_ann_ivf" -> (x12 _),
     "x25_embed_quantize" -> (x25 _),
     "x33_semdedup" -> (x33 _),
+    "x44_gram_matrix" -> (x44 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -381,5 +439,6 @@ object Similarity {
     "x12_ann_ivf" -> x12Sql,
     "x25_embed_quantize" -> x25Sql,
     "x33_semdedup" -> x33Sql,
+    "x44_gram_matrix" -> x44Sql,
   )
 }

@@ -421,7 +421,63 @@ object TextOps {
       |  quantile_cont(n_chars, 0.75) AS p75
       |FROM documents GROUP BY lang""".stripMargin
 
+  /** x45 — bigram language-model plausibility: each document scored by
+    * the mean add-one-smoothed conditional probability of its bigrams,
+    * with the model estimated from the corpus itself — the classic
+    * cheap fluency/quality signal (boilerplate and shuffled text score
+    * low, natural prose scores high). p(w2|w1) = (c(w1,w2)+1) /
+    * (c(w1·)+V) is computed ENTIRELY in integer micro-units (the x36
+    * convention): both engines do the same BIGINT multiply and floor
+    * divide, so there is no transcendental or float-association drift
+    * to canonicalize — log-space scoring would tie the gate to libm.
+    * Plan shape: bigrams derive narrowly (zip_with over the token
+    * array, no posexplode self-join); the model is two hash aggs over
+    * the bigram stream plus a 1-row broadcast vocabulary count; scoring
+    * is two equi-joins back to the bigram stream. Documents with fewer
+    * than two tokens have no bigrams and drop out (both engines). */
+  def bigramScores(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(lower(col("text")), " ").as("ts"))
+    val bi = toks.select(col("doc_id"), explode(expr(
+      "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
+        " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("ts")).as("wd"))
+      .agg(countDistinct(col("wd")).as("v"))
+    bi.join(cb, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
+      .select(col("doc_id"), expr("((cb + 1) * 1000000) DIV (c1 + v)").as("pu"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(pu) DIV count(*)").as("mean_p_u"))
+  }
+
+  def x45(s: SparkSession, d: String): DataFrame =
+    bigramScores(Tables.documents(s, d))
+
+  val x45Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd,
+      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, wd AS w1,
+      |      lead(wd) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |    FROM w)
+      |  WHERE w2 IS NOT NULL),
+      |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+      |v AS (SELECT count(DISTINCT wd) AS v FROM w),
+      |p AS (SELECT doc_id, ((cb + 1) * 1000000) // (c1 + v) AS pu
+      |  FROM b JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(pu) // count(*) AS BIGINT) AS mean_p_u
+      |FROM p GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_bigram_lm" -> (x45 _),
     "x42_length_quartiles" -> (x42 _),
     "x08_lang_id" -> (x08 _),
     "x09_quality_score" -> (x09 _),
@@ -435,6 +491,7 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x45_bigram_lm" -> x45Sql,
     "x42_length_quartiles" -> x42Sql,
     "x08_lang_id" -> x08Sql,
     "x09_quality_score" -> x09Sql,

@@ -469,6 +469,45 @@ class OperatorsSpec extends SparkSpec {
     assert(scored.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 120))
   }
 
+  test("q28 cube's grand-total row equals the table count") {
+    val rows = Relational.q28(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(2) == graft.Tables.orders(spark, sf).count())
+    // every grouping set sums back to the grand total
+    val fine = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(fine.map(_.getLong(2)).sum == grand.head.getLong(2))
+    assert(fine.map(_.getLong(3)).sum == grand.head.getLong(3))
+  }
+
+  test("q29 semi join emits each qualifying customer exactly once") {
+    val rows = Relational.q29(spark, sf).collect()
+    val keys = rows.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length, "no duplicates from semi")
+    val expect = graft.Tables.orders(spark, sf)
+      .filter(col("o_totalprice") > 480000)
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(keys.toSet == expect)
+  }
+
+  test("x44 gram matrix is the full upper triangle with positive diagonal") {
+    val rows = Similarity.x44(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 64 * 65 / 2)
+    (0 until 64).foreach(i => assert(rows((i, i)) > 0, s"diag $i"))
+    assert(rows.keys.forall { case (i, j) => i <= j })
+  }
+
+  test("x45 bigram scores are probabilities and bigram counts match") {
+    val rows = TextOps.x45(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000))
+    val nToks = graft.Tables.documents(spark, sf)
+      .select(size(split(lower(col("text")), " ")).as("n"), col("doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getInt(0)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(1) == math.max(0, nToks(r.getLong(0)) - 1)))
+  }
+
   test("s09 chained agg conserves the event count across both levels") {
     val rows = graft.operators.StreamingQueries
       .queries("s09_chained_agg")(spark, sf).collect()
