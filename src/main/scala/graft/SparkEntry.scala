@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Sampling.queries ++
       operators.Semi.queries ++
       operators.Skew.queries ++
+      operators.Sequences.queries ++
       operators.Bucketed.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -48,6 +49,7 @@ object SparkEntry {
       operators.Sampling.oracleSql ++
       operators.Semi.oracleSql ++
       operators.Skew.oracleSql ++
+      operators.Sequences.oracleSql ++
       operators.Bucketed.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql

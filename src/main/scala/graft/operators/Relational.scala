@@ -336,12 +336,28 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
 
+  /** Q30 — set intersection: high-balance customers who DO have a
+    * pending order (Q19's complement, completing the set-op family).
+    * INTERSECT compiles to a left-semi join over distinct keys — same
+    * scale posture as Q29 but with set (deduplicating) semantics on
+    * both sides. */
+  def q30(s: SparkSession, d: String): DataFrame = {
+    val rich = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 1000)
+      .select(col("c_custkey").as("k"))
+    val pending = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("k"))
+    rich.intersect(pending)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q25_pivot" -> (q25 _),
     "q26_moving_window" -> (q26 _),
     "q27_gap_fill" -> (q27 _),
     "q28_cube" -> (q28 _),
     "q29_semi_join" -> (q29 _),
+    "q30_intersect" -> (q30 _),
     "q17_window_rank" -> (q17 _),
     "q18_rollup" -> (q18 _),
     "q19_set_except" -> (q19 _),
@@ -414,6 +430,10 @@ object Relational {
     "q19_set_except" ->
       """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
         |EXCEPT
+        |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q30_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal > 1000
+        |INTERSECT
         |SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
     "q20_session_window" ->
       """WITH ordered AS (

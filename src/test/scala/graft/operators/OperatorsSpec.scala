@@ -508,6 +508,33 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getLong(1) == math.max(0, nToks(r.getLong(0)) - 1)))
   }
 
+  test("q19/q30 except and intersect partition the rich-customer set") {
+    import spark.implicits._
+    val rich = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") > 1000).select("c_custkey").distinct().count()
+    val except = Relational.q19(spark, sf).count()
+    val intersect = Relational.q30(spark, sf).count()
+    assert(except + intersect == rich)
+  }
+
+  test("x46 sequences are time-ordered regardless of partitioning") {
+    val base = Sequences.x46(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // event count conservation
+    assert(base.values.map(_._1).sum ==
+      graft.Tables.events(spark, sf).count())
+    base.values.foreach { case (n, seq) =>
+      assert(seq.split(",", -1).length.toLong == n)
+    }
+    // a different physical ordering of the input must yield the same
+    // sequences — ordering comes from sort_array, not arrival order
+    val shuffled = Sequences
+      .userSequences(graft.Tables.events(spark, sf).repartition(7))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(shuffled == base)
+  }
+
   test("s09 chained agg conserves the event count across both levels") {
     val rows = graft.operators.StreamingQueries
       .queries("s09_chained_agg")(spark, sf).collect()
