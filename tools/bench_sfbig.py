@@ -22,7 +22,8 @@ QUERIES = [
     "x07_ann_lsh", "x13_clean_corpus", "x17_dedup_clusters",
     "x18_decontaminate", "x27_incremental_dedup", "x28_dedup_survivors",
     "x29_novelty", "x30_containment", "x33_semdedup", "x35_exact_substr",
-    "x41_bloom_decontaminate",
+    "x39_line_dedup", "x41_bloom_decontaminate", "x42_length_quartiles",
+    "x43_edit_distance", "x44_gram_matrix", "x45_bigram_lm",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
