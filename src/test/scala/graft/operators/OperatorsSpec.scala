@@ -535,6 +535,35 @@ class OperatorsSpec extends SparkSpec {
     assert(shuffled == base)
   }
 
+  test("s10 latest-wins merge is idempotent and batch-split insensitive") {
+    import spark.implicits._
+    def t(rows: (String, Long, String)*) =
+      rows.toDF("messageId", "timestamp", "status")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    val empty = t().filter(lit(false))
+    val b1 = t(("a", 10L, "sent"), ("b", 5L, "sent"))
+    val b2 = t(("a", 20L, "delivered"), ("c", 1L, "sent"),
+      ("b", 5L, "delivered")) // same-ts tie for b: status max wins
+    val once = StreamingQueries.latestWinsMerge(
+      StreamingQueries.latestWinsMerge(empty, b1), b2)
+    // idempotent: replaying b2 (the failure-retry case) changes nothing
+    val twice = StreamingQueries.latestWinsMerge(once, b2)
+    assert(canon(once) == canon(twice))
+    // split-insensitive: one combined batch gives the same table
+    val combinedBatch = b1.unionByName(b2)
+      .groupBy("messageId")
+      .agg(max(struct(col("timestamp"), col("status"))).as("m"))
+      .select(col("messageId"), col("m.timestamp").as("timestamp"),
+        col("m.status").as("status"))
+    val oneShot = StreamingQueries.latestWinsMerge(empty, combinedBatch)
+    assert(canon(once) == canon(oneShot))
+    // "sent" > "delivered" lexicographically: the same-ts tie keeps it
+    assert(canon(once) == Seq(("a", 20L, "delivered"),
+      ("b", 5L, "sent"), ("c", 1L, "sent")))
+  }
+
   test("s09 chained agg conserves the event count across both levels") {
     val rows = graft.operators.StreamingQueries
       .queries("s09_chained_agg")(spark, sf).collect()
