@@ -30,6 +30,13 @@ object Graft {
   def nearDupCharPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
     operators.Dedup.nearDupCharPairs(docs, threshold)
 
+  /** Exact Levenshtein re-scoring of the char-gram LSH candidates
+    * over bounded lowercased prefixes (O(len^2) priced per candidate
+    * pair, never corpus^2). */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 120,
+      threshold: Double = 0.7): DataFrame =
+    operators.Dedup.editDistancePairs(docs, prefixLen, threshold)
+
   /** SimHash pairs within a Hamming radius (exact via chunk banding). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     operators.Dedup.simhashPairs(docs, maxHamming)
@@ -141,6 +148,11 @@ object Graft {
   def semDedup(embeddings: DataFrame, threshold: Double = 0.3): DataFrame =
     operators.Similarity.semDedup(embeddings, threshold)
 
+  /** Distributed Gram matrix Σ v·vᵀ (upper triangle, 1e-4 units):
+    * per-partition outer-product fold, shuffle volume partitions·d². */
+  def gramMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    operators.Similarity.gramMatrix(embeddings, dim)
+
   // ---- text analysis ------------------------------------------------
   def languageId(docs: DataFrame): DataFrame = operators.TextOps.languageId(docs)
   def qualityScore(docs: DataFrame): DataFrame = operators.TextOps.qualityScore(docs)
@@ -160,6 +172,15 @@ object Graft {
     * integer-portable perplexity-filter stand-in. */
   def unigramScores(docs: DataFrame): DataFrame =
     operators.TextOps.unigramScores(docs)
+
+  /** Bigram LM plausibility per doc: mean add-one-smoothed p(w2|w1) in
+    * integer micro-units, model estimated from the corpus itself. */
+  def bigramScores(docs: DataFrame): DataFrame =
+    operators.TextOps.bigramScores(docs)
+
+  /** Exact per-language document-length quartiles. */
+  def lengthQuartiles(docs: DataFrame): DataFrame =
+    operators.TextOps.lengthQuartiles(docs)
 
   /** Admission verdicts: keep/drop plus the first failing rule
     * (too_short | low_quality | repetitive), thresholds per corpus. */
@@ -202,6 +223,11 @@ object Graft {
   def shardAssign(docs: DataFrame,
       capacity: Long = operators.Sampling.ShardCapacity): DataFrame =
     operators.Sampling.shardAssign(docs, capacity)
+
+  /** Per-user time-ordered event-type sequences (deterministic on any
+    * partitioning: sort_array over collected (ts, type) structs). */
+  def userSequences(events: DataFrame): DataFrame =
+    operators.Sequences.userSequences(events)
 
   // ---- keyed upsert -------------------------------------------------
   /** Delta-style MERGE: one full-outer shuffle join applying matched

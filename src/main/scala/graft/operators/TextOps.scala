@@ -405,14 +405,17 @@ object TextOps {
     * binary rationals (k/4), so the linear interpolation between the
     * two integer neighbors is exact double arithmetic — bit-identical
     * across engines, no rounding canonicalization needed. */
-  def x42(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  def lengthQuartiles(docs: DataFrame): DataFrame =
+    docs
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n"),
         expr("percentile(n_chars, 0.25)").as("p25"),
         expr("percentile(n_chars, 0.5)").as("p50"),
         expr("percentile(n_chars, 0.75)").as("p75"))
+
+  def x42(s: SparkSession, d: String): DataFrame =
+    lengthQuartiles(Tables.documents(s, d))
 
   val x42Sql: String =
     """SELECT lang, count(*) AS n,
@@ -442,8 +445,13 @@ object TextOps {
       "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
         " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // c(w1·) derives from the bigram-type counts rather than a second
+    // pass over the stream: the (w1,w2) exchange below it is identical
+    // to the one feeding the scoring join, so Spark's ReuseExchange
+    // shuffles the full bigram stream ONCE and the w1 marginal reduces
+    // |bigram types| rows, not |bigram occurrences|.
     val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
     val v = toks.select(explode(col("ts")).as("wd"))
       .agg(countDistinct(col("wd")).as("v"))
     bi.join(cb, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))

@@ -82,13 +82,39 @@ class GraftFacadeSpec extends SparkSpec {
       "tokenBudgetSample" -> Graft.tokenBudgetSample(docs),
       "shardAssign" -> Graft.shardAssign(docs),
       "redactPii" -> Graft.redactPii(docs),
-      "cleanCorpus" -> Graft.cleanCorpus(docs))
+      "cleanCorpus" -> Graft.cleanCorpus(docs),
+      "editDistancePairs" -> Graft.editDistancePairs(docs),
+      "bigramScores" -> Graft.bigramScores(docs),
+      "lengthQuartiles" -> Graft.lengthQuartiles(docs.withColumn("lang",
+        lit("en"))))
     results.foreach { case (name, df) =>
       val n = try df.count() catch {
         case t: Throwable => fail(s"$name threw on null/empty text: $t")
       }
       assert(n >= 0, name)
     }
+  }
+
+  test("gram matrix and user sequences are exact on tiny inputs") {
+    import spark.implicits._
+    // 2-dim vectors with a hand-computable second moment:
+    // G = [[1+4, 2+6], [., 4+9]] = [[5, 8], [., 13]]
+    val emb = Seq((0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val g = Graft.gramMatrix(emb, dim = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(g == Map((0, 0) -> 50000L, (0, 1) -> 80000L, (1, 1) -> 130000L))
+
+    val ev = Seq(
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "b"),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), "a"),
+      (7L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), "a"),
+      (9L, java.sql.Timestamp.valueOf("2024-01-01 00:00:05"), "z"))
+      .toDF("user_id", "ts", "event_type")
+    val seqs = Graft.userSequences(ev).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // same-instant events tie-break by event_type: a before b
+    assert(seqs == Map(7L -> "a,a,b", 9L -> "z"))
   }
 
   test("rate-source generator composes with the detector end-to-end") {
