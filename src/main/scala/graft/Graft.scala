@@ -153,6 +153,17 @@ object Graft {
   def gramMatrix(embeddings: DataFrame, dim: Int = 64): DataFrame =
     operators.Similarity.gramMatrix(embeddings, dim)
 
+  /** Fit a PCA model: one distributed (count, mean, Gram) pass, then a
+    * driver-side d×d Jacobi eigendecomposition (bounded model state). */
+  def pcaFit(embeddings: DataFrame, dim: Int = 64): operators.Pca.PcaModel =
+    operators.Pca.fit(embeddings, dim)
+
+  /** Mean-center and project embeddings onto the model's top-k
+    * components (narrow, broadcast literal basis, no UDF). */
+  def pcaProject(embeddings: DataFrame, model: operators.Pca.PcaModel,
+      k: Int = 8): DataFrame =
+    operators.Pca.project(embeddings, model, k)
+
   // ---- text analysis ------------------------------------------------
   def languageId(docs: DataFrame): DataFrame = operators.TextOps.languageId(docs)
   def qualityScore(docs: DataFrame): DataFrame = operators.TextOps.qualityScore(docs)
