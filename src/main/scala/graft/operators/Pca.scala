@@ -88,14 +88,20 @@ object Pca {
   /** Cyclic Jacobi for a symmetric matrix: rotate away the largest
     * off-diagonal entries until convergence. O(d³) per sweep on a
     * d×d DRIVER-SIDE matrix — never distributed, never data-sized. */
-  private[operators] def jacobiEigen(a0: Array[Array[Double]],
+  private[graft] def jacobiEigen(a0: Array[Array[Double]],
       maxSweeps: Int = 64): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     var sweep = 0
+    // converge the off-diagonal mass to machine precision RELATIVE to
+    // the matrix scale: Jacobi is quadratically convergent, so the last
+    // sweeps are nearly free and the eigen residual ends ~sqrt(eps)·‖A‖
+    // tighter than a fixed absolute cutoff would leave it
+    val scale = math.max(1e-300, offDiag(a) +
+      (0 until d).map(i => a(i)(i) * a(i)(i)).sum)
     var off = offDiag(a)
-    while (off > 1e-12 && sweep < maxSweeps) {
+    while (off > 1e-26 * scale && sweep < maxSweeps) {
       var p = 0
       while (p < d - 1) {
         var q = p + 1

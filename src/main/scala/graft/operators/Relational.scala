@@ -351,7 +351,42 @@ object Relational {
     rich.intersect(pending)
   }
 
+  /** Q31 — HAVING: post-aggregation group filter (big customers by
+    * order count). Catalyst plans it as Filter ABOVE the final
+    * aggregate, so the group-level predicate never blocks map-side
+    * partials and the filter runs on |groups| rows. */
+  def q31(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("spend_c"))
+      .filter(col("n_orders") >= 20)
+
+  /** Q32 — lag/lead inter-event gaps: per-user gap statistics over the
+    * time-ordered event series. The per-row gap needs a sort within
+    * each user partition (one shuffle + per-partition sort — the
+    * canonical window shape), but the GATED output is the per-user
+    * aggregate of the gaps, which is a pure function of each user's
+    * timestamp MULTISET: ties contribute zero-length gaps wherever the
+    * engine orders them, so avg/max/count agree across engines without
+    * a tie-break column. */
+  def q32(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("gap_ms",
+        unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_ms")).as("sum_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_having" -> (q31 _),
+    "q32_event_gaps" -> (q32 _),
     "q25_pivot" -> (q25 _),
     "q26_moving_window" -> (q26 _),
     "q27_gap_fill" -> (q27 _),
@@ -408,6 +443,19 @@ object Relational {
         |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b)
         |SELECT spine.day AS day, coalesce(cnt, 0) AS cnt
         |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin,
+    "q31_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS spend_c
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 20""".stripMargin,
+    "q32_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_ms
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap_ms) AS BIGINT) AS sum_gap_ms,
+        |  CAST(max(gap_ms) AS BIGINT) AS max_gap_ms
+        |FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id""".stripMargin,
     "q28_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS revenue_c

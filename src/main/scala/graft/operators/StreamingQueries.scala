@@ -613,7 +613,7 @@ object StreamingQueries {
     * any grouping yields the same table) — the two algebraic facts the
     * exactly-once story and the oracle comparison rest on; both are
     * spec-pinned. */
-  private[operators] def latestWinsMerge(target: DataFrame,
+  private[graft] def latestWinsMerge(target: DataFrame,
       latest: DataFrame): DataFrame = {
     val newer = struct(col("s.timestamp"), col("s.status")) >
       struct(col("t.timestamp"), col("t.status"))
