@@ -142,13 +142,66 @@ object Bucketed {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** The tiny status dimension q33 filters: phase is the "user-facing"
+    * attribute, status the physical partition key. Written to parquet
+    * once per app (not kept as an inline relation) because Catalyst's
+    * ConvertToLocalRelation folds a filtered LocalRelation into a bare
+    * one BEFORE the PartitionPruning rule runs — the selective filter
+    * disappears from the plan and DPP never fires. A file-backed dim is
+    * also the honest shape: at scale dimensions live in storage. */
+  private val dimPath = scala.collection.mutable.Map[String, String]()
+
+  private[graft] def statusDim(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val p = dimPath.synchronized {
+      dimPath.getOrElseUpdate(s.sparkContext.applicationId, {
+        val path = java.nio.file.Files
+          .createTempDirectory("graft_statusdim_").toString
+        Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+          .toDF("status", "phase")
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        path
+      })
+    }
+    s.read.parquet(p)
+  }
+
+  /** q33 — DYNAMIC partition pruning: the filter is on the dimension's
+    * `phase` column, not the fact's partition key, so static pruning
+    * (q24) cannot apply — at planning time nothing constrains
+    * o_orderstatus. Spark inserts a DynamicPruningExpression on the
+    * fact scan's PartitionFilters that reuses the broadcast of the
+    * filtered dim, so only the surviving status directories are read.
+    * THE 100 TB pattern: fact tables are date/category-partitioned and
+    * every realistic predicate arrives via a dimension, not the raw
+    * partition column. PlanSpec asserts the dynamicpruning filter is
+    * really present in the scan. */
+  def q33(s: SparkSession, d: String): DataFrame =
+    partitionedOrders(s, d)
+      .join(statusDim(s).filter(col("phase") === "closed"),
+        col("o_orderstatus") === col("status"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_okey"))
+
+  val q33Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+      |FROM orders
+      |JOIN (VALUES ('F', 'closed'), ('O', 'open'), ('P', 'pending'))
+      |  AS dim(status, phase)
+      |ON o_orderstatus = status
+      |WHERE phase = 'closed'
+      |GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_bucketed_join" -> (q23 _),
     "q24_partition_prune" -> (q24 _),
+    "q33_dynamic_prune" -> (q33 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q23_bucketed_join" -> q23Sql,
     "q24_partition_prune" -> q24Sql,
+    "q33_dynamic_prune" -> q33Sql,
   )
 }

@@ -231,6 +231,15 @@ class PlanSpec extends SparkSpec {
       "no row-group filter should remain for the partition column")
   }
 
+  test("q33 dim-side filter reaches the fact scan as DYNAMIC pruning") {
+    val p = plan(Bucketed.q33(spark, sf))
+    assert(p.toLowerCase.contains("dynamicpruningexpression"),
+      s"fact scan must carry a DynamicPruningExpression partition filter:\n$p")
+    // and the filter on the dim side is phase, not the partition key —
+    // static pruning cannot have served this
+    assert(p.contains("phase"), "selective predicate lives on the dim")
+  }
+
   test("q22 salted join spreads the hot key: join is on (k, __salt)") {
     val p = plan(Skew.q22(spark, sf))
     assert(p.contains("__salt"), "join keys must include the salt column")
