@@ -134,6 +134,22 @@ object Clusters {
        |SELECT n AS doc_id, least(n, min(m)) AS cluster_id
        |FROM reach GROUP BY n""".stripMargin
 
+  /** x47 — duplicate-cluster size histogram: how many clusters exist of
+    * each size (the headline stat of every dedup report — "N docs
+    * collapsed into M clusters, largest K"). Two tiny aggregations on
+    * top of the x17 labels: |docs-in-clusters| rows in, |distinct
+    * sizes| rows out. Singleton docs never enter the pair graph, so
+    * size ≥ 2 by construction. */
+  def x47(s: SparkSession, d: String): DataFrame =
+    x17(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+
+  val x47Sql: String =
+    s"""WITH labels AS ($x17Sql),
+       |sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
+       |SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz""".stripMargin
+
   // ---------------------------------------------------------------- x28
   /** Survivor corpus: the end-to-end output of cluster-level dedup.
     * x17 labels duplicate-group members; this picks ONE representative
@@ -195,11 +211,13 @@ object Clusters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x17_dedup_clusters" -> (x17 _),
+    "x47_cluster_sizes" -> (x47 _),
     "x28_dedup_survivors" -> (x28 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x17_dedup_clusters" -> x17Sql,
+    "x47_cluster_sizes" -> x47Sql,
     "x28_dedup_survivors" -> x28Sql,
   )
 }
