@@ -155,12 +155,18 @@ object Bucketed {
     import s.implicits._
     val p = dimPath.synchronized {
       dimPath.getOrElseUpdate(s.sparkContext.applicationId, {
-        val path = java.nio.file.Files
-          .createTempDirectory("graft_statusdim_").toString
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_statusdim_").toFile
         Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
           .toDF("status", "phase")
-          .coalesce(1).write.mode("overwrite").parquet(path)
-        path
+          .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(dir)
+        }))
+        dir.getAbsolutePath
       })
     }
     s.read.parquet(p)

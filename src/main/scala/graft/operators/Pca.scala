@@ -36,16 +36,8 @@ object Pca {
         val sum = new Array[Double](dim)
         val g = new Array[Double](dim * dim)
         while (it.hasNext) {
-          val v = it.next()
+          Similarity.accumulateMoments(it.next(), dim, sum, g)
           n += 1
-          var i = 0
-          while (i < dim) {
-            val vi = v(i).toDouble
-            sum(i) += vi
-            var j = i
-            while (j < dim) { g(i * dim + j) += vi * v(j); j += 1 }
-            i += 1
-          }
         }
         Iterator.single((n, sum, g))
       }
@@ -157,9 +149,16 @@ object Pca {
     * a narrow codegen'd expression, no shuffle, no UDF. */
   def project(embs: DataFrame, model: PcaModel, k: Int): DataFrame = {
     require(k >= 1 && k <= model.basis.length, s"k=$k out of range")
+    val dim = model.mean.length
     val meanLit = array(model.mean.map(lit).toIndexedSeq: _*)
-    val centered: Column = zip_with(
-      col("embedding").cast("array<double>"), meanLit, (x, m) => x - m)
+    // zip_with pads a shorter array with nulls — a dim mismatch would
+    // silently project to [null, …]; fail loudly per row instead (the
+    // assert_true stays inside the expression the projection consumes,
+    // so column pruning cannot drop it)
+    val guard = assert_true(size(col("embedding")) === lit(dim),
+      lit(s"embedding length != model dim $dim"))
+    val centered: Column = when(guard.isNull, zip_with(
+      col("embedding").cast("array<double>"), meanLit, (x, m) => x - m))
     val comps = (0 until k).map { c =>
       val b = array(model.basis(c).map(lit).toIndexedSeq: _*)
       aggregate(zip_with(col("_centered"), b, (x, w) => x * w),

@@ -288,9 +288,11 @@ object Relational {
     * data-bounded spine silently shrinks to the sparse series' own
     * span and can never emit leading/trailing gaps. The bounds are a
     * 1-row min/max aggregate — at scale a parquet-stats/metadata-class
-    * scan — exploded into |days| rows, never a driver-side loop; the
-    * fill join broadcasts the spine side at any corpus size (the spine
-    * is calendar-bounded). The high-value purchase filter keeps the
+    * scan — exploded into |days| rows, never a driver-side loop. The
+    * fill join keeps the spine as the PRESERVED left side (a preserved
+    * side cannot be the broadcast build side) and broadcasts the
+    * aggregated daily counts — |observed days| rows, calendar-bounded
+    * at any corpus size. The high-value purchase filter keeps the
     * series genuinely sparse at the oracle scale factors, so absent-day
     * zero rows are really emitted and checked (an unfiltered daily
     * count has an event every day — the fill path would never fire). */
@@ -303,7 +305,7 @@ object Relational {
     val spine = events
       .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
       .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-    broadcast(spine).join(daily, Seq("day"), "left")
+    spine.join(broadcast(daily), Seq("day"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 

@@ -382,6 +382,26 @@ object Similarity {
     * output quantizes to 1e-4 units with floor, coarse enough that the
     * association-order float drift of the partial sums (≪1e-9 relative)
     * cannot flip a bucket. */
+  /** Per-row second-moment accumulation shared by [[gramMatrix]] and
+    * [[Pca.fit]]: validates the vector length (a shorter vector would
+    * otherwise surface as an opaque executor ArrayIndexOutOfBounds, a
+    * longer one as silent truncation) and folds v into the upper
+    * triangle of `gram` — and into `sum` when the caller needs the
+    * mean (pass null to skip). */
+  private[operators] def accumulateMoments(v: Array[Float], dim: Int,
+      sum: Array[Double], gram: Array[Double]): Unit = {
+    require(v.length == dim,
+      s"embedding length ${v.length} != expected dim $dim")
+    var i = 0
+    while (i < dim) {
+      val vi = v(i).toDouble
+      if (sum != null) sum(i) += vi
+      var j = i
+      while (j < dim) { gram(i * dim + j) += vi * v(j); j += 1 }
+      i += 1
+    }
+  }
+
   def gramMatrix(embs: DataFrame, dim: Int): DataFrame = {
     val s = embs.sparkSession
     import s.implicits._
@@ -389,25 +409,18 @@ object Similarity {
       .as[Array[Float]]
       .mapPartitions { it =>
         val acc = new Array[Double](dim * dim)
-        while (it.hasNext) {
-          val v = it.next()
-          var i = 0
-          while (i < dim) {
-            val vi = v(i).toDouble
-            var j = i
-            while (j < dim) { acc(i * dim + j) += vi * v(j); j += 1 }
-            i += 1
-          }
-        }
+        while (it.hasNext) accumulateMoments(it.next(), dim, null, acc)
         Iterator.single(acc)
       }
     partials.toDF("acc")
       .select(posexplode(col("acc")).as(Seq("idx", "p")))
+      // drop the never-written lower triangle BEFORE the shuffle: the
+      // fold only fills i <= j, so those cells are structural zeros
+      .filter(expr(s"idx % $dim >= idx DIV $dim"))
       .groupBy("idx").agg(sum(col("p")).as("g"))
-      .select((col("idx") / dim).cast("int").as("i"),
+      .select(expr(s"CAST(idx DIV $dim AS INT)").as("i"),
         (col("idx") % dim).cast("int").as("j"),
         floor(col("g") * 1e4).cast("long").as("g_e4"))
-      .filter(col("i") <= col("j"))
   }
 
   def x44(s: SparkSession, d: String): DataFrame =

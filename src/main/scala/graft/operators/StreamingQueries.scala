@@ -113,14 +113,33 @@ object StreamingQueries {
     * return its contents as a local batch DataFrame. The collect here is
     * the memory-sink drain — the only driver materialization in the
     * replay path. */
-  private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = {
-    // The stateful shuffle inherits spark.sql.shuffle.partitions as its
-    // state-partition count; the replay keys are few (fixture user_ids),
-    // so 8 partitions cut per-partition state-store commit overhead
-    // without losing parallelism. Restored afterwards.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+  /** A scratch checkpoint dir on tmpfs when the host has one: the
+    * replays run to completion and discard state, so checkpoint
+    * durability buys nothing and /dev/shm takes the state-store commit
+    * I/O off disk (measured ~40% off the outer-join replay). Production
+    * deployments choose durable checkpointLocation — this shortcut is
+    * the HARNESS's, shared by the memory-sink and foreachBatch replay
+    * paths. */
+  private def scratchCkptDir(prefix: String): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
+    java.nio.file.Files.createTempDirectory(base, prefix).toFile
+  }
+
+  /** Run `f` with the replay shuffle-partition count (the stateful
+    * shuffle inherits it as its state-partition count; the replay keys
+    * are few, so 8 partitions cut per-partition state-store commit
+    * overhead without losing parallelism), restoring the session value
+    * after. */
+  private def withReplayPartitions[T](s: SparkSession)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
       sys.env.getOrElse("GRAFT_REPLAY_PARTS", "8"))
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = withReplayPartitions(s) {
     // No-data micro-batches only matter for timers/eviction that fire
     // AFTER the last data batch; the replay's second sentinel file is
     // itself a data batch that fires everything real, so the trailing
@@ -129,19 +148,7 @@ object StreamingQueries {
     val prevNoData = s.conf
       .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    // The replay runs to completion and its state is then discarded, so
-    // checkpoint durability buys nothing — put the checkpoint on tmpfs
-    // when the host has one (measured ~40% off the outer-join replay,
-    // whose cost is state-store commit I/O: 3 micro-batches × 4 join
-    // stores × partitions, each a delta-file write). Production
-    // deployments of these operators must point checkpointLocation at
-    // durable storage instead — this shortcut is the HARNESS's, scoped
-    // to the memory-sink replay path, not the operators'.
-    val shm = new java.io.File("/dev/shm")
-    val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-      else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(ckptBase, "graft_replay_ckpt_").toFile
+    val ckpt = scratchCkptDir("graft_replay_ckpt_")
     try {
       val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream
@@ -164,7 +171,6 @@ object StreamingQueries {
       // map caches) and each replay runs slower than the last.
       org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
       deleteRecursively(ckpt)
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prevNoData match {
         case Some(v) =>
           s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
@@ -525,7 +531,8 @@ object StreamingQueries {
 
   private def eventsSplitDir(s: SparkSession, d: String,
       nFiles: Int): java.io.File =
-    splitCache.computeIfAbsent(s.sparkContext.applicationId + "|" + d, _ => {
+    splitCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$d|$nFiles", _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft_evsplit_").toFile
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet").repartition(nFiles)
@@ -562,15 +569,8 @@ object StreamingQueries {
         .parquet(split.getAbsolutePath)).toDF()
     val stateBase =
       java.nio.file.Files.createTempDirectory("graft_upsert_").toFile
-    val shm = new java.io.File("/dev/shm")
-    val ckptBase = if (shm.isDirectory && shm.canWrite) shm.toPath
-      else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(ckptBase, "graft_upsert_ckpt_").toFile
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_REPLAY_PARTS", "8"))
-    try {
+    val ckpt = scratchCkptDir("graft_upsert_ckpt_")
+    withReplayPartitions(s) { try {
       val q = stream.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode("update")
@@ -601,10 +601,9 @@ object StreamingQueries {
       val schema = out.schema
       s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       deleteRecursively(stateBase)
       deleteRecursively(ckpt)
-    }
+    } }
   }
 
   /** The per-batch reduction s10's sink applies: latest-wins on the
