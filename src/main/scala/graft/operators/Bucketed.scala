@@ -199,15 +199,71 @@ object Bucketed {
       |WHERE phase = 'closed'
       |GROUP BY o_orderpriority""".stripMargin
 
+  /** A table whose schema EVOLVED between writer generations: the first
+    * writer knew (o_orderkey, o_custkey, o_totalprice); a later writer
+    * appended files that also carry o_orderstatus. One directory, two
+    * footer schemas — the normal state of any long-lived ingestion
+    * path. Split parity on the unique key so both generations exist at
+    * every scale factor. */
+  private val evolPath = scala.collection.mutable.Map[String, String]()
+
+  private[graft] def evolvedOrders(s: SparkSession, d: String): DataFrame = {
+    val p = evolPath.synchronized {
+      evolPath.getOrElseUpdate(s"${s.sparkContext.applicationId}/$d", {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_evolve_").toFile
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").parquet(dir.getAbsolutePath)
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.mode("append").parquet(dir.getAbsolutePath)
+        Runtime.getRuntime.addShutdownHook(new Thread(() => {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+          }
+          rm(dir)
+        }))
+        dir.getAbsolutePath
+      })
+    }
+    // mergeSchema reconciles the two footer generations into the union
+    // schema; old-generation rows read the missing column as NULL. The
+    // per-file footer merge is a planning-time cost proportional to
+    // file count, not data — the schema-drift answer for a path whose
+    // writers upgraded mid-stream.
+    s.read.option("mergeSchema", "true").parquet(p)
+  }
+
+  /** q34 — schema-evolution read: aggregate over the merged relation;
+    * the oracle reconstructs the same view from the ORIGINAL table
+    * (parity decides which generation a row came from), so the gate
+    * proves the evolved read neither loses rows nor invents values. */
+  def q34(s: SparkSession, d: String): DataFrame =
+    evolvedOrders(s, d)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+
+  val q34Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN NULL
+      |  ELSE o_orderstatus END AS status,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM orders GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_bucketed_join" -> (q23 _),
     "q24_partition_prune" -> (q24 _),
     "q33_dynamic_prune" -> (q33 _),
+    "q34_schema_evolution" -> (q34 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "q23_bucketed_join" -> q23Sql,
     "q24_partition_prune" -> q24Sql,
     "q33_dynamic_prune" -> q33Sql,
+    "q34_schema_evolution" -> q34Sql,
   )
 }
