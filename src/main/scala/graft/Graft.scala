@@ -85,7 +85,7 @@ object Graft {
     * identical to the no-bloom computation. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame,
       minOverlap: Int = 20, gramLen: Int = 24,
-      expectedItems: Long = 1L << 22, fpp: Double = 0.01): DataFrame =
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame =
     operators.Decontaminate.bloomDecontaminate(corpus, benchmark,
       minOverlap, gramLen, expectedItems, fpp)
 

@@ -209,7 +209,11 @@ object Multimodal {
         throw new IllegalArgumentException("missing W tag")).toInt
       val h = tagVal('H').getOrElse(
         throw new IllegalArgumentException("missing H tag")).toInt
-      require(w > 0 && h > 0, "bad dimensions")
+      // bound the product in Long BEFORE the Int frame size: a crafted
+      // W/H pair can overflow 3*w*h negative, walking the cursor
+      // backward past every truncation check
+      require(w > 0 && h > 0 && 3L * w * h <= b.length,
+        "bad dimensions")
       val chroma = tagVal('C').getOrElse("420")
       require(chroma == "444", s"unsupported chroma layout C$chroma")
       val frameBytes = 3 * w * h

@@ -233,9 +233,24 @@ object Dedup {
     // fresh DataFrame objects with identical plans, and keying on the
     // object would pin a new cached copy per call — the unbounded
     // growth this LRU exists to prevent.
-    val key = sel.semanticHash()
+    // semanticHash is a HASH, not an identity: a 32-bit collision
+    // between two different signature plans must not serve the wrong
+    // corpus. Confirm every hit with sameResult (Spark's own cache
+    // lookup discipline) and linear-probe to a free slot on a true
+    // collision.
     val ss = persistedSigs.synchronized {
-      Option(persistedSigs.get(key)).getOrElse {
+      var key = sel.semanticHash()
+      var hit: DataFrame = null
+      var probing = true
+      while (probing) {
+        val cand = persistedSigs.get(key)
+        if (cand == null) probing = false
+        else if (cand.queryExecution.analyzed
+            .sameResult(sel.queryExecution.analyzed)) {
+          hit = cand; probing = false
+        } else key += 1
+      }
+      Option(hit).getOrElse {
         val p = sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         persistedSigs.put(key, p)
         while (persistedSigs.size > MaxPersistedSigs) {

@@ -140,6 +140,10 @@ object StreamingQueries {
   }
 
   private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = withReplayPartitions(s) {
+    // Create the scratch dir BEFORE mutating session conf: a failed
+    // createTempDirectory (tmpfs full) must not leak the mutations
+    // past the finally below.
+    val ckpt = scratchCkptDir("graft_replay_ckpt_")
     // No-data micro-batches only matter for timers/eviction that fire
     // AFTER the last data batch; the replay's second sentinel file is
     // itself a data batch that fires everything real, so the trailing
@@ -148,7 +152,6 @@ object StreamingQueries {
     val prevNoData = s.conf
       .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val ckpt = scratchCkptDir("graft_replay_ckpt_")
     try {
       val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream

@@ -125,7 +125,20 @@ object ParquetStore {
     * needs a transactional table format. Returns
     * (filesBefore, filesAfter).
     */
-  def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = {
+  /** Same-driver mutual exclusion for [[compact]]/[[recoverCompact]] on
+    * one path: a read-path recover racing an in-flight compact would
+    * otherwise delete the live staging dir or rename _old back while
+    * the compactor holds the window. Striped per normalized path;
+    * cross-driver coordination still needs a transactional format (as
+    * documented on compact). */
+  private val compactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def compactLock(path: String): Object =
+    compactLocks.computeIfAbsent(
+      new org.apache.hadoop.fs.Path(path).toString, _ => new Object)
+
+  def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = compactLock(path).synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(spark, path)
@@ -156,7 +169,7 @@ object ParquetStore {
     * never the only copy. Idempotent and cheap (two metadata probes) —
     * safe to call from read paths before opening a compacted
     * directory. */
-  def recoverCompact(spark: SparkSession, path: String): Unit = {
+  def recoverCompact(spark: SparkSession, path: String): Unit = compactLock(path).synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")

@@ -82,9 +82,13 @@ final class HttpSchemaRegistry(baseUrl: String,
     * name) and `version`, and the API does not guarantee field order,
     * so the id must be read from the parsed top level, not pattern-
     * matched out of the raw body. */
+  /** One shared mapper: readTree is thread-safe and construction is the
+    * expensive part. */
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def extractId(body: String): Int = {
     val root =
-      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      try mapper.readTree(body)
       catch {
         case e: com.fasterxml.jackson.core.JacksonException =>
           throw new IllegalStateException(s"unparseable registry response: $body", e)
