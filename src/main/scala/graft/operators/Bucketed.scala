@@ -160,13 +160,7 @@ object Bucketed {
         Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
           .toDF("status", "phase")
           .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(dir)
-        }))
-        dir.getAbsolutePath
+        graft.TempDirs.deleteOnExit(dir).getAbsolutePath
       })
     }
     s.read.parquet(p)
@@ -219,13 +213,7 @@ object Bucketed {
         o.filter(col("o_orderkey") % 2 === 1)
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
           .write.mode("append").parquet(dir.getAbsolutePath)
-        Runtime.getRuntime.addShutdownHook(new Thread(() => {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-          }
-          rm(dir)
-        }))
-        dir.getAbsolutePath
+        graft.TempDirs.deleteOnExit(dir).getAbsolutePath
       })
     }
     // mergeSchema reconciles the two footer generations into the union

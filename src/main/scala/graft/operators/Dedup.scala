@@ -235,31 +235,27 @@ object Dedup {
     // growth this LRU exists to prevent.
     // semanticHash is a HASH, not an identity: a 32-bit collision
     // between two different signature plans must not serve the wrong
-    // corpus. Confirm every hit with sameResult (Spark's own cache
-    // lookup discipline) and linear-probe to a free slot on a true
-    // collision.
+    // corpus. Each map entry is therefore a BUCKET of same-hash plans
+    // confirmed by sameResult (Spark's own cache lookup discipline) —
+    // bucketed rather than linear-probed so LRU eviction releases a
+    // whole hash class at once and can never orphan a collided entry
+    // behind a removed probe-chain head.
     val ss = persistedSigs.synchronized {
-      var key = sel.semanticHash()
-      var hit: DataFrame = null
-      var probing = true
-      while (probing) {
-        val cand = persistedSigs.get(key)
-        if (cand == null) probing = false
-        else if (cand.queryExecution.analyzed
-            .sameResult(sel.queryExecution.analyzed)) {
-          hit = cand; probing = false
-        } else key += 1
-      }
-      Option(hit).getOrElse {
-        val p = sel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        persistedSigs.put(key, p)
-        while (persistedSigs.size > MaxPersistedSigs) {
-          val eldest = persistedSigs.entrySet().iterator().next()
-          eldest.getValue.unpersist(false)
-          persistedSigs.remove(eldest.getKey)
+      val key = sel.semanticHash()
+      val bucket = Option(persistedSigs.get(key)).getOrElse(Nil)
+      bucket.find(_.queryExecution.analyzed
+          .sameResult(sel.queryExecution.analyzed))
+        .getOrElse {
+          val p = sel.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          persistedSigs.put(key, p :: bucket)
+          while (persistedSigs.size > MaxPersistedSigs) {
+            val eldest = persistedSigs.entrySet().iterator().next()
+            eldest.getValue.foreach(_.unpersist(false))
+            persistedSigs.remove(eldest.getKey)
+          }
+          p
         }
-        p
-      }
     }
     ss.select(col("doc_id") +: col("ss.hs").as("hs") +:
       (0 until nSlots).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
@@ -277,7 +273,8 @@ object Dedup {
     * map auto-evicts past [[MaxPersistedSigs]]. All access is
     * synchronized on the map. */
   private val persistedSigs =
-    new java.util.LinkedHashMap[Int, DataFrame](16, 0.75f, /*accessOrder=*/ true)
+    new java.util.LinkedHashMap[Int, List[DataFrame]](
+      16, 0.75f, /*accessOrder=*/ true)
 
   /** Unpersist every signature relation cached by the near-dup entry
     * points and forget them. Call after the returned plans have been
@@ -289,7 +286,10 @@ object Dedup {
     persistedSigs.synchronized {
       var n = 0
       val it = persistedSigs.values().iterator()
-      while (it.hasNext) { it.next().unpersist(blocking); it.remove(); n += 1 }
+      while (it.hasNext) {
+        it.next().foreach { df => df.unpersist(blocking); n += 1 }
+        it.remove()
+      }
       n
     }
 

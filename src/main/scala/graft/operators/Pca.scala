@@ -154,11 +154,15 @@ object Pca {
     // zip_with pads a shorter array with nulls — a dim mismatch would
     // silently project to [null, …]; fail loudly per row instead (the
     // assert_true stays inside the expression the projection consumes,
-    // so column pruning cannot drop it)
-    val guard = assert_true(size(col("embedding")) === lit(dim),
+    // so column pruning cannot drop it). A NULL embedding is not a
+    // mismatch: it passes the guard and projects to NULL, the same
+    // pass-through every other narrow operator gives null input.
+    val guard = assert_true(
+      col("embedding").isNull || size(col("embedding")) === lit(dim),
       lit(s"embedding length != model dim $dim"))
-    val centered: Column = when(guard.isNull, zip_with(
-      col("embedding").cast("array<double>"), meanLit, (x, m) => x - m))
+    val centered: Column = when(guard.isNull && col("embedding").isNotNull,
+      zip_with(
+        col("embedding").cast("array<double>"), meanLit, (x, m) => x - m))
     val comps = (0 until k).map { c =>
       val b = array(model.basis(c).map(lit).toIndexedSeq: _*)
       aggregate(zip_with(col("_centered"), b, (x, w) => x * w),

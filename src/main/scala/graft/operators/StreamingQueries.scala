@@ -95,9 +95,7 @@ object StreamingQueries {
       val dir = sentinelDir(s, Seq(
         MessageStatus("sentinel", "delivered", 0L, "none", Sentinel1Ms),
         MessageStatus("sentinel", "delivered", 0L, "none", Sentinel2Ms)))
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => deleteRecursively(dir)))
-      dir
+      graft.TempDirs.deleteOnExit(dir)
     })
 
   private def sentinelStream(s: SparkSession, dir: java.io.File): Dataset[MessageStatus] = {
@@ -109,10 +107,6 @@ object StreamingQueries {
       .as[MessageStatus]
   }
 
-  /** Run a streaming DataFrame to completion into a memory sink and
-    * return its contents as a local batch DataFrame. The collect here is
-    * the memory-sink drain — the only driver materialization in the
-    * replay path. */
   /** A scratch checkpoint dir on tmpfs when the host has one: the
     * replays run to completion and discard state, so checkpoint
     * durability buys nothing and /dev/shm takes the state-store commit
@@ -139,10 +133,15 @@ object StreamingQueries {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return its contents as a local batch DataFrame. The collect here is
+    * the memory-sink drain — the only driver materialization in the
+    * replay path. */
   private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = withReplayPartitions(s) {
-    // Create the scratch dir BEFORE mutating session conf: a failed
-    // createTempDirectory (tmpfs full) must not leak the mutations
-    // past the finally below.
+    // Create the scratch dir before the noData mutation below: a failed
+    // createTempDirectory (tmpfs full) must not leak that un-restored
+    // setting. (withReplayPartitions restores its own conf in all
+    // paths, so ordering relative to IT is not load-bearing.)
     val ckpt = scratchCkptDir("graft_replay_ckpt_")
     // No-data micro-batches only matter for timers/eviction that fire
     // AFTER the last data batch; the replay's second sentinel file is
@@ -183,10 +182,8 @@ object StreamingQueries {
     }
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
+  private def deleteRecursively(f: java.io.File): Unit =
+    graft.TempDirs.deleteRecursively(f)
 
   /** s01 — the E1 detector replayed over the fixture. Timeout = 24h
     * (same knob as Q15). */
@@ -540,9 +537,7 @@ object StreamingQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.read.parquet(s"$d/events.parquet").repartition(nFiles)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
-      Runtime.getRuntime.addShutdownHook(
-        new Thread(() => deleteRecursively(dir)))
-      dir
+      graft.TempDirs.deleteOnExit(dir)
     })
 
   /** s10 — streaming UPSERT sink via foreachBatch: maintain a
@@ -572,7 +567,11 @@ object StreamingQueries {
         .parquet(split.getAbsolutePath)).toDF()
     val stateBase =
       java.nio.file.Files.createTempDirectory("graft_upsert_").toFile
-    val ckpt = scratchCkptDir("graft_upsert_ckpt_")
+    // a failed scratch-dir creation must not strand stateBase — the
+    // cleanup finally below is only reachable once BOTH dirs exist
+    val ckpt = try scratchCkptDir("graft_upsert_ckpt_") catch {
+      case t: Throwable => deleteRecursively(stateBase); throw t
+    }
     withReplayPartitions(s) { try {
       val q = stream.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)

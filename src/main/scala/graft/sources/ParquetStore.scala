@@ -15,10 +15,22 @@ object ParquetStore {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
 
-  /** Per-path intent locks for [[insertIfAbsent]]'s read-then-append
-    * window. */
+  /** ONE lock namespace per qualified path, shared by every same-driver
+    * mutator of a directory: insertIfAbsent's read-then-append window
+    * AND compact/recoverCompact's rename window — a writer proceeding
+    * under a separate lock while the compactor swaps directories would
+    * have its just-committed rows deleted with the _compact_old copy.
+    * Keys are scheme-qualified so "/data/t" and "file:/data/t" resolve
+    * to the same lock. Cross-driver coordination still needs a
+    * transactional table format. */
   private val pathLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def pathLock(spark: SparkSession, path: String): Object = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    pathLocks.computeIfAbsent(fs.makeQualified(p).toString, _ => new Object)
+  }
 
   /** A11 — insert-if-absent on a unique key (INSERT OR IGNORE,
     * phone_message_producer.py:133-151): dedup the incoming batch on
@@ -35,9 +47,7 @@ object ParquetStore {
     * directories have no commit protocol to coordinate on. */
   def insertIfAbsent(spark: SparkSession, df: DataFrame, path: String,
       key: String): Unit = {
-    val lock = pathLocks.computeIfAbsent(
-      new org.apache.hadoop.fs.Path(path).toString, _ => new Object)
-    lock.synchronized {
+    pathLock(spark, path).synchronized {
       val fresh = df.dropDuplicates(key)
       val toWrite =
         if (!exists(spark, path)) fresh
@@ -125,20 +135,7 @@ object ParquetStore {
     * needs a transactional table format. Returns
     * (filesBefore, filesAfter).
     */
-  /** Same-driver mutual exclusion for [[compact]]/[[recoverCompact]] on
-    * one path: a read-path recover racing an in-flight compact would
-    * otherwise delete the live staging dir or rename _old back while
-    * the compactor holds the window. Striped per normalized path;
-    * cross-driver coordination still needs a transactional format (as
-    * documented on compact). */
-  private val compactLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
-  private def compactLock(path: String): Object =
-    compactLocks.computeIfAbsent(
-      new org.apache.hadoop.fs.Path(path).toString, _ => new Object)
-
-  def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = compactLock(path).synchronized {
+  def compact(spark: SparkSession, path: String, targetMB: Int = 128): (Int, Int) = pathLock(spark, path).synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverCompact(spark, path)
@@ -169,7 +166,7 @@ object ParquetStore {
     * never the only copy. Idempotent and cheap (two metadata probes) —
     * safe to call from read paths before opening a compacted
     * directory. */
-  def recoverCompact(spark: SparkSession, path: String): Unit = compactLock(path).synchronized {
+  def recoverCompact(spark: SparkSession, path: String): Unit = pathLock(spark, path).synchronized {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + "_compact_tmp")
