@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-CLUSTER resolution: the near-dup operators (x02/x03/x04/
   * x05) emit PAIRS, but a training-data pipeline needs one surviving
@@ -11,24 +10,32 @@ import org.apache.spark.storage.StorageLevel
   * and C together even when A~C was never emitted. That is connected
   * components over the pair graph.
   *
-  * Algorithm: iterative min-label propagation. Every node starts
-  * labeled with the smallest id among itself and its direct neighbors;
-  * each pass sends labels across edges and keeps the minimum; at the
-  * fixpoint every member of a component carries the component's global
-  * minimum id. All per-pass work is one shuffle join plus one
-  * aggregation — no driver materialization of nodes or edges; the
-  * driver sees a single convergence scalar per pass.
+  * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction
+  * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+  * Components in MapReduce and Beyond", SoCC'14). Each pass rewires
+  * edges toward neighborhood minima: large-star hangs every
+  * strictly-larger neighbor of a node off its neighborhood minimum;
+  * small-star collapses the smaller-or-equal neighborhood onto the
+  * minimum. Both preserve connectivity exactly, and the pair converges
+  * in O(log n) passes on ANY topology — a path graph needs ~log
+  * passes, not diameter passes — with no correctness dependence on the
+  * graph being clique-shaped. At the fixpoint the edge set IS a star
+  * forest: every non-root points directly at its component's global
+  * minimum id.
   *
-  * Scale posture: passes needed = graph diameter. LSH dup-clusters are
-  * near-cliques (every duplicate collides with most of its siblings
-  * directly), so real corpora converge in 2-3 passes. For adversarial
-  * long-chain graphs the same join-shaped kernel would be swapped for
-  * the large-star/small-star variant (O(log²) passes); the per-pass
-  * plan here is identical, so the operator's shuffle footprint is the
-  * scale contract either way. Label state is persisted per pass with
-  * spill (MEMORY_AND_DISK) and the previous pass is explicitly
-  * unpersisted and lineage-truncated via the persisted barrier, so an
-  * N-pass run holds one labels copy, not N.
+  * All per-pass work is two aggregation+equi-join kernels — no driver
+  * materialization of nodes or edges; the driver sees one count and
+  * one empty-diff scalar per pass. Each pass's output is
+  * lineage-truncated (lazy localCheckpoint materialized by the
+  * convergence count), so an N-pass run holds one edge-set copy, not N
+  * nested plans; a multi-executor deployment would use reliable
+  * checkpoint() on shared storage instead (same call shape).
+  *
+  * Scale posture: per-pass shuffle footprint is a constant number of
+  * hash exchanges on node ids (PlanSpec-pinned); edge-set cardinality
+  * only shrinks (distinct star edges ≤ original undirected edges), and
+  * the O(log n) bound removes the long-chain pathology the previous
+  * min-label-propagation build had to `require(converged)` against.
   */
 object Clusters {
 
@@ -41,73 +48,105 @@ object Clusters {
     *         it. Singletons (docs in no pair) are absent by design —
     *         callers keep them unconditionally.
     */
-  /** Both directions of every pair — the propagation graph. */
+  /** Both directions of every pair — the propagation graph. Kept for
+    * plan audits that want the symmetric view explicitly. */
   private[graft] def symmetricEdges(pairs: DataFrame, aCol: String,
       bCol: String): DataFrame =
     pairs
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
 
-  /** One min-label propagation pass: send labels across edges, keep the
-    * minimum seen. Exposed so PlanSpec can audit the per-pass kernel
-    * UN-truncated — the loop checkpoints each pass, which hides this
-    * plan from the final query tree (PLANS.md marks those rows as lower
-    * bounds). */
-  private[graft] def propagationPass(edges: DataFrame,
-      labels: DataFrame): DataFrame = {
-    val msgs = edges.join(labels, edges("src") === labels("id"))
-      .select(col("dst").as("id"), col("lbl"))
-    labels.union(msgs).groupBy("id").agg(min(col("lbl")).as("lbl"))
+  /** LARGE-STAR pass (SoCC'14 Alg. 3): for every node u with
+    * neighborhood N(u) (symmetric view) and m = min(N(u) ∪ {u}), emit
+    * (v, m) for each v ∈ N(u) with v > u — all strictly-larger
+    * neighbors re-hang off the local minimum. Input/output edges keep
+    * the src > dst orientation.
+    *
+    * The per-node minimum is a WINDOW min over partitionBy(node), not a
+    * groupBy + self-join: one shuffle computes m and keeps every
+    * neighbor row, where the join form would shuffle the edge set twice
+    * more. Per pass: exactly one hash exchange for the window plus one
+    * for the output distinct. Exposed so PlanSpec can audit the
+    * per-pass kernel UN-truncated — the loop checkpoints each pass,
+    * which hides this plan from the final query tree (PLANS.md marks
+    * those rows as lower bounds). */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    sym.select(col("src"), col("dst"),
+        least(col("src"), min(col("dst")).over(Window.partitionBy("src")))
+          .as("m"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** SMALL-STAR pass (SoCC'14 Alg. 4): orient every edge large→small;
+    * for node u with smaller-neighbors N(u) and m = min(N(u)), emit
+    * (v, m) for v ∈ (N(u) ∪ {u}) \ {m} — the whole small neighborhood
+    * collapses onto the minimum. Same window-min kernel as large-star;
+    * the two per-row emissions ((v, m) and (u, m)) come out of one
+    * explode so the window is computed once. */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dir = e.select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+    dir.select(col("src"), col("dst"),
+        min(col("dst")).over(Window.partitionBy("src")).as("m"))
+      .select(explode(array(
+        struct(col("dst").as("src"), col("m").as("dst")),
+        struct(col("src").as("src"), col("m").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
   }
 
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxPasses: Int = 50): DataFrame = {
-    val edges = symmetricEdges(pairs, aCol, bCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Each pass MUST rebase the labels DataFrame on materialized data
-    // (localCheckpoint, eager): a mere persist() leaves the logical plan
-    // nesting the previous pass's plan — labels appears twice per pass,
-    // so the tree doubles each iteration and analysis itself goes
-    // exponential. The checkpoint truncates lineage to a constant-size
-    // scan; a multi-executor deployment would use reliable checkpoint()
-    // on shared storage instead (same call shape). Old checkpoint RDDs
-    // are reclaimed by the ContextCleaner once unreferenced.
-    // Lazy checkpoint + the checksum action: the checksum is the pass's
-    // ONE materializing job and the checkpoint piggybacks on it — an
-    // eager localCheckpoint would run a second job per pass for nothing
-    // (measured: the loop is pure scheduling overhead at small graph
-    // sizes, so jobs-per-pass is the cost driver).
-    var labels = edges.groupBy("src").agg(min(col("dst")).as("mn"))
-      .select(col("src").as("id"), least(col("src"), col("mn")).as("lbl"))
+    val s = pairs.sparkSession
+    // Normalize once: undirected distinct edge set, src > dst, no
+    // self-loops. Every subsequent pass preserves that orientation.
+    var edges = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("src"),
+        least(col("a"), col("b")).as("dst"))
+      .distinct()
       .localCheckpoint(eager = false)
-    // Labels only ever decrease, so sum(lbl) strictly decreases until
-    // the fixpoint: equal consecutive sums == converged. One scalar to
-    // the driver per pass, no row-level comparison join.
-    // coalesce: sum over ZERO rows is null (empty pair input — the
-    // normal case for a clean corpus) and must read as 0, not NPE.
-    def checksum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
-    var prevSum = checksum(labels)
+    // Each pass MUST rebase the edge DataFrame on materialized data:
+    // a mere persist() leaves the logical plan nesting the previous
+    // pass's plan, so the tree doubles each iteration and analysis
+    // itself goes exponential. Lazy checkpoint + the convergence count:
+    // the count is the pass's materializing job and the checkpoint
+    // piggybacks on it. Old checkpoint RDDs are reclaimed by the
+    // ContextCleaner once unreferenced.
+    var prevCount = edges.count()
     var pass = 0
     var converged = false
     while (!converged && pass < maxPasses) {
-      labels = propagationPass(edges, labels)
-        .localCheckpoint(eager = false)
-      val nextSum = checksum(labels)
-      converged = nextSum == prevSum
-      prevSum = nextSum
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      val nextCount = next.count()
+      // Fixpoint test is exact set equality (both sides are distinct
+      // sets): equal cardinality + empty one-sided difference. The
+      // except job only runs on the candidate-converged passes.
+      converged = nextCount == prevCount &&
+        next.exceptAll(edges).limit(1).count() == 0L
+      edges = next
+      prevCount = nextCount
       pass += 1
     }
-    edges.unpersist()
-    // Unconverged labels are WRONG labels (distant members of one
-    // component still carry different ids) — fail loudly rather than
-    // hand a dedup pipeline multiple "representatives" per group. Real
-    // duplicate graphs are near-cliques (diameter 2-3); hitting this
-    // means the input is adversarially chain-shaped and needs the
-    // large-star/small-star variant, not a bigger cap.
+    // With the star-contraction kernels the O(log n) bound makes the
+    // default cap unreachable for any physically storable graph
+    // (2^50 nodes); the check stays as a loud invariant guard.
     require(converged,
       s"connected components did not converge within $maxPasses passes")
-    labels
+    // Fixpoint edge set IS the answer: every non-root points at its
+    // component minimum; roots appear only on the dst side.
+    edges.select(col("src").as("id"), col("dst").as("lbl"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("lbl"))
+        .distinct())
   }
 
   // ---------------------------------------------------------------- x17

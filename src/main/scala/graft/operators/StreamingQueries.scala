@@ -546,25 +546,29 @@ object StreamingQueries {
     * of a stream (the reference's SQLite `messages` table kept current
     * by the consumer; here it is a columnar store kept current by a
     * streaming query). Each micro-batch reduces to its per-key maximum
-    * (timestamp, status) pair and MERGEs it into the store with
-    * latest-wins semantics ([[Merge.merge]] — one full-outer equi-join
-    * per batch against a table of |keys| rows, not |events|).
+    * (timestamp, status) pair and MERGEs it into the state via
+    * [[BucketedUpsert]]: the state is hash-bucketed on the key, and a
+    * batch reads+rewrites ONLY the buckets its keys hash into — per-
+    * batch I/O is O(|keys in touched buckets|), not O(|all keys|), the
+    * property that keeps batch time flat as the key table grows 100×.
+    * Exactly-once across replay is BucketedUpsert's contract (batch N
+    * reads strictly-below-N versions, so a replay re-reads what the
+    * first attempt read); UpsertRecoverySpec proves it across a hard
+    * stop+restart, UpsertBucketSpec proves untouched buckets are
+    * byte-identical across a batch.
     *
-    * Exactly-once without transactions: batch N deterministically
-    * rewrites version directory vN from v(N-1), so a replayed batch
-    * (failure between sink write and checkpoint commit) overwrites vN
-    * with identical bytes — idempotent, the foreachBatch contract. The
-    * ordering-sensitive reduction (latest-wins over a lexicographic
-    * (ts, status) max) is associative and commutative, so the final
-    * table is a pure function of the data no matter how the file
-    * source splits batches — the oracle recomputes it in one batch
-    * pass. */
+    * The ordering-sensitive reduction (latest-wins over a
+    * lexicographic (ts, status) max) is associative and commutative,
+    * so the final table is a pure function of the data no matter how
+    * the file source splits batches — the oracle recomputes it in one
+    * batch pass. */
   def s10(s: SparkSession, d: String): DataFrame = {
     val split = eventsSplitDir(s, d, 5)
     val rawSchema = s.read.parquet(split.getAbsolutePath).schema
     val stream = messageStatusOf(
       s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1")
         .parquet(split.getAbsolutePath)).toDF()
+    val numBuckets = 16
     val stateBase =
       java.nio.file.Files.createTempDirectory("graft_upsert_").toFile
     // a failed scratch-dir creation must not strand stateBase — the
@@ -581,27 +585,24 @@ object StreamingQueries {
             .agg(max(struct(col("timestamp"), col("status"))).as("m"))
             .select(col("messageId"), col("m.timestamp").as("timestamp"),
               col("m.status").as("status"))
-          val prev = new java.io.File(stateBase, s"v${batchId - 1}")
-          val target = if (prev.isDirectory)
-            s.read.parquet(prev.getAbsolutePath)
-          else latest.filter(lit(false))
-          latestWinsMerge(target, latest)
-            .write.mode("overwrite")
-            .parquet(new java.io.File(stateBase, s"v$batchId").getAbsolutePath)
-          ()
+          BucketedUpsert.applyBatch(s, stateBase, numBuckets, batchId,
+            latest, "messageId", latestWinsMerge)
         }
         .start()
       q.processAllAvailable()
       q.stop()
-      val lastV = stateBase.listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("v"))
-        .map(_.getName.drop(1).toLong).max
-      val out = s.read
-        .parquet(new java.io.File(stateBase, s"v$lastV").getAbsolutePath)
-        .select(col("messageId"), col("timestamp").as("ts_ms"), col("status"))
-      val rows = out.collect()
-      val schema = out.schema
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val state = BucketedUpsert.currentState(s, stateBase, numBuckets)
+        .getOrElse(sys.error("upsert stream produced no state"))
+      // Persist the final table past the scratch cleanup and return a
+      // SCAN over it (JVM-exit cleanup, like the other fixture caches):
+      // the harness stays driver-bounded at any |keys| — no collect.
+      val resultDir = graft.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory("graft_upsert_out_").toFile)
+      val resultPath = new java.io.File(resultDir, "state").getAbsolutePath
+      state.select(col("messageId"), col("timestamp").as("ts_ms"),
+          col("status"))
+        .write.mode("overwrite").parquet(resultPath)
+      s.read.parquet(resultPath)
     } finally {
       deleteRecursively(stateBase)
       deleteRecursively(ckpt)

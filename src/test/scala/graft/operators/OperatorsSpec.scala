@@ -80,12 +80,59 @@ class OperatorsSpec extends SparkSpec {
 
   test("connected components converge within the pass cap on a long chain") {
     import spark.implicits._
-    // worst-case diameter: a 30-node chain propagates the min label one
-    // hop per pass (~28 passes) — the cap must not truncate the fixpoint
+    // adversarial topology for label propagation (diameter passes); the
+    // star-contraction kernels must do it in O(log n) passes
     val pairs = (1L until 30L).map(i => (i, i + 1)).toDF("a", "b")
     val got = Clusters.connectedComponents(pairs, "a", "b").collect()
     assert(got.length == 30)
     assert(got.forall(_.getLong(1) == 1L), "all labels must reach node 1")
+  }
+
+  test("connected components: a 10k-node path graph converges (O(log n))") {
+    import spark.implicits._
+    // THE pathology min-label propagation could not survive: diameter
+    // 10_000 ≫ the 50-pass cap. Large-star/small-star must converge
+    // well inside it and label every node with the path's minimum.
+    val n = 10000L
+    val pairs = spark.range(1, n)
+      .select(col("id").as("a"), (col("id") + 1).as("b"))
+    val got = Clusters.connectedComponents(pairs, "a", "b")
+      .agg(count(lit(1)), sum(col("lbl")), min(col("id")), max(col("id")))
+      .head()
+    assert(got.getLong(0) == n, "one label row per node")
+    assert(got.getLong(1) == n, s"every label must be 1, sum was ${got.getLong(1)}")
+    assert(got.getLong(2) == 1L && got.getLong(3) == n)
+  }
+
+  test("connected components match driver union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val nNodes = 60
+      val edges = Seq.fill(45)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find truth
+      val parent = Array.tabulate(nNodes)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+        .map(v => v -> {
+          // component min among nodes that appear in an edge
+          val root = find(v.toInt)
+          edges.flatMap { case (a, b) => Seq(a, b) }
+            .filter(u => find(u.toInt) == root).min
+        }).toMap
+      val got = Clusters.connectedComponents(
+        edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial mismatch")
+    }
   }
 
   test("survivor corpus keeps the longest per cluster and all singletons") {

@@ -5,14 +5,17 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The s10 exactly-once story under an actual STOP and RESTART: a
-  * foreachBatch upsert stream is stopped after its first batches, more
-  * source files arrive, and a new query resumes from the SAME
-  * checkpoint — the final table must equal the one-shot fold. This
-  * pins the two halves of the contract the gated query can't exercise
-  * in one uninterrupted run: offset recovery (no batch lost, no batch
-  * re-consumed into a different version) and sink idempotence across
-  * the restart boundary. */
+  * foreachBatch bucketed-upsert stream is stopped after its first
+  * batches, more source files arrive, and a new query resumes from the
+  * SAME checkpoint — the final table must equal the one-shot fold.
+  * This pins the two halves of the contract the gated query can't
+  * exercise in one uninterrupted run: offset recovery (no batch lost,
+  * no batch re-consumed into a different version) and sink idempotence
+  * across the restart boundary — now through [[BucketedUpsert]], so
+  * the restart also crosses the per-bucket version chains. */
 class UpsertRecoverySpec extends SparkSpec {
+
+  private val NumBuckets = 4
 
   private def latestOf(batch: DataFrame): DataFrame =
     batch.groupBy("messageId")
@@ -42,15 +45,9 @@ class UpsertRecoverySpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val latest = latestOf(batch)
-        val prev = stateBase.resolve(s"v${batchId - 1}").toFile
-        val target = if (prev.isDirectory)
-          spark.read.parquet(prev.getAbsolutePath)
-        else latest.filter(lit(false))
-        StreamingQueries.latestWinsMerge(target, latest)
-          .write.mode("overwrite")
-          .parquet(stateBase.resolve(s"v$batchId").toString)
-        ()
+        BucketedUpsert.applyBatch(spark, stateBase.toFile, NumBuckets,
+          batchId, latestOf(batch), "messageId",
+          StreamingQueries.latestWinsMerge)
       }
       .start()
 
@@ -70,7 +67,8 @@ class UpsertRecoverySpec extends SparkSpec {
         .filter(f => f.isDirectory && f.getName.startsWith("v"))
         .map(_.getName.drop(1).toInt).max
       assert(lastV == 3, s"restart must continue numbering, got v$lastV")
-      val got = spark.read.parquet(stateBase.resolve(s"v$lastV").toString)
+      val got = BucketedUpsert
+        .currentState(spark, stateBase.toFile, NumBuckets).get
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
         .sortBy(_._1).toSeq
