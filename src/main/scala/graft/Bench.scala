@@ -64,6 +64,36 @@ object Bench {
         try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => }
       }
+    // QUIET-WINDOW CANARY: this box injects multi-second co-tenant
+    // stall windows (a trivial scan has measured 0.14s and 4.15s in one
+    // session). Gate the timed loop on a trivial-scan canary meeting
+    // its SLA so round-over-round numbers compare code, not co-tenants.
+    // After the attempt budget the loop proceeds anyway and the last
+    // canary reading is recorded in the artifact, so a permanently busy
+    // box yields a labeled-noisy artifact rather than none.
+    val canarySla = sys.env.getOrElse("SPARK_GRAFT_CANARY_SLA", "0.2").toDouble
+    val canaryTries = sys.env.getOrElse("SPARK_GRAFT_CANARY_TRIES", "18").toInt
+    var canarySec = -1.0
+    var canaryAttempts = 0
+    SparkEntry.queries.get("q01_scan_project").filter(_ => canaryTries > 0)
+      .foreach { fn =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => } // warm
+        var quiet = false
+        while (!quiet && canaryAttempts < canaryTries) {
+          canaryAttempts += 1
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+          canarySec = (System.nanoTime() - t0) / 1e9
+          quiet = canarySec <= canarySla
+          if (!quiet && canaryAttempts < canaryTries) {
+            System.err.println(f"BENCH CANARY busy: q01 $canarySec%.3fs > " +
+              f"$canarySla%.2fs SLA (attempt $canaryAttempts); waiting 10s")
+            Thread.sleep(10000)
+          }
+        }
+        System.err.println(f"BENCH CANARY final: $canarySec%.3fs after " +
+          f"$canaryAttempts attempts")
+      }
     def gcMs: Long = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -144,8 +174,59 @@ object Bench {
     val failed = results.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // DUCKDB COLUMN, same session: time every selected oracle in DuckDB
+    // on this box right after the Spark loop, so the artifact carries
+    // BOTH sides of the 2x gate from one session (a Spark number and a
+    // DuckDB number measured under different ambient load are not
+    // comparable — observed 1.3x uniform inflation between sessions).
+    // Best-effort: a missing python/duckdb yields an empty map, never a
+    // bench failure.
+    val duckdb: Map[String, Double] = try {
+      val script = new java.io.File("tools/time_oracle.py")
+      if (!script.isFile) Map.empty
+      else {
+        def jq(s: String): String = "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val sel = selected.map(_._1).toSet
+        val oracleJson = SparkEntry.oracleSql.view
+          .filterKeys(sel.contains).toMap
+          .map { case (k, v) => s"${jq(k)}: ${jq(v)}" }
+          .mkString("{", ",", "}")
+        val in = java.nio.file.Files.createTempFile("graft_oracle_", ".json")
+        val out = java.nio.file.Files.createTempFile("graft_ducktimes_", ".json")
+        java.nio.file.Files.writeString(in, oracleJson)
+        import scala.sys.process._
+        val code = Process(Seq("python3", script.getAbsolutePath, sfDir,
+            in.toString, "3", out.toString))
+          .!(ProcessLogger(_ => (), l => System.err.println(s"ORACLE $l")))
+        val parsed =
+          if (code != 0) Map.empty[String, Double]
+          else "\"([^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findAllMatchIn(java.nio.file.Files.readString(out))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        java.nio.file.Files.deleteIfExists(in)
+        java.nio.file.Files.deleteIfExists(out)
+        parsed
+      }
+    } catch { case t: Throwable =>
+      System.err.println(s"ORACLE TIMING SKIPPED: ${t.getMessage}")
+      Map.empty
+    }
+    val duckQs = duckdb.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val duckTotal = duckdb.values.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""duckdb":$duckQs,"duckdb_total":$duckTotal,""" +
+      s""""canary":{"sec":$canarySec,"attempts":$canaryAttempts,"sla":$canarySla},""" +
+      s""""failed":$failed,"sf":"$sfDir"}"""
     // File mirror first, then stdout last line, then flush: the driver can
     // use either; neither passes through a logging prefix.
     val pw = new java.io.PrintWriter("bench_result.json")

@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Time each oracle_sql.json entry in DuckDB over the sf parquet tables.
 This mirrors what the judge measures as the baseline side of the 2x gate.
-Usage: time_oracle.py <sfDir> <oracleSqlJson> [runs=3]
-Prints per-query median seconds and the total, slowest first.
+Usage: time_oracle.py <sfDir> <oracleSqlJson> [runs=3] [jsonOut]
+Prints per-query median seconds and the total, slowest first. When
+jsonOut is given, also writes {"<query>": medianSec, ...} there so
+graft.Bench can embed the oracle timings in the same bench artifact
+(same session, same box — the 2x gate becomes computable from the
+artifact alone).
 """
 import sys, os, json, time
 import duckdb
 
-def main(sf_dir, oracle_json, runs=3):
+def main(sf_dir, oracle_json, runs=3, json_out=None):
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -31,6 +35,11 @@ def main(sf_dir, oracle_json, runs=3):
     for name, sec in sorted(res.items(), key=lambda kv: -kv[1]):
         print(f"{sec:8.3f}  {name}")
     print(f"{sum(res.values()):8.3f}  TOTAL ({len(res)} queries)")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(res, f)
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 3)
+    main(sys.argv[1], sys.argv[2],
+         int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+         sys.argv[4] if len(sys.argv) > 4 else None)
