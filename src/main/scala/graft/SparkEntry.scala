@@ -32,6 +32,7 @@ object SparkEntry {
       operators.Skew.queries ++
       operators.Sequences.queries ++
       operators.Bucketed.queries ++
+      operators.Pca.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -51,6 +52,7 @@ object SparkEntry {
       operators.Skew.oracleSql ++
       operators.Sequences.oracleSql ++
       operators.Bucketed.oracleSql ++
+      operators.Pca.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

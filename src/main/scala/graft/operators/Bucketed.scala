@@ -149,19 +149,24 @@ object Bucketed {
     * one BEFORE the PartitionPruning rule runs — the selective filter
     * disappears from the plan and DPP never fires. A file-backed dim is
     * also the honest shape: at scale dimensions live in storage. */
-  private val dimPath = scala.collection.mutable.Map[String, String]()
+  private val dimPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def statusDim(s: SparkSession): DataFrame = {
     import s.implicits._
-    val p = dimPath.synchronized {
-      dimPath.getOrElseUpdate(s.sparkContext.applicationId, {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_statusdim_").toFile
-        Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
-          .toDF("status", "phase")
-          .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
-        graft.TempDirs.deleteOnExit(dir).getAbsolutePath
-      })
+    // build OUTSIDE any lock: the write is a Spark job and must not
+    // serialize unrelated concurrent callers behind it. Two racing
+    // first-callers may both build; putIfAbsent picks one winner and
+    // the loser's dir is just an extra JVM-exit cleanup entry.
+    val key = s.sparkContext.applicationId
+    val p = Option(dimPath.get(key)).getOrElse {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_statusdim_").toFile
+      Seq(("F", "closed"), ("O", "open"), ("P", "pending"))
+        .toDF("status", "phase")
+        .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val built = graft.TempDirs.deleteOnExit(dir).getAbsolutePath
+      Option(dimPath.putIfAbsent(key, built)).getOrElse(built)
     }
     s.read.parquet(p)
   }
@@ -199,22 +204,26 @@ object Bucketed {
     * footer schemas — the normal state of any long-lived ingestion
     * path. Split parity on the unique key so both generations exist at
     * every scale factor. */
-  private val evolPath = scala.collection.mutable.Map[String, String]()
+  private val evolPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[graft] def evolvedOrders(s: SparkSession, d: String): DataFrame = {
-    val p = evolPath.synchronized {
-      evolPath.getOrElseUpdate(s"${s.sparkContext.applicationId}/$d", {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_evolve_").toFile
-        val o = Tables.orders(s, d)
-        o.filter(col("o_orderkey") % 2 === 0)
-          .select("o_orderkey", "o_custkey", "o_totalprice")
-          .write.mode("overwrite").parquet(dir.getAbsolutePath)
-        o.filter(col("o_orderkey") % 2 === 1)
-          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-          .write.mode("append").parquet(dir.getAbsolutePath)
-        graft.TempDirs.deleteOnExit(dir).getAbsolutePath
-      })
+    // same build-outside-lock + putIfAbsent discipline as statusDim:
+    // each racing builder writes its own fresh temp dir, so a losing
+    // duplicate can never interleave files with the winner
+    val key = s"${s.sparkContext.applicationId}/$d"
+    val p = Option(evolPath.get(key)).getOrElse {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_evolve_").toFile
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append").parquet(dir.getAbsolutePath)
+      val built = graft.TempDirs.deleteOnExit(dir).getAbsolutePath
+      Option(evolPath.putIfAbsent(key, built)).getOrElse(built)
     }
     // mergeSchema reconciles the two footer generations into the union
     // schema; old-generation rows read the missing column as NULL. The

@@ -243,7 +243,12 @@ object Dedup {
     val ss = persistedSigs.synchronized {
       val key = sel.semanticHash()
       val bucket = Option(persistedSigs.get(key)).getOrElse(Nil)
-      bucket.find(_.queryExecution.analyzed
+      // the session is part of the identity, not just the plan: in a
+      // multi-session JVM an identical plan from another (possibly
+      // stopped) session must not be served across the boundary — its
+      // cached blocks live in that session's context
+      bucket.find(p => (p.sparkSession eq sel.sparkSession) &&
+          p.queryExecution.analyzed
           .sameResult(sel.queryExecution.analyzed))
         .getOrElse {
           val p = sel.persist(

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PCA over the embedding corpus, built on the distributed second-moment
@@ -9,11 +10,15 @@ import org.apache.spark.sql.functions._
   * covariance is eigendecomposed ON THE DRIVER (Jacobi rotations — the
   * model is d²-bounded and corpus-size-independent, exactly the k-means
   * centroid shape MLlib uses), and the top-k basis is broadcast back
-  * into a narrow projection expression. No SQL oracle exists for an
-  * eigendecomposition, so this is a library operator pinned by its
-  * algebraic invariants in PcaSpec (orthonormal basis, eigen residual,
-  * variance capture, projection reconstruction) rather than a driver
-  * CORRECTNESS row.
+  * into a narrow projection expression.
+  *
+  * No SQL oracle exists for an eigendecomposition directly, but the
+  * eigensystem is still CORRECTNESS-gated through x48: the covariance
+  * diagonal RECONSTRUCTED from the full eigensystem (Σ_c λ_c·b_ci²)
+  * must match DuckDB's var_pop per dimension — a wrong eigenvalue,
+  * basis vector, or moment fold breaks the reconstruction. The purely
+  * algebraic invariants (orthonormal basis, eigen residual, projection
+  * reconstruction) stay spec-pinned in PcaSpec.
   */
 object Pca {
 
@@ -149,6 +154,14 @@ object Pca {
     * a narrow codegen'd expression, no shuffle, no UDF. */
   def project(embs: DataFrame, model: PcaModel, k: Int): DataFrame = {
     require(k >= 1 && k <= model.basis.length, s"k=$k out of range")
+    // public facade API (Graft.pcaProject): adding the output column
+    // must never silently clobber caller data, and the internal
+    // staging column must not collide with caller columns either
+    require(!embs.columns.contains("projection"),
+      "input already has a 'projection' column — rename it before projecting")
+    val stage = Iterator.from(0)
+      .map(i => if (i == 0) "_centered" else s"_centered_$i")
+      .find(n => !embs.columns.contains(n)).get
     val dim = model.mean.length
     val meanLit = array(model.mean.map(lit).toIndexedSeq: _*)
     // zip_with pads a shorter array with nulls — a dim mismatch would
@@ -165,11 +178,60 @@ object Pca {
         col("embedding").cast("array<double>"), meanLit, (x, m) => x - m))
     val comps = (0 until k).map { c =>
       val b = array(model.basis(c).map(lit).toIndexedSeq: _*)
-      aggregate(zip_with(col("_centered"), b, (x, w) => x * w),
+      aggregate(zip_with(col(stage), b, (x, w) => x * w),
         lit(0.0), (acc, x) => acc + x)
     }
-    embs.withColumn("_centered", centered)
+    embs.withColumn(stage, centered)
       .withColumn("projection", array(comps: _*))
-      .drop("_centered")
+      .drop(stage)
   }
+
+  // ---------------------------------------------------------------- x48
+  /** The PCA gate: fit the full eigensystem on the embedding corpus,
+    * then emit per dimension the model mean and the covariance diagonal
+    * reconstructed FROM the eigensystem, C_ii = Σ_c λ_c·b_ci². The
+    * oracle computes avg / var_pop per dimension straight from the
+    * data, so the row hashes match only if (a) the distributed moment
+    * fold, (b) the Jacobi eigenvalues, and (c) the basis vectors are
+    * all right — the one SQL-checkable projection of an
+    * eigendecomposition. 1e-4 units with floor, the x44 quantization:
+    * the Jacobi residual (~1e-13 relative) and the float-sum
+    * association drift both sit orders of magnitude under a bucket.
+    * The 64-row output is model state (d-bounded, corpus-independent),
+    * the same sanctioned driver shape as the IVF codebook. */
+  def x48(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val model = fit(Tables.embeddings(s, d), dim)
+    val rows = (0 until dim).map { i =>
+      var v = 0.0
+      var c = 0
+      while (c < model.basis.length) {
+        val b = model.basis(c)(i)
+        v += model.eigenvalues(c) * b * b
+        c += 1
+      }
+      (i, math.floor(model.mean(i) * 1e4).toLong,
+        math.floor(v * 1e4).toLong)
+    }
+    rows.toDF("i", "mean_e4", "var_e4")
+  }
+
+  val x48Sql: String =
+    """WITH e AS (
+      |  SELECT unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) - 1 AS i
+      |  FROM embeddings)
+      |SELECT CAST(i AS INT) AS i,
+      |  CAST(floor(avg(CAST(v AS DOUBLE)) * 1e4) AS BIGINT) AS mean_e4,
+      |  CAST(floor(var_pop(CAST(v AS DOUBLE)) * 1e4) AS BIGINT) AS var_e4
+      |FROM e GROUP BY i""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x48_pca_diag" -> (x48 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x48_pca_diag" -> x48Sql,
+  )
 }

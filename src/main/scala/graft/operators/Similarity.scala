@@ -390,6 +390,12 @@ object Similarity {
     * mean (pass null to skip). */
   private[operators] def accumulateMoments(v: Array[Float], dim: Int,
       sum: Array[Double], gram: Array[Double]): Unit = {
+    // moments over a NULL vector are undefined — fail with a clear
+    // message instead of an opaque executor NPE (Pca.project, by
+    // contrast, deliberately passes null embeddings through: a
+    // projection is per-row, a moment fold is corpus-wide)
+    require(v != null, "null embedding in moment accumulation " +
+      "(filter IS NOT NULL upstream or repair the corpus)")
     require(v.length == dim,
       s"embedding length ${v.length} != expected dim $dim")
     var i = 0

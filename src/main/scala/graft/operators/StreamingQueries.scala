@@ -25,15 +25,22 @@ object StreamingQueries {
     "['verizon', 'att', 't-mobile'][CAST(user_id % 3 + 1 AS INT)]"
 
   /** The events fixture as a streaming Dataset[MessageStatus]: a real
-    * readStream file source over the events parquet (glob-filtered), the
-    * same nanos->micros mapping as [[graft.Tables.events]]. No driver
+    * readStream file source over the events parquet (glob-filtered),
+    * the same ts normalization as [[graft.Tables.events]] — both ride
+    * [[graft.Tables.eventsPath]], so no session conf is mutated here
+    * and the batch/streaming paths cannot drift in encoding. No driver
     * collect — rows stream through executors. */
   private def eventsStream(s: SparkSession, d: String): Dataset[MessageStatus] = {
-    import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    val raw = s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val path = new java.io.File(graft.Tables.eventsPath(s, d))
+    val rawSchema = s.read.parquet(path.getAbsolutePath).schema
+    // the file source lists a DIRECTORY: glob-filter down to the one
+    // fixture file when the path is the raw single-file layout
+    val raw =
+      if (path.isDirectory)
+        s.readStream.schema(rawSchema).parquet(path.getAbsolutePath)
+      else
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", path.getName).parquet(path.getParent)
     messageStatusOf(raw)
   }
 
@@ -90,13 +97,16 @@ object StreamingQueries {
   private val sentinelCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
-  private def cachedSentinelDir(s: SparkSession): java.io.File =
-    sentinelCache.computeIfAbsent(s.sparkContext.applicationId, _ => {
-      val dir = sentinelDir(s, Seq(
+  private def cachedSentinelDir(s: SparkSession): java.io.File = {
+    val key = s.sparkContext.applicationId
+    Option(sentinelCache.get(key)).getOrElse {
+      // same build-outside-the-map discipline as eventsSplitDir
+      val dir = graft.TempDirs.deleteOnExit(sentinelDir(s, Seq(
         MessageStatus("sentinel", "delivered", 0L, "none", Sentinel1Ms),
-        MessageStatus("sentinel", "delivered", 0L, "none", Sentinel2Ms)))
-      graft.TempDirs.deleteOnExit(dir)
-    })
+        MessageStatus("sentinel", "delivered", 0L, "none", Sentinel2Ms))))
+      Option(sentinelCache.putIfAbsent(key, dir)).getOrElse(dir)
+    }
+  }
 
   private def sentinelStream(s: SparkSession, dir: java.io.File): Dataset[MessageStatus] = {
     import s.implicits._
@@ -530,15 +540,19 @@ object StreamingQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
   private def eventsSplitDir(s: SparkSession, d: String,
-      nFiles: Int): java.io.File =
-    splitCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$d|$nFiles", _ => {
+      nFiles: Int): java.io.File = {
+    // build OUTSIDE the map (no computeIfAbsent): the split is a Spark
+    // write job and must not stall other cache users behind a bin lock;
+    // a racing duplicate build is a spare temp dir reaped at JVM exit
+    val key = s"${s.sparkContext.applicationId}|$d|$nFiles"
+    Option(splitCache.get(key)).getOrElse {
       val dir = java.nio.file.Files.createTempDirectory("graft_evsplit_").toFile
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet").repartition(nFiles)
+      s.read.parquet(graft.Tables.eventsPath(s, d)).repartition(nFiles)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
-      graft.TempDirs.deleteOnExit(dir)
-    })
+      val built = graft.TempDirs.deleteOnExit(dir)
+      Option(splitCache.putIfAbsent(key, built)).getOrElse(built)
+    }
+  }
 
   /** s10 — streaming UPSERT sink via foreachBatch: maintain a
     * latest-status-per-key table in the parquet store from the event
@@ -650,6 +664,80 @@ object StreamingQueries {
 
   val s03Sql: String = Generator.batchSql(10000L)
 
+  /** s11 — the reference's WHOLE declared pipeline as one gated query
+    * (undelivered-message-alert/README.md:150-156): producer frames the
+    * event stream as Confluent-wire Avro (register-then-use against a
+    * schema registry, phone_message_producer.py:327-340) and PRODUCES
+    * it into a Kafka-shaped broker through the real DSv2 streaming sink
+    * (per-task writers, driver epoch commit); the E1 detector CONSUMES
+    * the topic through the DSv2 micro-batch source, is hard-stopped
+    * mid-topic, and restarts from its checkpoint before the
+    * watermark-advancing sentinels arrive — so the gated answer proves
+    * offset recovery and detector-state recovery across the restart,
+    * not just the happy path. The broker is [[graft.sources.memkafka]]
+    * (the sandbox ships no Kafka connector jar); `format("kafka")` is
+    * the one-line production swap on both ends. Oracle = the q15/s01
+    * batch twin over the same fixture.
+    */
+  def s11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fmt = classOf[graft.sources.memkafka.MemKafkaProvider].getName
+    val topic = "s11_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val registry = new graft.sources.InMemorySchemaRegistry
+    val base = scratchCkptDir("graft_s11_")
+    def ck(name: String): String =
+      new java.io.File(base, name).getAbsolutePath
+    // One produce epoch-run: frame through the registry flow and drain
+    // the given source into the topic via the real streaming sink.
+    def produce(src: Dataset[MessageStatus], name: String): Unit = {
+      val q = graft.sources.KafkaIO.frameConfluent(src, registry)
+        .writeStream.format(fmt).option("topic", topic)
+        .option("checkpointLocation", ck(name)).start()
+      q.processAllAvailable(); q.stop()
+    }
+    val outDir = graft.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_s11_out_").toFile)
+    val outPath = new java.io.File(outDir, "alerts").getAbsolutePath
+    // Consumer factory: every start resumes from the SAME checkpoint —
+    // the restart in the middle of the run is the point of the query.
+    def consumer() = UndeliveredDetector.alerts(
+        graft.sources.KafkaIO.unframeConfluent(
+          s.readStream.format(fmt).option("topic", topic).load(), registry),
+        Relational.TimeoutMs)
+      .writeStream.format("parquet").option("path", outPath)
+      .option("checkpointLocation", ck("cons"))
+      .outputMode("append").start()
+    val sentDir = cachedSentinelDir(s)
+    def sentinel(glob: String, name: String): Unit = produce(
+      s.readStream
+        .schema(implicitly[org.apache.spark.sql.Encoder[MessageStatus]].schema)
+        .option("pathGlobFilter", glob)
+        .parquet(sentDir.getAbsolutePath).as[MessageStatus], name)
+    withReplayPartitions(s) { try {
+      produce(eventsStream(s, d), "prod_events")
+      val c1 = consumer()
+      c1.processAllAvailable()
+      c1.stop() // hard stop mid-topic: offsets + detector state checkpointed
+      val c2 = consumer() // SAME checkpoint: must resume, not reconsume
+      // sentinel 1 advances the watermark past every deadline; sentinel 2
+      // is the data batch in which the timers fire (same two-batch
+      // pattern as s01 — no-data micro-batches are not awaited by
+      // processAllAvailable, so firing must ride a data batch)
+      sentinel("sentinel_00.parquet", "prod_s0")
+      c2.processAllAvailable()
+      sentinel("sentinel_01.parquet", "prod_s1")
+      c2.processAllAvailable()
+      c2.stop()
+      s.read.parquet(outPath)
+        .filter(col("messageId") =!= "sentinel")
+        .select(col("messageId"), col("phoneNumber"), col("carrier"),
+          col("sentTime"), col("deadline"))
+    } finally {
+      graft.sources.memkafka.MemBroker.clear(topic)
+      deleteRecursively(base)
+    } }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_undelivered_stream" -> (s01 _),
     "s01_tws_stream" -> (s01Tws _),
@@ -662,6 +750,7 @@ object StreamingQueries {
     "s08_outer_join" -> (s08 _),
     "s09_chained_agg" -> (s09 _),
     "s10_stream_upsert" -> (s10 _),
+    "s11_kafka_pipeline" -> (s11 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -676,5 +765,6 @@ object StreamingQueries {
     "s08_outer_join" -> s08Sql,
     "s09_chained_agg" -> s09Sql,
     "s10_stream_upsert" -> s10Sql,
+    "s11_kafka_pipeline" -> s01Sql,
   )
 }
