@@ -27,6 +27,8 @@ object PlanAudit {
       "scalar subquery: the build side is ONE aggregated row",
     "x45_bigram_lm" ->
       "vocabulary-size attach: broadcast cross join of ONE aggregated row",
+    "x49_bm25_topk" ->
+      "BM25 corpus stats (N, Σdl, df_t): broadcast cross join of ONE aggregated row",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -33,6 +33,9 @@ object SparkEntry {
       operators.Sequences.queries ++
       operators.Bucketed.queries ++
       operators.Pca.queries ++
+      operators.Packing.queries ++
+      operators.Retrieval.queries ++
+      operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
 
@@ -53,6 +56,9 @@ object SparkEntry {
       operators.Sequences.oracleSql ++
       operators.Bucketed.oracleSql ++
       operators.Pca.oracleSql ++
+      operators.Packing.oracleSql ++
+      operators.Retrieval.oracleSql ++
+      operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
 }

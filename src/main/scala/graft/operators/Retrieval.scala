@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-driven document retrieval — BM25 ranking (Robertson et al.,
+  * Okapi TREC-3) over the `documents` table, the lexical complement of
+  * the embedding-space ANN operators in [[Similarity]].
+  *
+  * Scale shape: one narrow pass computes per-doc term frequencies with
+  * `size(filter(...))` expressions (no explode — a 3-term query over a
+  * 100 TB corpus never materializes a posting list), a single partial
+  * agg reduces the corpus to ONE stats row (N, Σdl, df_t), which is
+  * broadcast back for the scoring pass, and top-k is
+  * TakeOrderedAndProject (per-partition heaps, k rows to the driver).
+  * Two scans of the corpus, one 1-row broadcast, zero wide shuffles.
+  *
+  * Float determinism: the score is built from integer inputs (tf, dl,
+  * df, N, Σdl) through an explicitly-parenthesized expression tree
+  * rendered from ONE shared string into both engines, so every IEEE op
+  * is identical; output is floor micro-units (see TextOps x09 note on
+  * why floor, not round). The idf is the raw Robertson fraction
+  * (N - df + 0.5)/(df + 0.5) WITHOUT the usual log wrap — no libm in
+  * gated paths (the log is monotone, so per-term ranking is unchanged;
+  * documented engine variant).
+  */
+object Retrieval {
+
+  /** Okapi k1: term-frequency saturation. 1.2 is the standard default. */
+  private val K1 = "1.2"
+  /** Okapi b: doc-length normalization strength (0.75 standard). */
+  private val B75 = "0.75"
+
+  /** One BM25 term's contribution; `tf`/`df` are integer column names,
+    * `dl` the doc length, `nd`/`sdl` the corpus scalars. Fully
+    * parenthesized — rendered verbatim into Spark expr AND DuckDB SQL. */
+  private def term(tf: String, df: String): String = {
+    val idf = s"((CAST(nd - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5))"
+    val avgdl = "(CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))"
+    val denom = s"(CAST($tf AS DOUBLE) + ($K1 * (0.25 + ($B75 * (CAST(dl AS DOUBLE) / $avgdl)))))"
+    s"($idf * ((CAST($tf AS DOUBLE) * 2.2) / $denom))"
+  }
+
+  private def score(n: Int): String =
+    (1 to n).map(i => term(s"tf$i", s"df$i")).reduce((a, b) => s"($a + $b)")
+
+  /** The gate's fixed 3-term query — common / mid / rare in the fixture
+    * vocabulary so the df spread actually orders differently than tf. */
+  private val GateTerms = Seq("spark", "merge", "vector")
+  private val GateK = 50
+
+  // ---------------------------------------------------------------- x49
+  def x49(s: SparkSession, d: String): DataFrame =
+    bm25TopK(Tables.documents(s, d), GateTerms, GateK)
+
+  /** Library entry: BM25 top-k of `terms` (lowercase, whitespace
+    * tokenization) over any (doc_id, text) DataFrame. Returns
+    * (doc_id, score_micro) with deterministic doc_id tie-break. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    val tfCols: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      expr(s"size(filter(w, x -> x = '$t'))").as(s"tf${i + 1}")
+    }
+    val t = docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("dl", size(col("w")))
+      .select(col("doc_id") +: col("dl") +: tfCols: _*)
+    val statCols: Seq[Column] =
+      count(lit(1)).as("nd") +: sum(col("dl")).as("sdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)).as(s"df${i + 1}"))
+    val stats = t.agg(statCols.head, statCols.tail: _*)
+    t.join(broadcast(stats))
+      .select(col("doc_id"),
+        expr(s"CAST(floor(${score(terms.size)} * 1000000.0) AS BIGINT)")
+          .as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  val x49Sql: String = {
+    val tfDefs = GateTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(w, x -> x = '$t')) AS tf${i + 1}"
+    }.mkString(",\n    ")
+    val dfDefs = GateTerms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}"
+    ).mkString(",\n    ")
+    s"""WITH ww AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |t AS (
+       |  SELECT doc_id, len(w) AS dl,
+       |    $tfDefs
+       |  FROM ww),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sdl,
+       |    $dfDefs
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(floor(${score(GateTerms.size)} * 1000000.0) AS BIGINT) AS score_micro
+       |FROM t CROSS JOIN st
+       |ORDER BY score_micro DESC, doc_id
+       |LIMIT $GateK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x49_bm25_topk" -> (x49 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x49_bm25_topk" -> x49Sql)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Cms, Hll, PortableHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the cardinality arm of the
+  * LLM-pipeline surface (alongside the Bloom decontamination probe in
+  * [[Decontaminate]]). The reference's consumer keeps exact per-key
+  * counters (phone_message_producer.py:207-233, the `messages` table);
+  * at 100 TB an exact distinct over a high-cardinality key is an
+  * expand+shuffle of every distinct value, so the engine needs the
+  * sketch form as a first-class operator. See [[graft.functions.Hll]]
+  * for the portability contract.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------- x50
+  /** Per-type approximate distinct users via the HLL sketch, next to the
+    * exact count so the gate verifies BOTH the deterministic register
+    * state (z_scaled, v_empty) and the final estimate against DuckDB
+    * replaying the identical hash→register→estimator arithmetic.
+    *
+    * Fixture cardinalities make this a real branch test: 15 distinct
+    * users/type at sf0.001 and 150 at sf0.01 exercise linear counting
+    * (and the threshold boundary), 1500 at sf0.1 the raw-HLL branch.
+    *
+    * Plan shape: one partial agg (64-byte sketch state per type per
+    * partition) + one exchange on event_type. The exact count rides the
+    * same groupBy only for demo contrast — the sketch column is the one
+    * that scales. */
+  def x50(s: SparkSession, d: String): DataFrame =
+    hllDistinct(Tables.events(s, d), col("user_id").cast("string"),
+        groupCol = "event_type")
+      .withColumnRenamed("approx_micro", "est_micro")
+
+  /** Library entry: approximate-distinct of `key` per `groupCol`, with
+    * the exact count alongside. `key` must already be the canonical
+    * string form (the hash is over its UTF-8 bytes). */
+  def hllDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
+      groupCol: String): DataFrame =
+    df.groupBy(groupCol)
+      .agg(
+        Hll.sketch(key).as("sk"),
+        countDistinct(key).as("exact_cnt"))
+      .select(
+        col(groupCol),
+        col("sk").getField("z_scaled").as("z_scaled"),
+        col("sk").getField("v_empty").as("v_empty"),
+        expr(Hll.estMicroSpark("sk.z_scaled", "sk.v_empty")).as("approx_micro"),
+        col("exact_cnt"))
+
+  val x50Sql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, user_id,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, hv % 64 AS j,
+       |    max(CASE WHEN hv // 64 = 0 THEN 55
+       |             ELSE 55 - length(bin(hv // 64)) END) AS mj
+       |  FROM h GROUP BY 1, 2),
+       |a AS (
+       |  SELECT event_type,
+       |    CAST(sum(1::BIGINT << (55 - mj))
+       |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS z_scaled,
+       |    CAST(64 - count(*) AS INT) AS v_empty
+       |  FROM r GROUP BY 1),
+       |e AS (
+       |  SELECT event_type, count(DISTINCT CAST(user_id AS VARCHAR)) AS exact_cnt
+       |  FROM events GROUP BY 1)
+       |SELECT a.event_type, z_scaled, v_empty,
+       |  ${Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro,
+       |  exact_cnt
+       |FROM a JOIN e ON a.event_type = e.event_type""".stripMargin
+
+  // ---------------------------------------------------------------- x52
+  /** Token-frequency point estimates from ONE count-min pass over the
+    * corpus, next to the exact counts: probes span a corpus-top word,
+    * mid-frequency words, and an absent word (whose estimate is pure
+    * collision noise — still deterministic, still oracle-checked).
+    *
+    * Plan shape: explode is narrow (tokens never shuffle); the CMS agg
+    * and the per-probe exact counts ride the SAME single pass, reducing
+    * each partition to one 8 KiB state + a handful of longs; the final
+    * exchange carries one such state per partition. The probe fan-out is
+    * a stack() over the single result row. */
+  def x52(s: SparkSession, d: String): DataFrame =
+    cmsProbe(
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("t")),
+      ProbeTerms)
+
+  private val ProbeTerms =
+    Seq("table", "spark", "vector", "customer", "window", "zzz_absent")
+
+  /** Library entry: CMS point estimates + exact counts for `probes`
+    * over a single string column `t` of tokens. */
+  def cmsProbe(tokens: DataFrame, probes: Seq[String]): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe term")
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Cms.sketch(col("t")).as("cms") +:
+        probes.zipWithIndex.map { case (p, i) =>
+          sum(when(col("t") === p, 1L).otherwise(0L)).as(s"exact$i")
+        }
+    val one = tokens.agg(aggs.head, aggs.tail: _*)
+    val stack = probes.zipWithIndex.map { case (p, i) =>
+      s"'$p', ${Cms.estimateSpark("cms", p)}, exact$i"
+    }.mkString(s"stack(${probes.size}, ", ", ", ")")
+    one.select(expr(s"$stack AS (term, est_cnt, exact_cnt)"))
+  }
+
+  val x52Sql: String = {
+    val hv = PortableHash.duckH60("t")
+    // Per-probe conditional cell counts replaying the JVM cell
+    // arithmetic with literal cells, plus the exact count, in ONE pass.
+    val sums = ProbeTerms.zipWithIndex.flatMap { case (p, i) =>
+      Cms.cells(p).zipWithIndex.map { case (c, row) =>
+        s"CAST(sum(CASE WHEN ${Cms.cellDuck("hv", row)} = $c THEN 1 ELSE 0 END) AS BIGINT) AS cell${i}_$row"
+      } :+ s"CAST(sum(CASE WHEN t = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS exact$i"
+    }.mkString(",\n    ")
+    val rows = ProbeTerms.zipWithIndex.map { case (p, i) =>
+      val est = (0 until Cms.Depth).map(r => s"cell${i}_$r").mkString("least(", ", ", ")")
+      s"SELECT '$p' AS term, $est AS est_cnt, exact$i AS exact_cnt FROM agg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |h AS (SELECT t, $hv AS hv FROM tok),
+       |agg AS (
+       |  SELECT
+       |    $sums
+       |  FROM h)
+       |$rows""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x50_hll_distinct" -> (x50 _),
+    "x52_cms_heavy_hitters" -> (x52 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x50_hll_distinct" -> x50Sql,
+    "x52_cms_heavy_hitters" -> x52Sql)
+}

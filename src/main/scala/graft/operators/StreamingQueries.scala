@@ -738,6 +738,59 @@ object StreamingQueries {
     } }
   }
 
+  /** s12 — STREAMING approximate distinct: the x50 HLL sketch running
+    * inside Structured Streaming. Per micro-batch, partial sketches are
+    * merged into the 64-byte per-carrier state kept by the streaming
+    * aggregation's state store (serialize/deserialize round-trips the
+    * register array every batch); the replay's three data batches
+    * (fixture + two sentinels) force real cross-batch merges, and the
+    * sentinel rows land in carrier "none", so the gated carriers'
+    * sketches must SURVIVE two further state-store round-trips
+    * unchanged. This is the 100 TB shape for "distinct users so far"
+    * over an unbounded stream: streaming `count(distinct)` is
+    * unsupported (state = every key ever seen), the sketch's state is
+    * 64 bytes per group forever. Oracle = the batch twin replaying the
+    * identical register arithmetic over the whole fixture ([[Sketches]]
+    * x50 documents the portability contract). */
+  def s12(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hll
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    val agg = stream.toDF()
+      .groupBy(col("carrier"))
+      .agg(Hll.sketch(col("messageId")).as("sk"))
+      .select(
+        col("carrier"),
+        col("sk").getField("z_scaled").as("z_scaled"),
+        col("sk").getField("v_empty").as("v_empty"),
+        expr(Hll.estMicroSpark("sk.z_scaled", "sk.v_empty")).as("est_micro"))
+    runToSink(s, agg, "complete")
+      .filter(col("carrier") =!= "none")
+  }
+
+  val s12Sql: String =
+    s"""WITH m AS (
+       |  SELECT $carrierSql AS carrier, CAST(user_id AS VARCHAR) AS mid
+       |  FROM events),
+       |h AS (
+       |  SELECT carrier,
+       |    CAST(concat('0x', substr(md5(mid), 1, 15)) AS BIGINT) AS hv
+       |  FROM m),
+       |r AS (
+       |  SELECT carrier, hv % 64 AS j,
+       |    max(CASE WHEN hv // 64 = 0 THEN 55
+       |             ELSE 55 - length(bin(hv // 64)) END) AS mj
+       |  FROM h GROUP BY 1, 2),
+       |a AS (
+       |  SELECT carrier,
+       |    CAST(sum(1::BIGINT << (55 - mj))
+       |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS z_scaled,
+       |    CAST(64 - count(*) AS INT) AS v_empty
+       |  FROM r GROUP BY 1)
+       |SELECT carrier, z_scaled, v_empty,
+       |  ${graft.functions.Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_undelivered_stream" -> (s01 _),
     "s01_tws_stream" -> (s01Tws _),
@@ -751,6 +804,7 @@ object StreamingQueries {
     "s09_chained_agg" -> (s09 _),
     "s10_stream_upsert" -> (s10 _),
     "s11_kafka_pipeline" -> (s11 _),
+    "s12_stream_hll" -> (s12 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -766,5 +820,6 @@ object StreamingQueries {
     "s09_chained_agg" -> s09Sql,
     "s10_stream_upsert" -> s10Sql,
     "s11_kafka_pipeline" -> s01Sql,
+    "s12_stream_hll" -> s12Sql,
   )
 }
