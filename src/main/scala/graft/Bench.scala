@@ -180,10 +180,16 @@ object Bench {
     // DuckDB number measured under different ambient load are not
     // comparable — observed 1.3x uniform inflation between sessions).
     // Best-effort: a missing python/duckdb yields an empty map, never a
-    // bench failure.
+    // bench failure. SPARK_GRAFT_ORACLE_RUNS=0 skips it entirely — set
+    // by callers that time the oracles themselves (tools/bench_sfbig.py
+    // runs DuckDB with a per-query cap; the uncapped embedded pass at
+    // 10x corpus scale would otherwise grind for hours on the
+    // quadratic-ish dedup oracles).
+    val oracleRuns =
+      sys.env.getOrElse("SPARK_GRAFT_ORACLE_RUNS", "3").trim.toInt
     val duckdb: Map[String, Double] = try {
       val script = new java.io.File("tools/time_oracle.py")
-      if (!script.isFile) Map.empty
+      if (!script.isFile || oracleRuns <= 0) Map.empty
       else {
         def jq(s: String): String = "\"" + s.flatMap {
           case '"' => "\\\""
@@ -204,7 +210,7 @@ object Bench {
         java.nio.file.Files.writeString(in, oracleJson)
         import scala.sys.process._
         val code = Process(Seq("python3", script.getAbsolutePath, sfDir,
-            in.toString, "3", out.toString))
+            in.toString, oracleRuns.toString, out.toString))
           .!(ProcessLogger(_ => (), l => System.err.println(s"ORACLE $l")))
         val parsed =
           if (code != 0) Map.empty[String, Double]

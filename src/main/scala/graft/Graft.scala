@@ -240,6 +240,30 @@ object Graft {
   def userSequences(events: DataFrame): DataFrame =
     operators.Sequences.userSequences(events)
 
+  /** Scale-path sequence packing: fixed-token-budget bin assignment via
+    * a two-pass distributed prefix sum (the sequential region is
+    * `buckets` rows, not the corpus — see [[operators.Packing]]). */
+  def packByTokenBudget(docs: DataFrame, budget: Long = 2048L,
+      buckets: Int = 32): DataFrame =
+    operators.Packing.packByTokenBudget(docs, budget, buckets)
+
+  /** BM25 top-k retrieval (rational-idf Okapi) over (doc_id, text). */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50): DataFrame =
+    operators.Retrieval.bm25TopK(docs, terms, k)
+
+  // ---- sketches -----------------------------------------------------
+  /** Approximate distinct of `key` per `groupCol` via the portable
+    * 64-register HLL aggregate (64 B state/group), with the exact count
+    * alongside for calibration. */
+  def approxDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
+      groupCol: String): DataFrame =
+    operators.Sketches.hllDistinct(df, key, groupCol)
+
+  /** Count-min point estimates + exact counts for `probes` over a token
+    * column `t` (8 KiB sketch state, single corpus pass). */
+  def cmsProbe(tokens: DataFrame, probes: Seq[String]): DataFrame =
+    operators.Sketches.cmsProbe(tokens, probes)
+
   // ---- keyed upsert -------------------------------------------------
   /** Delta-style MERGE: one full-outer shuffle join applying matched
     * updates, source-only inserts, and target pass-through. */

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, Md5Prefix60, SortedIntersectSize}
+import graft.functions.{CmsSketch, DotProduct, HllSketch, Md5Prefix60, SortedIntersectSize}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -42,6 +42,15 @@ object GraftExtensions {
       info("md5_prefix60",
         "md5_prefix60(bin) - first 60 bits of md5 as bigint (the engine's portable hash)"),
       (es: Seq[Expression]) => Md5Prefix60(es(0))),
+    ("hll_sketch",
+      info("hll_sketch",
+        "hll_sketch(str) - aggregate: portable 64-register HyperLogLog state " +
+          "as struct(z_scaled, v_empty)"),
+      (es: Seq[Expression]) => HllSketch(es(0)).toAggregateExpression()),
+    ("cms_sketch",
+      info("cms_sketch",
+        "cms_sketch(str) - aggregate: portable 4x256 count-min counters as array<bigint>"),
+      (es: Seq[Expression]) => CmsSketch(es(0)).toAggregateExpression()),
   )
 
   /** Register on an already-built session (tests, notebooks). */

@@ -29,6 +29,8 @@ object PlanAudit {
       "vocabulary-size attach: broadcast cross join of ONE aggregated row",
     "x49_bm25_topk" ->
       "BM25 corpus stats (N, Σdl, df_t): broadcast cross join of ONE aggregated row",
+    "x53_mixture_sample" ->
+      "mixture totals (T, W): ONE aggregated row attached to the |sources|-row stats frame",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -59,6 +59,11 @@ object Retrieval {
     * (doc_id, score_micro) with deterministic doc_id tie-break. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    // terms are rendered into expression text: restrict to the token
+    // alphabet the whitespace tokenizer can produce anyway, so a quote
+    // or backtick can't break the generated expression
+    require(terms.forall(_.matches("[A-Za-z0-9_.-]+")),
+      s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
     val tfCols: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
       expr(s"size(filter(w, x -> x = '$t'))").as(s"tf${i + 1}")
     }

@@ -136,6 +136,69 @@ object Sampling {
        |SELECT doc_id, source, toks, cum_toks FROM c
        |WHERE cum_toks <= 5000""".stripMargin
 
+  // ---------------------------------------------------------------- x53
+  /** Temperature-scaled mixture sampling (the mT5/data-mixing step):
+    * sample each source at a rate making its EXPECTED token share
+    * proportional to tok_s^α with α = 0.5 — up-weighting small sources
+    * relative to their natural share, the standard fix for
+    * head-domain dominance in multi-corpus training mixes. `frac` is
+    * the overall target token fraction.
+    *
+    * Rate: r_s = min(1, frac·T·w_s / (W·tok_s)) with w_s =
+    * floor(sqrt(tok_s)·1e6), T = Σ tok_s, W = Σ w_s. The sqrt weights
+    * are FLOORED TO INTEGER MICRO-UNITS before summing so W is an
+    * integer sum (order-free — a double Σ√tok would be
+    * partial-agg-order dependent and unverifiable); sqrt itself is
+    * IEEE-correctly-rounded, so w_s is bit-identical across engines.
+    * Admission is the integer test h60("mix_"+doc_id) % 2^20 <
+    * floor(r_s·2^20) — a deterministic per-doc coin with P ≈ r_s.
+    *
+    * Scale shape: per-source stats come from ONE tiny groupBy of the
+    * corpus (|sources| rows); the corpus-wide totals (T, W) are an agg
+    * OVER THAT TINY FRAME, not a second corpus pass; rates broadcast
+    * back as an equi-join. The corpus itself is scanned for stats and
+    * once more for admission — no wide shuffle of documents at any
+    * point. */
+  def mixtureSample(docs: DataFrame, frac: Double = 0.5): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(split(lower(col("text")), " ")).cast("long").as("toks"))
+    val perSource = t.groupBy("source").agg(sum(col("toks")).as("tok_s"))
+      .withColumn("w_s", expr(
+        "CAST(floor(sqrt(CAST(tok_s AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    val totals = perSource.agg(
+      sum(col("tok_s")).as("T"), sum(col("w_s")).as("W"))
+    val rates = perSource.join(broadcast(totals))
+      .withColumn("rate", expr(
+        s"least(1.0, ($frac * (CAST(T AS DOUBLE) * CAST(w_s AS DOUBLE)))" +
+          " / (CAST(W AS DOUBLE) * CAST(tok_s AS DOUBLE)))"))
+      .select(col("source"), col("rate"))
+    t.join(broadcast(rates), "source")
+      .filter((h60(concat(lit("mix_"), col("doc_id").cast("string"))) % 1048576L)
+        < expr("CAST(floor(rate * 1048576.0) AS BIGINT)"))
+      .select("doc_id", "source", "toks")
+  }
+
+  def x53(s: SparkSession, d: String): DataFrame =
+    mixtureSample(Tables.documents(s, d))
+
+  val x53Sql: String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
+       |  FROM documents),
+       |ps AS (SELECT source, CAST(sum(toks) AS BIGINT) AS tok_s,
+       |  CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_s
+       |  FROM t GROUP BY source),
+       |tot AS (SELECT CAST(sum(tok_s) AS BIGINT) AS T,
+       |  CAST(sum(w_s) AS BIGINT) AS W FROM ps),
+       |r AS (SELECT source,
+       |  least(1.0, (0.5 * (CAST(T AS DOUBLE) * CAST(w_s AS DOUBLE)))
+       |        / (CAST(W AS DOUBLE) * CAST(tok_s AS DOUBLE))) AS rate
+       |  FROM ps CROSS JOIN tot)
+       |SELECT doc_id, t.source, toks
+       |FROM t JOIN r ON t.source = r.source
+       |WHERE ${duckH60("concat('mix_', CAST(doc_id AS VARCHAR))")} % 1048576
+       |      < CAST(floor(rate * 1048576.0) AS BIGINT)""".stripMargin
+
   // ---------------------------------------------------------------- x34
   /** Training-shard packing: assign every document to a fixed-capacity
     * shard (`capacity` whitespace tokens) by greedy sequential packing
@@ -183,6 +246,7 @@ object Sampling {
     "x24_length_stats" -> (x24 _),
     "x26_token_budget" -> (x26 _),
     "x34_shard_pack" -> (x34 _),
+    "x53_mixture_sample" -> (x53 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -191,5 +255,6 @@ object Sampling {
     "x24_length_stats" -> x24Sql,
     "x26_token_budget" -> x26Sql,
     "x34_shard_pack" -> x34Sql,
+    "x53_mixture_sample" -> x53Sql,
   )
 }

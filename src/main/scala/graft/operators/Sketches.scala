@@ -99,6 +99,9 @@ object Sketches {
     * over a single string column `t` of tokens. */
   def cmsProbe(tokens: DataFrame, probes: Seq[String]): DataFrame = {
     require(probes.nonEmpty, "need at least one probe term")
+    // probes are rendered into stack()/estimate expression text
+    require(probes.forall(_.matches("[A-Za-z0-9_.-]+")),
+      s"probe terms must be plain tokens, got: ${probes.mkString(", ")}")
     val aggs: Seq[org.apache.spark.sql.Column] =
       Cms.sketch(col("t")).as("cms") +:
         probes.zipWithIndex.map { case (p, i) =>

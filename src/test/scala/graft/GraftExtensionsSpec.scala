@@ -15,6 +15,16 @@ class GraftExtensionsSpec extends SparkSpec {
     val h = spark.sql("SELECT md5_prefix60(cast('hello' as binary))")
       .head.getLong(0)
     assert(h == functions.PortableHash.h60("hello"))
+    // the sketch AGGREGATES resolve and aggregate from plain SQL too
+    val hll = spark.sql(
+      "SELECT hll_sketch(v).v_empty FROM VALUES ('a'), ('b'), ('a') AS t(v)")
+      .head.getInt(0)
+    assert(hll == functions.Hll.M - 2)
+    val cms = spark.sql(
+      "SELECT aggregate(cms_sketch(v), 0L, (a, x) -> a + x) " +
+        "FROM VALUES ('a'), ('b'), ('a') AS t(v)")
+      .head.getLong(0)
+    assert(cms == 3L * functions.Cms.Depth)
   }
 
   test("extensions class wires into a fresh session") {

@@ -264,4 +264,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"),
       "both scans must report bucketed reads")
   }
+
+  test("x50/x52 sketches aggregate partially before their exchange") {
+    // the whole point of the sketch aggregates is the map-side partial:
+    // the exchange must sit between partial_ and final hll/cms calls
+    val p50 = plan(Sketches.x50(spark, sf))
+    assert(p50.contains("partial_hll_sketch"),
+      s"HLL must combine map-side before the shuffle\n$p50")
+    val p52 = plan(Sketches.x52(spark, sf))
+    assert(p52.contains("partial_cms_sketch"),
+      s"CMS must combine map-side before the shuffle\n$p52")
+    val n52 = "Exchange hashpartitioning".r.findAllIn(p52).size
+    assert(n52 == 0,
+      s"x52 is a global agg: tokens must never hash-shuffle, saw $n52\n$p52")
+  }
+
+  test("x51 packing budget: one bucket exchange + one broadcast, no global window") {
+    val p = plan(Packing.x51(spark, sf))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    // 1 = the per-bucket window partitioning; the B-row offset agg
+    // rides a SinglePartition exchange (bounded by design, B rows)
+    assert(n <= 2, s"x51 shuffle budget exceeded: $n\n$p")
+    assert(p.contains("BroadcastExchange"),
+      "bucket offsets must broadcast back, not shuffle-join")
+  }
 }

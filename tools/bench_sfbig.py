@@ -24,6 +24,8 @@ QUERIES = [
     "x29_novelty", "x30_containment", "x33_semdedup", "x35_exact_substr",
     "x39_line_dedup", "x41_bloom_decontaminate", "x42_length_quartiles",
     "x43_edit_distance", "x44_gram_matrix", "x45_bigram_lm",
+    "x49_bm25_topk", "x50_hll_distinct", "x51_token_pack",
+    "x52_cms_heavy_hitters",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -34,7 +36,10 @@ def spark_bench(sf_dir, names):
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_BENCH_ONLY=",".join(names),
-               SPARK_GRAFT_BENCH_RUNS="3")
+               SPARK_GRAFT_BENCH_RUNS="3",
+               # this script times DuckDB itself (with caps) — Bench's
+               # embedded uncapped oracle pass must not run at 10x scale
+               SPARK_GRAFT_ORACLE_RUNS="0")
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], env=env,
                    check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)

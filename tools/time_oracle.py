@@ -20,16 +20,32 @@ def main(sf_dir, oracle_json, runs=3, json_out=None):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(oracle_json))
     res = {}
+    # Guard rails mirroring tools/bench_sfbig.duck_bench: a per-run wall
+    # cap (con.interrupt via Timer) and a one-sample-is-plenty rule for
+    # slow queries — without these, an uncapped 3-run loop over a scaled
+    # corpus can grind for hours on the heavy dedup oracles (observed:
+    # the embedded 10x pass wedging the whole rehearsal chain).
+    import threading
+    TIMEOUT_S = 300
+    SLOW_S = 30
     for name, sql in sorted(oracles.items()):
         ts = []
         for _ in range(runs):
+            timer = threading.Timer(TIMEOUT_S, con.interrupt)
+            timer.start()
             t0 = time.time()
             try:
                 con.sql(sql).fetchall()
             except Exception as e:
-                print(f"FAIL {name}: {e}")
+                kind = ("TIMEOUT" if time.time() - t0 >= TIMEOUT_S * 0.98
+                        else "FAIL")
+                print(f"{kind} {name}: {e}")
                 break
+            finally:
+                timer.cancel()
             ts.append(time.time() - t0)
+            if ts[-1] >= SLOW_S:
+                break
         if ts:
             res[name] = sorted(ts)[len(ts) // 2]
     for name, sec in sorted(res.items(), key=lambda kv: -kv[1]):
