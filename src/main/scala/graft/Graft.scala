@@ -251,6 +251,24 @@ object Graft {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 50): DataFrame =
     operators.Retrieval.bm25TopK(docs, terms, k)
 
+  /** Overlapping token-window chunking (RAG/context prep): stable
+    * (doc_id, chunk_idx) identity + portable per-chunk fingerprint;
+    * shuffle-free. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame =
+    operators.Packing.chunkDocuments(docs, chunkTokens, overlap)
+
+  /** Leakage-free train/test split: whole duplicate clusters (from the
+    * `pairs` graph) land on one side; deterministic and stable as the
+    * corpus grows. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 80): DataFrame =
+    operators.Clusters.leakageFreeSplit(docs, pairs, trainPct)
+
+  /** sqrt-temperature mixture sampling over sources (mT5-style). */
+  def mixtureSample(docs: DataFrame, frac: Double = 0.5): DataFrame =
+    operators.Sampling.mixtureSample(docs, frac)
+
   // ---- sketches -----------------------------------------------------
   /** Approximate distinct of `key` per `groupCol` via the portable
     * 64-register HLL aggregate (64 B state/group), with the exact count

@@ -189,6 +189,51 @@ object Clusters {
        |sizes AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
        |SELECT sz, count(*) AS n_clusters FROM sizes GROUP BY sz""".stripMargin
 
+  // ---------------------------------------------------------------- x55
+  /** Leakage-free train/test split: the split unit is the DUPLICATE
+    * CLUSTER, not the document — two near-dup docs must land on the
+    * same side, or the held-out set leaks training data and evaluation
+    * is contaminated (the standard pitfall naive random splits hit).
+    * Docs in no cluster split by their own id; the coin is the portable
+    * hash of the unit, so the split is deterministic across runs,
+    * engines, and partitioning, and REPRODUCIBLE as data is added
+    * (existing units never flip sides).
+    *
+    * Scale shape: cluster labels from the O(log n) star contraction;
+    * one left equi-join of the corpus against the (small: only docs
+    * that belong to some pair) label set; the coin is a narrow
+    * expression. */
+  def x55(s: SparkSession, d: String): DataFrame =
+    leakageFreeSplit(Tables.documents(s, d),
+      Dedup.nearDupWordPairs(Tables.documents(s, d)), trainPct = 80)
+
+  /** Library entry: split `docs` into train/test with whole `pairs`
+    * connectivity clusters on one side. */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100): $trainPct")
+    import graft.functions.PortableHash
+    val labels = connectedComponents(pairs, "a", "b")
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("unit"))
+      .withColumn("split",
+        when(PortableHash.h60(concat(lit("split_"), col("unit").cast("string")))
+          % 100L < trainPct, "train").otherwise("test"))
+  }
+
+  val x55Sql: String =
+    s"""WITH labels AS ($x17Sql),
+       |u AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS unit
+       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+       |SELECT doc_id, unit,
+       |  CASE WHEN ${graft.functions.PortableHash.duckH60("concat('split_', CAST(unit AS VARCHAR))")} % 100 < 80
+       |       THEN 'train' ELSE 'test' END AS split
+       |FROM u""".stripMargin
+
   // ---------------------------------------------------------------- x28
   /** Survivor corpus: the end-to-end output of cluster-level dedup.
     * x17 labels duplicate-group members; this picks ONE representative
@@ -252,11 +297,13 @@ object Clusters {
     "x17_dedup_clusters" -> (x17 _),
     "x47_cluster_sizes" -> (x47 _),
     "x28_dedup_survivors" -> (x28 _),
+    "x55_leakage_split" -> (x55 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x17_dedup_clusters" -> x17Sql,
     "x47_cluster_sizes" -> x47Sql,
     "x28_dedup_survivors" -> x28Sql,
+    "x55_leakage_split" -> x55Sql,
   )
 }

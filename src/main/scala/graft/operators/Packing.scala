@@ -102,9 +102,69 @@ object Packing {
        |  CAST((gcum - tok) // $GateBudget AS BIGINT) AS bin
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- x54
+  /** Overlapping token-window document chunking — the segmentation step
+    * of RAG/context preparation: fixed-size windows with a fixed
+    * overlap, a stable (doc_id, chunk_idx) identity, and a portable
+    * fingerprint per chunk (the input to chunk-level dedup, which is
+    * x01's groupBy over `fp`).
+    *
+    * Chunk count for a doc of L tokens is max(1, ceil((L−overlap)/step))
+    * with step = chunk − overlap: every token is covered, consecutive
+    * chunks share `overlap` tokens, and a short doc is one chunk.
+    *
+    * Scale shape: one narrow pass — sequence+explode fans each doc into
+    * its own chunks WITHIN the partition (no shuffle anywhere), and the
+    * output is ≈ L/step rows per doc. The slice/fingerprint work is
+    * per-row expression code. At 100 TB this pipelines with the scan.
+    *
+    * The gate uses (chunk=16, overlap=4) so fixture docs (~30 tokens)
+    * actually produce multi-chunk fans; the library default is the
+    * common 128/32. */
+  def x54(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(Tables.documents(s, d), chunkTokens = 16, overlap = 4)
+
+  /** Library entry over any (doc_id, text) DataFrame. Returns
+    * (doc_id, chunk_idx, n_tokens, fp). */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val step = chunkTokens - overlap
+    docs
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("nc", expr(
+        s"greatest(cast(ceil((size(w) - $overlap) / $step.0) as int), 1)"))
+      .select(col("doc_id"), col("w"),
+        expr("explode(sequence(0, nc - 1))").as("chunk_idx"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        expr(s"cast(size(slice(w, chunk_idx * $step + 1, $chunkTokens)) as int)")
+          .as("n_tokens"),
+        PortableHash.h60(expr(
+          s"concat_ws(' ', slice(w, chunk_idx * $step + 1, $chunkTokens))"))
+          .as("fp"))
+  }
+
+  val x54Sql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, w,
+       |    greatest(CAST(ceil((len(w) - 4) / 12.0) AS INT), 1) AS nc
+       |  FROM ws),
+       |c AS (SELECT doc_id, unnest(range(0, nc)) AS ci, w FROM n)
+       |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+       |  CAST(len(w[ci * 12 + 1 : ci * 12 + 16]) AS INT) AS n_tokens,
+       |  ${PortableHash.duckH60("array_to_string(w[ci * 12 + 1 : ci * 12 + 16], ' ')")} AS fp
+       |FROM c""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x51_token_pack" -> (x51 _))
+    "x51_token_pack" -> (x51 _),
+    "x54_doc_chunks" -> (x54 _))
 
   val oracleSql: Map[String, String] = Map(
-    "x51_token_pack" -> x51Sql)
+    "x51_token_pack" -> x51Sql,
+    "x54_doc_chunks" -> x54Sql)
 }

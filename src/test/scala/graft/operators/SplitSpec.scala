@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SplitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (1L to n.toLong).map(i => (i, s"text $i")).toDF("doc_id", "text")
+
+  // a chain 1-2-3-4-5 plus pair 10-11: transitive clusters {1..5}, {10,11}
+  private val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    .toDF("a", "b")
+
+  test("every duplicate cluster lands wholly on one side (no leakage)") {
+    val sides = Clusters.leakageFreeSplit(docs(20), pairs, 60)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(Set(1L, 2L, 3L, 4L, 5L).map(sides).size == 1,
+      "chain cluster split across sides")
+    assert(Set(10L, 11L).map(sides).size == 1)
+  }
+
+  test("cluster-free docs split by their own id; fraction near trainPct") {
+    val out = Clusters.leakageFreeSplit(docs(2000), pairs.limit(0), 80)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    val frac = out("train").toDouble / 2000
+    assert(math.abs(frac - 0.8) < 0.05, s"got $out")
+  }
+
+  test("existing units never flip sides when the corpus grows") {
+    val before = Clusters.leakageFreeSplit(docs(100), pairs, 70)
+      .as[(Long, Long, String)].collect().toMap2
+    val after = Clusters.leakageFreeSplit(docs(200), pairs, 70)
+      .as[(Long, Long, String)].collect().toMap2
+    before.foreach { case (id, s) => assert(after(id) == s, s"doc $id flipped") }
+  }
+
+  private implicit class Rows3(rs: Array[(Long, Long, String)]) {
+    def toMap2: Map[Long, String] = rs.map(r => r._1 -> r._3).toMap
+  }
+}
