@@ -133,6 +133,12 @@ object Graft {
     operators.Similarity.annLsh(embeddings, queryIds)
 
   /** IVF-style ANN (coarse cells; queries probe 2 nearest cells). */
+  /** Metadata-filtered exact top-k: neighbors restricted to the
+    * query's label; the filter constrains candidate generation (label
+    * equi-join), not the output. */
+  def annTopKFiltered(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
+    operators.Similarity.annFiltered(embeddings, queryIds)
+
   def annTopKIvf(embeddings: DataFrame, queryIds: Seq[Long]): DataFrame =
     operators.Similarity.annIvf(embeddings, queryIds)
 

@@ -443,8 +443,54 @@ object Similarity {
       |WHERE a.i <= b.i
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- x56
+  /** Metadata-FILTERED vector search: per-query top-k cosine restricted
+    * to corpus vectors sharing the query's label — the "nearest within
+    * my category" query every production retrieval system runs, and the
+    * case where post-filtering an unfiltered ANN result is WRONG (the
+    * top-k may contain zero same-label rows; the filter must constrain
+    * candidate generation, not prune its output).
+    *
+    * The predicate IS the join key: candidates come from a label
+    * equi-join with the broadcast query side, so the corpus streams
+    * through once — no cross join, and only same-label rows ever reach
+    * the distance kernel. At 100 TB this composes with the x07/x12
+    * bucketing by extending the join key to (label, bucket). rank()
+    * fuses the per-query top-k (WindowGroupLimit partial before the
+    * small qid shuffle). */
+  def annFiltered(emb: DataFrame, queryIds: Seq[Long]): DataFrame = {
+    val e = vecsLabeledOf(emb)
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("vq"),
+        col("nrm").as("nq"), col("label").as("ql"))
+    rank(e.join(broadcast(q),
+      col("label") === col("ql") && col("vec_id") =!= col("qid")))
+  }
+
+  private def vecsLabeledOf(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", ArrayMath.l2norm(col("v")))
+
+  def x56(s: SparkSession, d: String): DataFrame =
+    annFiltered(Tables.embeddings(s, d), 0L until NQueries.toLong)
+
+  val x56Sql: String =
+    s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm FROM e),
+       |c AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+       |  CAST(floor(list_sum(list_transform(range(1, 65), i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) * 1000000) AS BIGINT) AS score
+       |  FROM n q JOIN n e ON e.label = q.label AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM c
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x06_ann_brute" -> (x06 _),
+    "x56_ann_filtered" -> (x56 _),
     "x07_ann_lsh" -> (x07 _),
     "x12_ann_ivf" -> (x12 _),
     "x25_embed_quantize" -> (x25 _),
@@ -454,6 +500,7 @@ object Similarity {
 
   val oracleSql: Map[String, String] = Map(
     "x06_ann_brute" -> x06Sql,
+    "x56_ann_filtered" -> x56Sql,
     "x07_ann_lsh" -> x07Sql,
     "x12_ann_ivf" -> x12Sql,
     "x25_embed_quantize" -> x25Sql,

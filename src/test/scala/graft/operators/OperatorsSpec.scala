@@ -56,6 +56,27 @@ class OperatorsSpec extends SparkSpec {
     info(f"LSH top-10 overlap with brute force: $recall%.2f")
   }
 
+  test("filtered ann = brute force over the label-restricted corpus") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, sf)
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.annFiltered(emb, 0L until 5L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // every neighbor shares its query's label (post-filtering an
+    // unfiltered top-k could not guarantee this)
+    got.foreach { case (qid, vid, _, _) =>
+      assert(labels(vid) == labels(qid), s"$vid not in $qid's label") }
+    // and per query it IS the exact brute-force answer on the
+    // label-restricted corpus
+    for (q <- 0L until 5L) {
+      val restricted = emb.filter(col("label") === labels(q))
+      val want = Similarity.annBrute(restricted, Seq(q)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      assert(got.filter(_._1 == q).toSet == want, s"query $q")
+    }
+  }
+
   test("connected components merge transitively and split disjointly") {
     import spark.implicits._
     // component {1..5} is a pure CHAIN — every merge is transitive-only
