@@ -277,11 +277,12 @@ object Graft {
 
   // ---- sketches -----------------------------------------------------
   /** Approximate distinct of `key` per `groupCol` via the portable
-    * 64-register HLL aggregate (64 B state/group), with the exact count
-    * alongside for calibration. */
+    * 64-register HLL aggregate (64 B state/group). `withExact = true`
+    * adds the exact count for calibration — at the cost of the distinct
+    * expand+shuffle the sketch exists to avoid. */
   def approxDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
-      groupCol: String): DataFrame =
-    operators.Sketches.hllDistinct(df, key, groupCol)
+      groupCol: String, withExact: Boolean = false): DataFrame =
+    operators.Sketches.hllDistinct(df, key, groupCol, withExact)
 
   /** Count-min point estimates + exact counts for `probes` over a token
     * column `t` (8 KiB sketch state, single corpus pass). */

@@ -131,7 +131,11 @@ object Packing {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
     val step = chunkTokens - overlap
+    // a NULL text would emit one bogus chunk (size(null) = -1 →
+    // n_tokens = -1, fp = hash of "") where the oracle's range(0, NULL)
+    // emits none — drop token-less docs on both engines' semantics
     docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .withColumn("nc", expr(
         s"greatest(cast(ceil((size(w) - $overlap) / $step.0) as int), 1)"))

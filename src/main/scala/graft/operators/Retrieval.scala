@@ -28,9 +28,17 @@ import org.apache.spark.sql.functions._
 object Retrieval {
 
   /** Okapi k1: term-frequency saturation. 1.2 is the standard default. */
-  private val K1 = "1.2"
+  private val K1 = 1.2
   /** Okapi b: doc-length normalization strength (0.75 standard). */
-  private val B75 = "0.75"
+  private val B = 0.75
+  // Rendered literals — DERIVED so tuning K1/B cannot silently desync
+  // the formula's dependent constants (1−b and k1+1). Whatever decimal
+  // Double.toString yields, the SAME literal lands in both engines, so
+  // the oracle contract is preserved by construction.
+  private val K1s = K1.toString
+  private val K1p1s = (K1 + 1.0).toString
+  private val Bs = B.toString
+  private val OneMinusBs = (1.0 - B).toString
 
   /** One BM25 term's contribution; `tf`/`df` are integer column names,
     * `dl` the doc length, `nd`/`sdl` the corpus scalars. Fully
@@ -38,8 +46,8 @@ object Retrieval {
   private def term(tf: String, df: String): String = {
     val idf = s"((CAST(nd - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5))"
     val avgdl = "(CAST(sdl AS DOUBLE) / CAST(nd AS DOUBLE))"
-    val denom = s"(CAST($tf AS DOUBLE) + ($K1 * (0.25 + ($B75 * (CAST(dl AS DOUBLE) / $avgdl)))))"
-    s"($idf * ((CAST($tf AS DOUBLE) * 2.2) / $denom))"
+    val denom = s"(CAST($tf AS DOUBLE) + ($K1s * ($OneMinusBs + ($Bs * (CAST(dl AS DOUBLE) / $avgdl)))))"
+    s"($idf * ((CAST($tf AS DOUBLE) * $K1p1s) / $denom))"
   }
 
   private def score(n: Int): String =
@@ -57,17 +65,24 @@ object Retrieval {
   /** Library entry: BM25 top-k of `terms` (lowercase, whitespace
     * tokenization) over any (doc_id, text) DataFrame. Returns
     * (doc_id, score_micro) with deterministic doc_id tie-break. */
-  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  def bm25TopK(docs: DataFrame, terms0: Seq[String], k: Int): DataFrame = {
+    // the token stream is lowercased, so match the terms to it — a
+    // mixed-case query would otherwise silently score tf = 0 everywhere
+    val terms = terms0.map(_.toLowerCase)
     require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
     // terms are rendered into expression text: restrict to the token
     // alphabet the whitespace tokenizer can produce anyway, so a quote
     // or backtick can't break the generated expression
-    require(terms.forall(_.matches("[A-Za-z0-9_.-]+")),
+    require(terms.forall(_.matches("[a-z0-9_.-]+")),
       s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
     val tfCols: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
       expr(s"size(filter(w, x -> x = '$t'))").as(s"tf${i + 1}")
     }
+    // a NULL text would give size(null) = -1 for dl AND tf, poisoning
+    // the corpus stats (nd counts it, sdl decrements) — drop such rows,
+    // matching the oracle's behavior on token-less documents
     val t = docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .withColumn("dl", size(col("w")))
       .select(col("doc_id") +: col("dl") +: tfCols: _*)

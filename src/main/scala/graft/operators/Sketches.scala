@@ -32,24 +32,32 @@ object Sketches {
     * that scales. */
   def x50(s: SparkSession, d: String): DataFrame =
     hllDistinct(Tables.events(s, d), col("user_id").cast("string"),
-        groupCol = "event_type")
+        groupCol = "event_type", withExact = true)
       .withColumnRenamed("approx_micro", "est_micro")
 
-  /** Library entry: approximate-distinct of `key` per `groupCol`, with
-    * the exact count alongside. `key` must already be the canonical
-    * string form (the hash is over its UTF-8 bytes). */
+  /** Library entry: approximate-distinct of `key` per `groupCol`.
+    * `key` must already be the canonical string form (the hash is over
+    * its UTF-8 bytes). The default is sketch-only — the 64-byte-state
+    * plan that motivates the operator; `withExact = true` adds the
+    * exact `count(distinct)` column for calibration, at the cost of
+    * the distinct expand+shuffle the sketch exists to avoid (the gate
+    * uses it so the oracle verifies estimate against truth). */
   def hllDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
-      groupCol: String): DataFrame =
-    df.groupBy(groupCol)
-      .agg(
-        Hll.sketch(key).as("sk"),
+      groupCol: String, withExact: Boolean = false): DataFrame = {
+    val aggs =
+      if (withExact) Seq(Hll.sketch(key).as("sk"),
         countDistinct(key).as("exact_cnt"))
-      .select(
-        col(groupCol),
-        col("sk").getField("z_scaled").as("z_scaled"),
-        col("sk").getField("v_empty").as("v_empty"),
-        expr(Hll.estMicroSpark("sk.z_scaled", "sk.v_empty")).as("approx_micro"),
-        col("exact_cnt"))
+      else Seq(Hll.sketch(key).as("sk"))
+    val outs = Seq(
+      col(groupCol),
+      col("sk").getField("z_scaled").as("z_scaled"),
+      col("sk").getField("v_empty").as("v_empty"),
+      expr(Hll.estMicroSpark("sk.z_scaled", "sk.v_empty")).as("approx_micro")) ++
+      (if (withExact) Seq(col("exact_cnt")) else Nil)
+    df.groupBy(groupCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outs: _*)
+  }
 
   val x50Sql: String =
     s"""WITH h AS (

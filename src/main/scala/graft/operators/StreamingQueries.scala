@@ -751,7 +751,14 @@ object StreamingQueries {
     * unsupported (state = every key ever seen), the sketch's state is
     * 64 bytes per group forever. Oracle = the batch twin replaying the
     * identical register arithmetic over the whole fixture ([[Sketches]]
-    * x50 documents the portability contract). */
+    * x50 documents the portability contract).
+    *
+    * Output mode: the replay uses `complete` because the memory-sink
+    * harness needs the final table of an unwatermarked aggregation; at
+    * production group cardinality the scale path is `update` mode (emit
+    * only groups whose sketch changed this batch) — the aggregation
+    * operator and its state are identical in both modes, only the sink
+    * emission policy differs. */
   def s12(s: SparkSession, d: String): DataFrame = {
     import graft.functions.Hll
     val stream = eventsStream(s, d)

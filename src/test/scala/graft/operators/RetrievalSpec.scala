@@ -20,7 +20,9 @@ class RetrievalSpec extends SparkSpec {
       id -> terms.map { t =>
         val tf = ws.count(_ == t).toDouble
         val idf = (nd - dfs(t) + 0.5) / (dfs(t) + 0.5)
-        idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+        // same constant DERIVATION as the operator (k1+1, 1-b), so a
+        // rendering change there is mirrored here
+        idf * ((tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
       }.sum
     }.toMap
   }
