@@ -798,6 +798,63 @@ object StreamingQueries {
        |  ${graft.functions.Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
        |FROM a""".stripMargin
 
+  /** s13 — WINDOWED streaming approximate distinct: the s12 sketch
+    * crossed with event-time windows + watermark + APPEND mode — the
+    * production pattern for streaming cardinality ("distinct users per
+    * hour, forever"). Unlike s12's all-time sketch (complete mode,
+    * state per group forever), each (window, carrier) sketch lives only
+    * until the watermark passes its window: the window emits ONCE with
+    * its final registers and its 64-byte state is evicted — total state
+    * is 64 B × |open windows × carriers| no matter how long the stream
+    * runs. The sentinel batches advance the watermark past every
+    * fixture window, so all real windows close and emit during the
+    * replay (same mechanics as s02); the sentinels' own windows land in
+    * carrier "none" or stay open, and are filtered/withheld. Oracle =
+    * the batch twin grouping the identical register arithmetic by
+    * (hour, carrier). */
+  def s13(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hll
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    val agg = stream.toDF()
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "1 minute")
+      .groupBy(window(col("eventTime"), "1 hour"), col("carrier"))
+      .agg(Hll.sketch(col("messageId")).as("sk"))
+      .select(
+        col("window.start").as("win_start"),
+        col("carrier"),
+        col("sk").getField("z_scaled").as("z_scaled"),
+        col("sk").getField("v_empty").as("v_empty"),
+        expr(Hll.estMicroSpark("sk.z_scaled", "sk.v_empty")).as("est_micro"))
+    runToSink(s, agg, "append")
+      .filter(col("carrier") =!= "none")
+  }
+
+  val s13Sql: String =
+    s"""WITH m AS (
+       |  SELECT date_trunc('hour', ts) AS win_start,
+       |    $carrierSql AS carrier, CAST(user_id AS VARCHAR) AS mid
+       |  FROM events),
+       |h AS (
+       |  SELECT win_start, carrier,
+       |    CAST(concat('0x', substr(md5(mid), 1, 15)) AS BIGINT) AS hv
+       |  FROM m),
+       |r AS (
+       |  SELECT win_start, carrier, hv % 64 AS j,
+       |    max(CASE WHEN hv // 64 = 0 THEN 55
+       |             ELSE 55 - length(bin(hv // 64)) END) AS mj
+       |  FROM h GROUP BY 1, 2, 3),
+       |a AS (
+       |  SELECT win_start, carrier,
+       |    CAST(sum(1::BIGINT << (55 - mj))
+       |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS z_scaled,
+       |    CAST(64 - count(*) AS INT) AS v_empty
+       |  FROM r GROUP BY 1, 2)
+       |SELECT win_start, carrier, z_scaled, v_empty,
+       |  ${graft.functions.Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_undelivered_stream" -> (s01 _),
     "s01_tws_stream" -> (s01Tws _),
@@ -812,6 +869,7 @@ object StreamingQueries {
     "s10_stream_upsert" -> (s10 _),
     "s11_kafka_pipeline" -> (s11 _),
     "s12_stream_hll" -> (s12 _),
+    "s13_windowed_hll" -> (s13 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -828,5 +886,6 @@ object StreamingQueries {
     "s10_stream_upsert" -> s10Sql,
     "s11_kafka_pipeline" -> s01Sql,
     "s12_stream_hll" -> s12Sql,
+    "s13_windowed_hll" -> s13Sql,
   )
 }
