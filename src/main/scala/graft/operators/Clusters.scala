@@ -48,14 +48,6 @@ object Clusters {
     *         it. Singletons (docs in no pair) are absent by design —
     *         callers keep them unconditionally.
     */
-  /** Both directions of every pair — the propagation graph. Kept for
-    * plan audits that want the symmetric view explicitly. */
-  private[graft] def symmetricEdges(pairs: DataFrame, aCol: String,
-      bCol: String): DataFrame =
-    pairs
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(pairs.select(col(bCol).cast("long"), col(aCol).cast("long")))
-
   /** LARGE-STAR pass (SoCC'14 Alg. 3): for every node u with
     * neighborhood N(u) (symmetric view) and m = min(N(u) ∪ {u}), emit
     * (v, m) for each v ∈ N(u) with v > u — all strictly-larger
@@ -273,15 +265,7 @@ object Clusters {
   }
 
   val x28Sql: String =
-    s"""WITH RECURSIVE pairs AS (${Dedup.x02Sql}),
-       |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-       |reach(n, m) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
-       |),
-       |cc AS (SELECT n AS doc_id, least(n, min(m)) AS cluster_id
-       |  FROM reach GROUP BY n),
+    s"""WITH cc AS ($x17Sql),
        |m AS (SELECT c.cluster_id, d.doc_id,
        |    row_number() OVER (PARTITION BY c.cluster_id
        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn

@@ -294,8 +294,15 @@ object Similarity {
       lloydIters: Int = LloydIters): DataFrame = {
     import graft.functions.ArrayMath
     val e = vecsOf(emb)
+    // assign is consumed THREE times (both self-join sides + the
+    // verdict join): materialize it once, or the embeddings scan and
+    // the K×64-dot-product cell assignment run 3× per call — the
+    // dominant narrow-map cost at scale. Same lineage-truncation idiom
+    // as Clusters.connectedComponents; a multi-executor deployment
+    // would use reliable checkpoint() instead.
     val assign = assignCells(e, trainCentroids(e, lloydIters))
       .hint("shuffle_hash")
+      .localCheckpoint()
     val a = assign.select(col("cid"), col("vec_id").as("a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assign.select(col("cid"), col("vec_id").as("b"),
