@@ -61,7 +61,12 @@ class WindowedHllSpec extends SparkSpec {
       val (wantZ, wantV) = zv(ids)
       assert((rows(0).getLong(2), rows(0).getInt(3)) == (wantZ, wantV),
         "emitted sketch must be the window's final register state")
-      // eviction: after the emitting batch, only window B's group remains
+      // eviction: after the emitting batch, only window B's group
+      // remains. Progress events are ASYNC (see RecoverySpec) — poll
+      // briefly so a loaded box can deliver the final event.
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (!l.lastSnapshot.exists(_.stateRows == 1) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
       assert(l.lastSnapshot.exists(_.stateRows == 1),
         s"closed window's state must be evicted, saw ${l.lastSnapshot}")
       assert(l.maxStateRows >= 2) // both windows coexisted at the peak
