@@ -31,6 +31,8 @@ object PlanAudit {
       "BM25 corpus stats (N, Σdl, df_t): broadcast cross join of ONE aggregated row",
     "x53_mixture_sample" ->
       "mixture totals (T, W): ONE aggregated row attached to the |sources|-row stats frame",
+    "x57_training_assembly" ->
+      "inherits x53's mixture-totals attach: ONE aggregated row onto the |sources|-row stats frame",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -56,16 +56,28 @@ object Packing {
     * Returns (doc_id, tok, bin). `buckets` must be ≤ 2^20 — top-bit
     * bucketing shifts by (60 - log2 buckets) and needs the shift to
     * stay inside the 60-bit hash. */
-  def packByTokenBudget(docs: DataFrame, budget: Long, buckets: Int): DataFrame = {
+  def packByTokenBudget(docs: DataFrame, budget: Long, buckets: Int): DataFrame =
+    assignBins(
+      docs.select(
+        col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("tok"),
+        PortableHash.h60(col("doc_id").cast("string")).as("hv")),
+      budget, buckets, tieCols = Seq("doc_id"))
+      .select("doc_id", "tok", "bin")
+
+  /** The two-pass prefix-sum core, over ARBITRARY rows: `t` must carry
+    * `tok` (long token count) and `hv` (uniform 60-bit portable hash —
+    * the global order AND bucket key), plus `tieCols` for a total
+    * order under hash collisions. Appends `bin` = (global prefix sum
+    * before the row) div budget. Shared by [[packByTokenBudget]] (doc
+    * rows) and [[Pipeline.assembleTrainingSet]] (chunk rows). */
+  private[operators] def assignBins(t0: DataFrame, budget: Long,
+      buckets: Int, tieCols: Seq[String]): DataFrame = {
     require(budget > 0, "budget must be positive")
     require(buckets > 0 && (buckets & (buckets - 1)) == 0 && buckets <= (1 << 20),
       "buckets must be a power of two in [1, 2^20]")
     val shift = 60 - java.lang.Integer.numberOfTrailingZeros(buckets)
-    val t = docs.select(
-      col("doc_id"),
-      size(split(lower(col("text")), " ")).as("tok"),
-      PortableHash.h60(col("doc_id").cast("string")).as("hv"))
-      .withColumn("bucket", expr(s"shiftright(hv, $shift)"))
+    val t = t0.withColumn("bucket", expr(s"shiftright(hv, $shift)"))
     // Pass 1: B-row bucket totals → exclusive offsets. The window here
     // runs over `buckets` rows total — the deliberate, bounded
     // sequential region of the prefix sum.
@@ -76,14 +88,13 @@ object Packing {
         lit(0L)))
       .select("bucket", "offset")
     // Pass 2: per-bucket local prefix sums, all buckets in parallel.
-    val local = Window.partitionBy("bucket").orderBy("hv", "doc_id")
+    val local = Window.partitionBy("bucket")
+      .orderBy(col("hv") +: tieCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.withColumn("cum", sum(col("tok")).over(local))
       .join(broadcast(offsets), "bucket")
-      .select(
-        col("doc_id"),
-        col("tok").cast("long").as("tok"),
-        expr(s"((offset + cum) - tok) div $budget").as("bin"))
+      .withColumn("bin", expr(s"((offset + cum) - tok) div $budget"))
+      .drop("bucket", "cum", "offset")
   }
 
   /** Oracle: the single global window DuckDB can afford at oracle scale
