@@ -275,6 +275,14 @@ object Graft {
   def mixtureSample(docs: DataFrame, frac: Double = 0.5): DataFrame =
     operators.Sampling.mixtureSample(docs, frac)
 
+  /** The full assembly chain in one call: clean → mixture-sample →
+    * chunk → pack; returns (doc_id, chunk_idx, n_tokens, bin). */
+  def assembleTrainingSet(docs: DataFrame, frac: Double = 0.5,
+      chunkTokens: Int = 128, overlap: Int = 32,
+      budget: Long = 2048L, buckets: Int = 32): DataFrame =
+    operators.Pipeline.assembleTrainingSet(docs, frac, chunkTokens,
+      overlap, budget, buckets)
+
   // ---- sketches -----------------------------------------------------
   /** Approximate distinct of `key` per `groupCol` via the portable
     * 64-register HLL aggregate (64 B state/group). `withExact = true`
