@@ -175,11 +175,56 @@ object Packing {
        |  ${PortableHash.duckH60("array_to_string(w[ci * 12 + 1 : ci * 12 + 16], ' ')")} AS fp
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- x58
+  /** Chunk-level duplicate report — the consumer of x54's fingerprint
+    * column: boilerplate shared ACROSS documents shows up as a chunk
+    * fingerprint with multiple owners even when no whole document is a
+    * duplicate (headers, disclaimers, templated spans — the
+    * sub-document redundancy doc-level dedup cannot see). Emits only
+    * duplicated fingerprints: copies, distinct owning docs, and the
+    * keep-first representative.
+    *
+    * Scale shape: the narrow chunk fan followed by ONE hash aggregation
+    * on fp (partial map-side — each partition reduces its chunk stream
+    * to per-fp partials before the exchange). The distinct-doc count
+    * rides the same groupBy. */
+  def x58(s: SparkSession, d: String): DataFrame =
+    chunkDupStats(Tables.documents(s, d), chunkTokens = 16, overlap = 4)
+
+  /** Library entry over any (doc_id, text) DataFrame. */
+  def chunkDupStats(docs: DataFrame, chunkTokens: Int = 128,
+      overlap: Int = 32): DataFrame =
+    chunkDocuments(docs, chunkTokens, overlap)
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") >= 2)
+
+  val x58Sql: String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |n AS (
+       |  SELECT doc_id, w,
+       |    greatest(CAST(ceil((len(w) - 4) / 12.0) AS INT), 1) AS nc
+       |  FROM ws),
+       |c AS (SELECT doc_id, unnest(range(0, nc)) AS ci, w FROM n),
+       |ch AS (SELECT doc_id,
+       |  ${PortableHash.duckH60("array_to_string(w[ci * 12 + 1 : ci * 12 + 16], ' ')")} AS fp
+       |  FROM c)
+       |SELECT fp, count(*) AS n_copies,
+       |  count(DISTINCT doc_id) AS n_docs,
+       |  CAST(min(doc_id) AS BIGINT) AS first_doc
+       |FROM ch GROUP BY fp HAVING count(*) >= 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x51_token_pack" -> (x51 _),
-    "x54_doc_chunks" -> (x54 _))
+    "x54_doc_chunks" -> (x54 _),
+    "x58_chunk_dups" -> (x58 _))
 
   val oracleSql: Map[String, String] = Map(
     "x51_token_pack" -> x51Sql,
-    "x54_doc_chunks" -> x54Sql)
+    "x54_doc_chunks" -> x54Sql,
+    "x58_chunk_dups" -> x58Sql)
 }
