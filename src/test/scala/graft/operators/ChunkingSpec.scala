@@ -57,4 +57,20 @@ class ChunkingSpec extends SparkSpec {
     val plan = Packing.x54(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle\n$plan")
   }
+
+  test("chunk dup report finds cross-doc boilerplate and only that") {
+    // docs 1/2 share text → every chunk duplicated across both docs;
+    // doc 3 is unique → contributes no report rows
+    val shared = (1 to 40).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, shared), (2L, shared),
+      (3L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rep = Packing.chunkDupStats(docs, 16, 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val nChunks = math.max(1, math.ceil((40 - 4) / 12.0).toInt)
+    assert(rep.size == nChunks, s"every shared chunk reported once: $rep")
+    rep.foreach { case (_, copies, nDocs, firstDoc) =>
+      assert(copies == 2 && nDocs == 2 && firstDoc == 1L, rep)
+    }
+  }
 }
