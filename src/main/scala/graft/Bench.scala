@@ -185,8 +185,12 @@ object Bench {
     // runs DuckDB with a per-query cap; the uncapped embedded pass at
     // 10x corpus scale would otherwise grind for hours on the
     // quadratic-ish dedup oracles).
-    val oracleRuns =
-      sys.env.getOrElse("SPARK_GRAFT_ORACLE_RUNS", "3").trim.toInt
+    // Try, not bare toInt: a malformed value (e.g. "off") must degrade
+    // to the default, never abort the bench this block promises to
+    // keep best-effort.
+    val oracleRuns = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_ORACLE_RUNS", "3").trim.toInt)
+      .getOrElse(3)
     val duckdb: Map[String, Double] = try {
       val script = new java.io.File("tools/time_oracle.py")
       if (!script.isFile || oracleRuns <= 0) Map.empty

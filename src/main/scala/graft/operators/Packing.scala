@@ -58,7 +58,10 @@ object Packing {
     * stay inside the 60-bit hash. */
   def packByTokenBudget(docs: DataFrame, budget: Long, buckets: Int): DataFrame =
     assignBins(
-      docs.select(
+      // a NULL text would contribute tok = size(split(NULL)) = -1 and
+      // silently shift every later bin boundary — drop token-less docs,
+      // like chunkDocuments (the oracle filters identically)
+      docs.filter(col("text").isNotNull).select(
         col("doc_id"),
         size(split(lower(col("text")), " ")).cast("long").as("tok"),
         PortableHash.h60(col("doc_id").cast("string")).as("hv")),
@@ -103,7 +106,7 @@ object Packing {
     s"""WITH t AS (
        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS tok,
        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |c AS (
        |  SELECT doc_id, tok,
        |    sum(tok) OVER (ORDER BY hv, doc_id
@@ -143,8 +146,9 @@ object Packing {
       s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
     val step = chunkTokens - overlap
     // a NULL text would emit one bogus chunk (size(null) = -1 →
-    // n_tokens = -1, fp = hash of "") where the oracle's range(0, NULL)
-    // emits none — drop token-less docs on both engines' semantics
+    // n_tokens = -1, fp = hash of ""); the oracle's greatest() IGNORES
+    // NULLs (Postgres semantics, nc = 1 → its own bogus chunk) — so
+    // BOTH sides drop token-less docs explicitly (the SQL filters too)
     docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
@@ -164,7 +168,8 @@ object Packing {
 
   val x54Sql: String =
     s"""WITH ws AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
        |n AS (
        |  SELECT doc_id, w,
        |    greatest(CAST(ceil((len(w) - 4) / 12.0) AS INT), 1) AS nc
@@ -204,7 +209,8 @@ object Packing {
 
   val x58Sql: String =
     s"""WITH ws AS (
-       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+       |  WHERE text IS NOT NULL),
        |n AS (
        |  SELECT doc_id, w,
        |    greatest(CAST(ceil((len(w) - 4) / 12.0) AS INT), 1) AS nc

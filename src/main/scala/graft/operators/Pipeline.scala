@@ -166,7 +166,7 @@ object Pipeline {
        |    AND doc_id NOT IN (SELECT b FROM pairs)),
        |t AS (SELECT doc_id, source,
        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
-       |  FROM retained),
+       |  FROM retained WHERE text IS NOT NULL),
        |ps AS (SELECT source, CAST(sum(toks) AS BIGINT) AS tok_s,
        |  CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_s
        |  FROM t GROUP BY source),
@@ -180,7 +180,7 @@ object Pipeline {
        |  WHERE ${duckH60("concat('mix_', CAST(t.doc_id AS VARCHAR))")} % 1048576
        |        < CAST(floor(rate * 1048576.0) AS BIGINT)),
        |ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM retained
-       |  WHERE doc_id IN (SELECT doc_id FROM samp)),
+       |  WHERE doc_id IN (SELECT doc_id FROM samp) AND text IS NOT NULL),
        |n AS (SELECT doc_id, w,
        |  greatest(CAST(ceil((len(w) - 4) / 12.0) AS INT), 1) AS nc FROM ws),
        |c AS (SELECT doc_id, unnest(range(0, nc)) AS ci, w FROM n),

@@ -160,8 +160,12 @@ object Sampling {
     * once more for admission — no wide shuffle of documents at any
     * point. */
   def mixtureSample(docs: DataFrame, frac: Double = 0.5): DataFrame = {
-    val t = docs.select(col("doc_id"), col("source"),
-      size(split(lower(col("text")), " ")).cast("long").as("toks"))
+    // a NULL text would contribute toks = size(split(NULL)) = -1,
+    // silently corrupting every source's token mass (and the oracle's
+    // SUM ignores its NULL instead) — drop token-less docs on both sides
+    val t = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast("long").as("toks"))
     val perSource = t.groupBy("source").agg(sum(col("toks")).as("tok_s"))
       .withColumn("w_s", expr(
         "CAST(floor(sqrt(CAST(tok_s AS DOUBLE)) * 1000000.0) AS BIGINT)"))
@@ -184,7 +188,7 @@ object Sampling {
   val x53Sql: String =
     s"""WITH t AS (SELECT doc_id, source,
        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS toks
-       |  FROM documents),
+       |  FROM documents WHERE text IS NOT NULL),
        |ps AS (SELECT source, CAST(sum(toks) AS BIGINT) AS tok_s,
        |  CAST(floor(sqrt(CAST(sum(toks) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_s
        |  FROM t GROUP BY source),

@@ -585,6 +585,9 @@ object StreamingQueries {
     val numBuckets = 16
     val stateBase =
       java.nio.file.Files.createTempDirectory("graft_upsert_").toFile
+    // the sink addresses its state through the Hadoop FileSystem API —
+    // this temp dir could equally be an hdfs:// or s3a:// URI
+    val statePath = new org.apache.hadoop.fs.Path(stateBase.getAbsolutePath)
     // a failed scratch-dir creation must not strand stateBase — the
     // cleanup finally below is only reachable once BOTH dirs exist
     val ckpt = try scratchCkptDir("graft_upsert_ckpt_") catch {
@@ -599,13 +602,13 @@ object StreamingQueries {
             .agg(max(struct(col("timestamp"), col("status"))).as("m"))
             .select(col("messageId"), col("m.timestamp").as("timestamp"),
               col("m.status").as("status"))
-          BucketedUpsert.applyBatch(s, stateBase, numBuckets, batchId,
+          BucketedUpsert.applyBatch(s, statePath, numBuckets, batchId,
             latest, "messageId", latestWinsMerge)
         }
         .start()
       q.processAllAvailable()
       q.stop()
-      val state = BucketedUpsert.currentState(s, stateBase, numBuckets)
+      val state = BucketedUpsert.currentState(s, statePath, numBuckets)
         .getOrElse(sys.error("upsert stream produced no state"))
       // Persist the final table past the scratch cleanup and return a
       // SCAN over it (JVM-exit cleanup, like the other fixture caches):

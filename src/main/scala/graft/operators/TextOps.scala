@@ -191,14 +191,21 @@ object TextOps {
        |FROM pb GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- x22
-  /** TF-IDF top-k terms per document. Document frequency comes from a
-    * window over the per-(doc, term) counts — tf rows are distinct per
-    * doc, so count(*) over the term partition IS df; no separate join
-    * against a vocabulary relation. Score is pure integer arithmetic
+  /** TF-IDF top-k terms per document. Document frequency is a |vocab|-
+    * row aggregate of the per-(doc, term) counts (tf rows are distinct
+    * per doc, so count(*) per term IS df) BROADCAST-joined back onto
+    * them — the tf relation itself never re-shuffles for df. (Round-6
+    * shape computed df as a window over the term partition, which
+    * re-exchanged every (doc, term) row by term; the df agg moves only
+    * per-partition term partials.) Score is pure integer arithmetic
     * (tf·1e12 div df): monotone in tf/df and bit-identical across
-    * engines — no floating-point log. Two shuffles total (by term, then
-    * by doc for the top-k window), both with map-side partial
-    * aggregation feeding them. */
+    * engines — no floating-point log. Wide exchanges: the (doc, term)
+    * groupBy and the per-doc top-k window, both map-side-partial fed;
+    * the df agg exchange carries |vocab|-scale partials only. The
+    * broadcast holds the vocabulary (megabytes at corpus scale — word
+    * vocabularies grow sub-linearly); for a corpus whose vocab outgrows
+    * the driver, drop the broadcast() hint and AQE/planner picks a
+    * shuffle join, restoring the round-6 exchange. */
   def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
     x22Impl(withWordsOf(docs), k)
   def x22(s: SparkSession, d: String): DataFrame = x22Impl(withWords(s, d), 3)
@@ -207,9 +214,10 @@ object TextOps {
     val tf = ww
       .select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
       .withColumn("score", expr("tf * 1000000000000L div df"))
-    tf.withColumn("rn", row_number().over(
+      .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
       .filter(col("rn") <= k)
       .select("doc_id", "term", "tf", "df", "score")
@@ -434,31 +442,44 @@ object TextOps {
     * divide, so there is no transcendental or float-association drift
     * to canonicalize — log-space scoring would tie the gate to libm.
     * Plan shape: bigrams derive narrowly (zip_with over the token
-    * array, no posexplode self-join); the model is two hash aggs over
-    * the bigram stream plus a 1-row broadcast vocabulary count; scoring
-    * is two equi-joins back to the bigram stream. Documents with fewer
-    * than two tokens have no bigrams and drop out (both engines). */
+    * array, no posexplode self-join), then the occurrence stream is
+    * IMMEDIATELY reduced to per-doc bigram TYPES (doc_id, w1, w2, c) —
+    * the scored unit is the type, since every occurrence of a type
+    * scores the same pu, so the per-doc mean Σpu/n over occurrences is
+    * exactly Σ(c·pu)/Σc over types (same integer arithmetic). The
+    * model then derives FROM that relation (cb = Σ_doc c; the w1
+    * marginal rides a window over the type-level cb rows), so the only
+    * occurrence-sized exchange in the whole plan is the map-side
+    * partial-agg feeding the first groupBy — the model joins touch
+    * type-level rows only. (Round-6 shape joined the model back onto
+    * the raw occurrence stream: two wide string-key joins against
+    * every bigram occurrence, 7× the oracle and super-linear at 10×.)
+    * Documents with fewer than two tokens have no bigrams and drop out
+    * (both engines). */
   def bigramScores(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       split(lower(col("text")), " ").as("ts"))
     val bi = toks.select(col("doc_id"), explode(expr(
       "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
         " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // c(w1·) derives from the bigram-type counts rather than a second
-    // pass over the stream: the (w1,w2) exchange below it is identical
-    // to the one feeding the scoring join, so Spark's ReuseExchange
-    // shuffles the full bigram stream ONCE and the w1 marginal reduces
-    // |bigram types| rows, not |bigram occurrences|.
-    val cb = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val c1 = cb.groupBy("w1").agg(sum(col("cb")).as("c1"))
+    // per-doc bigram types with multiplicity — the LAST occurrence-fed
+    // aggregation; everything downstream is type-level
+    val bd = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    // corpus bigram counts from bd (Σ c), w1 marginal as a window over
+    // those type rows — |bigram types| rows through both, never the
+    // occurrence stream
+    val cbm = bd.groupBy("w1", "w2").agg(sum(col("c")).as("cb"))
+      .withColumn("c1", sum(col("cb")).over(Window.partitionBy("w1")))
     val v = toks.select(explode(col("ts")).as("wd"))
       .agg(countDistinct(col("wd")).as("v"))
-    bi.join(cb, Seq("w1", "w2")).join(c1, Seq("w1")).crossJoin(broadcast(v))
-      .select(col("doc_id"), expr("((cb + 1) * 1000000) DIV (c1 + v)").as("pu"))
+    bd.join(cbm, Seq("w1", "w2")).crossJoin(broadcast(v))
+      .select(col("doc_id"), col("c"),
+        expr("((cb + 1) * 1000000) DIV (c1 + v)").as("pu"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        expr("sum(pu) DIV count(*)").as("mean_p_u"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        expr("sum(c * pu) DIV sum(c)").as("mean_p_u"))
   }
 
   def x45(s: SparkSession, d: String): DataFrame =

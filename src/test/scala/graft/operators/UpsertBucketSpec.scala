@@ -20,9 +20,12 @@ class UpsertBucketSpec extends SparkSpec {
     rows.toDF("messageId", "timestamp", "status")
   }
 
+  private def hp(f: File): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+
   private def apply(state: File, id: Long,
       rows: Seq[(String, Long, String)]): Unit =
-    BucketedUpsert.applyBatch(spark, state, B, id, df(rows), "messageId",
+    BucketedUpsert.applyBatch(spark, hp(state), B, id, df(rows), "messageId",
       StreamingQueries.latestWinsMerge)
 
   private def bucketOf(key: String): Int =
@@ -45,7 +48,7 @@ class UpsertBucketSpec extends SparkSpec {
   }
 
   private def state(root: File): Seq[(String, Long, String)] =
-    BucketedUpsert.currentState(spark, root, B).get.collect()
+    BucketedUpsert.currentState(spark, hp(root), B).get.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
       .sortBy(_._1).toSeq
 
@@ -114,7 +117,7 @@ class UpsertBucketSpec extends SparkSpec {
   test("empty batches write no version; state readable across versions") {
     val root = java.nio.file.Files.createTempDirectory("graft_bk_").toFile
     try {
-      assert(BucketedUpsert.currentState(spark, root, B).isEmpty)
+      assert(BucketedUpsert.currentState(spark, hp(root), B).isEmpty)
       apply(root, 0, Seq(("a", 10L, "sent")))
       apply(root, 1, Seq.empty)
       assert(!new File(root, "v1").exists(),

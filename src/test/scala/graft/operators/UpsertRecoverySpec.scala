@@ -45,7 +45,8 @@ class UpsertRecoverySpec extends SparkSpec {
       .writeStream
       .option("checkpointLocation", ckpt.toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        BucketedUpsert.applyBatch(spark, stateBase.toFile, NumBuckets,
+        BucketedUpsert.applyBatch(spark,
+          new org.apache.hadoop.fs.Path(stateBase.toString), NumBuckets,
           batchId, latestOf(batch), "messageId",
           StreamingQueries.latestWinsMerge)
       }
@@ -68,7 +69,8 @@ class UpsertRecoverySpec extends SparkSpec {
         .map(_.getName.drop(1).toInt).max
       assert(lastV == 3, s"restart must continue numbering, got v$lastV")
       val got = BucketedUpsert
-        .currentState(spark, stateBase.toFile, NumBuckets).get
+        .currentState(spark, new org.apache.hadoop.fs.Path(stateBase.toString),
+          NumBuckets).get
         .collect()
         .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
         .sortBy(_._1).toSeq
