@@ -13,9 +13,14 @@ import org.apache.spark.sql.functions._
   *
   * Layout: `stateBase/v<batchId>/gbucket=<b>/part-*.parquet`. Each
   * micro-batch writes ONE version directory holding ONLY the buckets
-  * its keys hash into (one Spark write job, `partitionBy(gbucket)`,
-  * repartitioned by bucket first so every leaf is a SINGLE file);
+  * its keys hash into (one Spark write job, `partitionBy(gbucket)`);
   * a bucket's current content is the newest version that contains it.
+  * Leaf file count is left to the write's natural partitioning: AQE's
+  * partition coalescing keeps small batches to a handful of files,
+  * and at scale a bucket WANTS multiple files (write parallelism —
+  * forcing one file per bucket serializes each bucket into one task,
+  * and measured +45% on the gated replay from the extra per-batch
+  * shuffle).
   * Untouched buckets are never read, never rewritten — per-batch I/O is
   * O(|keys in touched buckets|), not O(|all keys|). At 100 TB this is
   * the difference between a sink that keeps up and one whose batch time
@@ -150,11 +155,10 @@ object BucketedUpsert {
           .toSeq: _*)
       val merged = merge(target, reduced)
         .withColumn(BucketCol, bucketExpr(col(keyCol), numBuckets))
-      // One job; repartition on the bucket column first so each leaf is
-      // exactly ONE file (later batches read/list O(1) files per
-      // bucket, not one per upstream task); static overwrite replaces
-      // any partial vN from a crashed earlier attempt at this batch.
-      merged.repartition(col(BucketCol))
+      // One job; static overwrite replaces any partial vN from a
+      // crashed earlier attempt at this batch. No repartition: see the
+      // leaf-file-count note in the class doc.
+      merged
         .write.partitionBy(BucketCol).mode("overwrite")
         .parquet(new Path(stateBase, s"v$batchId").toString)
       // GC leaves superseded by this batch: every touched bucket's

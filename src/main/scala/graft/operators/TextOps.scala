@@ -447,13 +447,13 @@ object TextOps {
     * the scored unit is the type, since every occurrence of a type
     * scores the same pu, so the per-doc mean Σpu/n over occurrences is
     * exactly Σ(c·pu)/Σc over types (same integer arithmetic). The
-    * model then derives FROM that relation (cb = Σ_doc c; the w1
-    * marginal rides a window over the type-level cb rows), so the only
-    * occurrence-sized exchange in the whole plan is the map-side
-    * partial-agg feeding the first groupBy — the model joins touch
-    * type-level rows only. (Round-6 shape joined the model back onto
-    * the raw occurrence stream: two wide string-key joins against
-    * every bigram occurrence, 7× the oracle and super-linear at 10×.)
+    * model then derives FROM that relation as window sums (cb over the
+    * (w1,w2) partition, the w1 marginal over the w1 partition) — no
+    * join operator anywhere, and the only occurrence-sized exchange in
+    * the whole plan is the map-side partial-agg feeding the first
+    * groupBy. (Round-6 shape joined the model back onto the raw
+    * occurrence stream: two wide string-key joins against every bigram
+    * occurrence, 7× the oracle and super-linear at 10×.)
     * Documents with fewer than two tokens have no bigrams and drop out
     * (both engines). */
   def bigramScores(docs: DataFrame): DataFrame = {
@@ -467,14 +467,15 @@ object TextOps {
     // per-doc bigram types with multiplicity — the LAST occurrence-fed
     // aggregation; everything downstream is type-level
     val bd = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-    // corpus bigram counts from bd (Σ c), w1 marginal as a window over
-    // those type rows — |bigram types| rows through both, never the
-    // occurrence stream
-    val cbm = bd.groupBy("w1", "w2").agg(sum(col("c")).as("cb"))
-      .withColumn("c1", sum(col("cb")).over(Window.partitionBy("w1")))
+    // the model NEVER leaves the type relation: cb and the w1 marginal
+    // are WINDOW sums over bd itself (partition by (w1,w2), then by
+    // w1), so there is no join operator in the plan at all — just two
+    // window exchanges over |doc-bigram types| rows
     val v = toks.select(explode(col("ts")).as("wd"))
       .agg(countDistinct(col("wd")).as("v"))
-    bd.join(cbm, Seq("w1", "w2")).crossJoin(broadcast(v))
+    bd.withColumn("cb", sum(col("c")).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", sum(col("c")).over(Window.partitionBy("w1")))
+      .crossJoin(broadcast(v))
       .select(col("doc_id"), col("c"),
         expr("((cb + 1) * 1000000) DIV (c1 + v)").as("pu"))
       .groupBy("doc_id")

@@ -26,6 +26,9 @@ QUERIES = [
     "x43_edit_distance", "x44_gram_matrix", "x45_bigram_lm",
     "x49_bm25_topk", "x50_hll_distinct", "x51_token_pack",
     "x52_cms_heavy_hitters",
+    # round-7 additions: the heavy rows whose flat-at-scale claims
+    # previously rested on sf0.1 alone (verdict r6 item 6)
+    "x22_tfidf_topk", "x37_closest_pairs", "x57_training_assembly",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
