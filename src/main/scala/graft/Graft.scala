@@ -23,12 +23,14 @@ object Graft {
 
   // ---- deduplication ------------------------------------------------
   /** MinHash+LSH near-duplicate pairs on word 3-gram shingles. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    operators.Dedup.nearDupWordPairs(docs, threshold)
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxBandBucket: Option[Int] = None): DataFrame =
+    operators.Dedup.nearDupWordPairs(docs, threshold, maxBandBucket)
 
   /** Character-8-gram variant (catches word reordering). */
-  def nearDupCharPairs(docs: DataFrame, threshold: Double = 0.7): DataFrame =
-    operators.Dedup.nearDupCharPairs(docs, threshold)
+  def nearDupCharPairs(docs: DataFrame, threshold: Double = 0.7,
+      maxBandBucket: Option[Int] = None): DataFrame =
+    operators.Dedup.nearDupCharPairs(docs, threshold, maxBandBucket)
 
   /** Exact Levenshtein re-scoring of the char-gram LSH candidates
     * over bounded lowercased prefixes (O(len^2) priced per candidate
@@ -42,8 +44,9 @@ object Graft {
     operators.Dedup.simhashPairs(docs, maxHamming)
 
   /** Embedding-cosine near-duplicates, LSH-banded (the scale path). */
-  def embeddingDupPairs(embeddings: DataFrame, threshold: Double = 0.4): DataFrame =
-    operators.Dedup.embeddingDupPairs(embeddings, threshold)
+  def embeddingDupPairs(embeddings: DataFrame, threshold: Double = 0.4,
+      maxBandBucket: Option[Int] = None): DataFrame =
+    operators.Dedup.embeddingDupPairs(embeddings, threshold, maxBandBucket)
 
   /** Global top-k most-similar embedding pairs (closest-pairs mining)
     * over the banded candidate set — LSH-bounded recall, no cross
@@ -98,8 +101,9 @@ object Graft {
   /** Partial-duplicate pairs by containment |A∩B|/min(|A|,|B|) —
     * catches a doc quoted inside a larger one (recall floor documented
     * on the operator). */
-  def containmentPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    operators.Dedup.containmentPairs(docs, threshold)
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      maxBandBucket: Option[Int] = None): DataFrame =
+    operators.Dedup.containmentPairs(docs, threshold, maxBandBucket)
 
   /** Per-doc fraction of distinct char-8-grams first introduced by
     * that document (novelty admission signal). */
@@ -296,6 +300,13 @@ object Graft {
     * column `t` (8 KiB sketch state, single corpus pass). */
   def cmsProbe(tokens: DataFrame, probes: Seq[String]): DataFrame =
     operators.Sketches.cmsProbe(tokens, probes)
+
+  /** Deterministic sampled quantiles of `valueCol` per `groupCol` (the
+    * merge-order-independent bottom-k sketch; `idCol` seeds the sample
+    * hash — any per-row-unique column). */
+  def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int = 64): DataFrame =
+    operators.Sketches.sampleQuantiles(df, groupCol, idCol, valueCol, k)
 
   // ---- keyed upsert -------------------------------------------------
   /** Delta-style MERGE: one full-outer shuffle join applying matched

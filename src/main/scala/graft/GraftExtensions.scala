@@ -51,6 +51,19 @@ object GraftExtensions {
       info("cms_sketch",
         "cms_sketch(str) - aggregate: portable 4x256 count-min counters as array<bigint>"),
       (es: Seq[Expression]) => CmsSketch(es(0)).toAggregateExpression()),
+    ("bottomk_sample",
+      info("bottomk_sample",
+        "bottomk_sample(hk, v, k) - aggregate: values of the k rows with " +
+          "smallest (hk, v) - deterministic merge-order-independent sample"),
+      (es: Seq[Expression]) => {
+        val k = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"bottomk_sample k must be an integer literal, got $other")
+        }
+        graft.functions.BottomKSample(es(0), es(1), k).toAggregateExpression()
+      }),
   )
 
   /** Register on an already-built session (tests, notebooks). */

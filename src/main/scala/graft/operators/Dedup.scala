@@ -101,14 +101,39 @@ object Dedup {
     lshPairsFromSig(sig, r, nBands, thresh)
   }
 
+  /** Per-band candidate cap — the library's bound on LSH's output-bound
+    * worst case. A band bucket holding B docs generates B(B-1)/2
+    * candidate pairs; a boilerplate-heavy corpus (every replica a true
+    * duplicate — exactly the 10× rehearsal's fixture) makes that
+    * quadratic in replica count. With a cap K, each bucket keeps only
+    * its K smallest ids (deterministic: ties impossible on a key
+    * column), so candidates are ≤ nBands·K(K-1)/2 per bucket — a 100 TB
+    * caller can bound the blowup and still catch every cluster (the K
+    * survivors of a hot bucket still pair with each other; dedup wants
+    * ONE representative anyway, not all C(B,2) edges). Default None:
+    * the plan is byte-identical to the uncapped form and the gates stay
+    * exact. The cap's window rides the SAME bk key the band join
+    * shuffles on. */
+  private def capBandBuckets(bands: DataFrame, idCol: String,
+      cap: Option[Int]): DataFrame = cap.fold(bands) { k =>
+    require(k >= 2, s"maxBandBucket must be >= 2 to form pairs, got $k")
+    import org.apache.spark.sql.expressions.Window
+    bands
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("bk").orderBy(col(idCol))))
+      .filter(col("rn") <= k).drop("rn")
+  }
+
   /** Band join + exact-Jaccard verification over a prebuilt signature
     * relation (doc_id, hs, m0..m{r*nBands-1}). */
   private def lshPairsFromSig(sig: DataFrame, r: Int,
-      nBands: Int, thresh: Double): DataFrame = {
+      nBands: Int, thresh: Double,
+      maxBandBucket: Option[Int] = None): DataFrame = {
     // shuffle_hash (not broadcast): identical shuffles on bk on both
     // sides canonicalize equal, so the band relation is also built once
-    val bands = sig.select(col("doc_id"),
-      bandKeyCol(r, nBands).as("bk")).hint("shuffle_hash")
+    val bands = capBandBuckets(sig.select(col("doc_id"),
+      bandKeyCol(r, nBands).as("bk")), "doc_id", maxBandBucket)
+      .hint("shuffle_hash")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -178,9 +203,10 @@ object Dedup {
     * Signatures come from the one-pass narrow expression (see
     * [[narrowSigOf]]); the composed explode+agg path is kept as the
     * equivalence reference in ExactnessSpec. */
-  def nearDupWordPairs(docs: DataFrame, thresh: Double = 0.8): DataFrame =
+  def nearDupWordPairs(docs: DataFrame, thresh: Double = 0.8,
+      maxBandBucket: Option[Int] = None): DataFrame =
     lshPairsFromSig(wordSigOf(docs, seed = 0, r = 2, nBands = 8),
-      r = 2, nBands = 8, thresh)
+      r = 2, nBands = 8, thresh, maxBandBucket)
 
   def x02(s: SparkSession, d: String): DataFrame =
     nearDupWordPairs(Tables.documents(s, d))
@@ -309,7 +335,8 @@ object Dedup {
       t => graft.functions.WordShingleSig(t, seed, r * nBands), r * nBands)
 
   /** Library entry: char-8-gram near-dup pairs over (doc_id, text). */
-  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7): DataFrame =
+  def nearDupCharPairs(docs: DataFrame, thresh: Double = 0.7,
+      maxBandBucket: Option[Int] = None): DataFrame =
     // r=3 x 5 bands: random pairs (char-8 jaccard ~0.1) collide with
     // P ~ 0.5% instead of ~8% under r=2, cutting candidate volume ~15x;
     // true near-dups (j >= 0.9) still collide with P > 99.99%.
@@ -317,7 +344,7 @@ object Dedup {
     // pass per document — the composed explode+agg path would shuffle
     // ~8 hashed rows per input byte (a corpus-sized exchange at 100 TB).
     lshPairsFromSig(charSigOf(docs, seed = 100, r = 3, nBands = 5),
-      r = 3, nBands = 5, thresh)
+      r = 3, nBands = 5, thresh, maxBandBucket)
 
   def x04(s: SparkSession, d: String): DataFrame =
     nearDupCharPairs(Tables.documents(s, d))
@@ -413,16 +440,17 @@ object Dedup {
     }
 
   /** Library entry: banded cosine near-dup over (vec_id, embedding). */
-  def embeddingDupPairs(emb: DataFrame, thresh: Double = 0.4): DataFrame =
-    bandedCosinePairs(emb, Some(thresh))
+  def embeddingDupPairs(emb: DataFrame, thresh: Double = 0.4,
+      maxBandBucket: Option[Int] = None): DataFrame =
+    bandedCosinePairs(emb, Some(thresh), maxBandBucket)
 
   /** Shared banded-candidate builder for [[embeddingDupPairs]] (with a
     * cosine floor) and [[closestPairs]] (no floor — `thresh = None`
     * ranks EVERY banded candidate, so Spark and the oracle evaluate the
     * identical candidate set; a sentinel like -1.0 would drop an
     * antipodal pair whose float cosine lands fractionally below -1). */
-  private def bandedCosinePairs(emb: DataFrame, thresh: Option[Double])
-      : DataFrame = {
+  private def bandedCosinePairs(emb: DataFrame, thresh: Option[Double],
+      maxBandBucket: Option[Int] = None): DataFrame = {
     import graft.functions.ArrayMath
     val e = emb
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -437,7 +465,9 @@ object Dedup {
     // shuffle_hash so both sides shuffle identically on bk and
     // ReuseExchange computes the 64-projection bucket assignment once
     // (a broadcast join would leave two distinct subplans, doubling it)
-    val bands = e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+    val bands = capBandBuckets(
+      e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk")),
+      "vec_id", maxBandBucket)
       .hint("shuffle_hash")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
@@ -720,11 +750,13 @@ object Dedup {
     * ~8× looser than x02's r=2 banding but still O(n·bands) rows on a
     * uniform key — no cross product anywhere.
     */
-  def containmentPairs(docs: DataFrame, thresh: Double = 0.8): DataFrame = {
+  def containmentPairs(docs: DataFrame, thresh: Double = 0.8,
+      maxBandBucket: Option[Int] = None): DataFrame = {
     val r = 1; val nBands = 8; val seed = 300
     val sig = wordSigOf(docs, seed, r, nBands)
-    val bands = sig.select(col("doc_id"),
-      bandKeyCol(r, nBands).as("bk")).hint("shuffle_hash")
+    val bands = capBandBuckets(sig.select(col("doc_id"),
+      bandKeyCol(r, nBands).as("bk")), "doc_id", maxBandBucket)
+      .hint("shuffle_hash")
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))

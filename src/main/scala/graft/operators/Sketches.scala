@@ -145,11 +145,88 @@ object Sketches {
        |$rows""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x59
+  /** Per-language document-length quartiles from the BOTTOM-K SAMPLE
+    * sketch ([[graft.functions.BottomKSample]]) — the deterministic,
+    * merge-order-independent quantile sketch (the round-6 candidate:
+    * GK/KLL compact lazily and are order-sensitive, so they can never
+    * hash-match an oracle; a bottom-k set under the total order
+    * (hash, value) is a pure function of the input multiset). The gate
+    * verifies the SAMPLE ITSELF (size m) and the interpolated sample
+    * quartiles against DuckDB reproducing the identical selection with
+    * ORDER BY hk, v LIMIT k — wrong eviction, a lost pair in a merge,
+    * or order-dependent state all change the sample and break the hash.
+    * x42's exact quartiles are the accuracy oracle (spec-checked).
+    *
+    * Plan shape: ONE hash aggregation — each partition reduces to a
+    * ≤16·k-byte heap per group before the exchange, so the shuffle
+    * carries |groups|·k pairs no matter the corpus size (x42's exact
+    * percentile gathers every group value to its reducer; this is the
+    * escape hatch when a group outgrows one reducer, now with a
+    * deterministic contract instead of percentile_approx's
+    * order-sensitive one). Quartile interpolation runs on the k-row
+    * sample array: exact binary-rational fractions, bit-identical
+    * across engines (see x42's note). */
+  private val QsK = 64
+
+  def x59(s: SparkSession, d: String): DataFrame =
+    sampleQuantiles(Tables.documents(s, d), groupCol = "lang",
+      idCol = "doc_id", valueCol = "n_chars", k = QsK)
+
+  /** The (sv, m)-relative quartile interpolation, rendered per engine:
+    * h = (m-1)·p, q = sv[⌊h⌋+1] + (h−⌊h⌋)·(sv[⌊h⌋+2 ∧ m] − sv[⌊h⌋+1]). */
+  private def qInterp(p: String, at: String => String): String = {
+    val lo = s"CAST(floor((m - 1) * $p) AS INT)"
+    val a = s"CAST(${at(s"$lo + 1")} AS DOUBLE)"
+    val b = s"CAST(${at(s"least($lo + 2, m)")} AS DOUBLE)"
+    s"($a + ((m - 1) * $p - floor((m - 1) * $p)) * ($b - $a))"
+  }
+
+  /** Library entry: sampled quantiles of `valueCol` per `groupCol`.
+    * `idCol` seeds the deterministic sampling hash — any column unique
+    * per row keeps the sample uniform. */
+  def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Int = QsK): DataFrame = {
+    import graft.functions.BottomK
+    val hk = PortableHash.h60(concat(lit("qs_"), col(idCol).cast("string")))
+    df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        BottomK.sample(hk, col(valueCol).cast("long"), k).as("vals"))
+      .withColumn("sv", sort_array(col("vals")))
+      .withColumn("m", size(col("sv")))
+      .select(col(groupCol), col("n"), col("m"),
+        expr(qInterp("0.25", i => s"element_at(sv, $i)")).as("p25"),
+        expr(qInterp("0.5", i => s"element_at(sv, $i)")).as("p50"),
+        expr(qInterp("0.75", i => s"element_at(sv, $i)")).as("p75"))
+  }
+
+  val x59Sql: String = {
+    val hk = PortableHash.duckH60("concat('qs_', CAST(doc_id AS VARCHAR))")
+    def at(i: String): String = s"sv[$i]"
+    s"""WITH t AS (
+       |  SELECT lang, CAST(n_chars AS BIGINT) AS v, $hk AS hk
+       |  FROM documents),
+       |g AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+       |r AS (SELECT lang, v,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hk, v) AS rn
+       |  FROM t),
+       |s AS (SELECT lang, list_sort(list(v)) AS sv
+       |  FROM r WHERE rn <= $QsK GROUP BY lang),
+       |q AS (SELECT lang, sv, CAST(len(sv) AS INT) AS m FROM s)
+       |SELECT q.lang, n, m,
+       |  ${qInterp("0.25", at)} AS p25,
+       |  ${qInterp("0.5", at)} AS p50,
+       |  ${qInterp("0.75", at)} AS p75
+       |FROM q JOIN g ON q.lang = g.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x50_hll_distinct" -> (x50 _),
-    "x52_cms_heavy_hitters" -> (x52 _))
+    "x52_cms_heavy_hitters" -> (x52 _),
+    "x59_sample_quantiles" -> (x59 _))
 
   val oracleSql: Map[String, String] = Map(
     "x50_hll_distinct" -> x50Sql,
-    "x52_cms_heavy_hitters" -> x52Sql)
+    "x52_cms_heavy_hitters" -> x52Sql,
+    "x59_sample_quantiles" -> x59Sql)
 }

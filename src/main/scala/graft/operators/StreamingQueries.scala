@@ -858,7 +858,100 @@ object StreamingQueries {
        |  ${graft.functions.Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
        |FROM a""".stripMargin
 
+  /** s14 — the s12 sketch through UPDATE output mode, with the emission
+    * stream itself gated (the round-6 "update-mode variant" candidate).
+    * Complete mode re-emits every group every batch and a memory sink
+    * only keeps the final table, so update semantics were previously
+    * spec-observed but never oracle-gated; here a foreachBatch sink
+    * APPENDS each batch's update rows (tagged with batchId) to a
+    * parquet log — the harness then sees every emission the mode ever
+    * produced. The replay makes the contract observable: the fixture
+    * rides the first data batch, the two sentinel files (carrier
+    * "none", maxFilesPerTrigger=1) force at least one later batch that
+    * touches ONLY "none" — so update mode must emit each real carrier
+    * EXACTLY ONCE (its sketch never changes again) and "none" once per
+    * sentinel batch it was updated in. A complete-mode-like re-emission
+    * of unchanged groups, or a mode that drops updated groups, breaks
+    * n_emits and fails the row hash. Registers fold with max_by over
+    * batchId (the newest emission IS the final sketch), so the final
+    * estimate is gated too — same arithmetic as s12's oracle, plus the
+    * sentinel rows synthesized as literals (both engines build the
+    * identical 'sentinel' member).
+    *
+    * 100 TB posture: update mode IS the production emission policy for
+    * unbounded-cardinality sketch aggregations (complete mode rewrites
+    * the whole result table per batch); the state remains 64 B/group,
+    * and the per-batch sink I/O is O(groups updated this batch). */
+  def s14(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hll
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    val agg = stream.toDF()
+      .groupBy(col("carrier"))
+      .agg(Hll.sketch(col("messageId")).as("sk"))
+      .select(
+        col("carrier"),
+        col("sk").getField("z_scaled").as("z_scaled"),
+        col("sk").getField("v_empty").as("v_empty"))
+    val emitDir = graft.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_upd_emit_").toFile)
+    val emitPath = new java.io.File(emitDir, "emissions").getAbsolutePath
+    val ckpt = scratchCkptDir("graft_upd_ckpt_")
+    withReplayPartitions(s) { try {
+      val q = agg.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(emitPath)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
+      deleteRecursively(ckpt)
+    } }
+    s.read.parquet(emitPath)
+      .groupBy("carrier")
+      .agg(count(lit(1)).as("n_emits"),
+        expr("max_by(named_struct('z', z_scaled, 've', v_empty), batch_id)")
+          .as("f"))
+      .select(col("carrier"), col("n_emits"),
+        col("f.z").as("z_scaled"), col("f.ve").as("v_empty"))
+      .withColumn("est_micro",
+        expr(Hll.estMicroSpark("z_scaled", "v_empty")))
+  }
+
+  val s14Sql: String =
+    s"""WITH m AS (
+       |  SELECT $carrierSql AS carrier, CAST(user_id AS VARCHAR) AS mid
+       |  FROM events
+       |  UNION ALL SELECT 'none', 'sentinel'
+       |  UNION ALL SELECT 'none', 'sentinel'),
+       |h AS (
+       |  SELECT carrier,
+       |    CAST(concat('0x', substr(md5(mid), 1, 15)) AS BIGINT) AS hv
+       |  FROM m),
+       |r AS (
+       |  SELECT carrier, hv % 64 AS j,
+       |    max(CASE WHEN hv // 64 = 0 THEN 55
+       |             ELSE 55 - length(bin(hv // 64)) END) AS mj
+       |  FROM h GROUP BY 1, 2),
+       |a AS (
+       |  SELECT carrier,
+       |    CAST(sum(1::BIGINT << (55 - mj))
+       |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS z_scaled,
+       |    CAST(64 - count(*) AS INT) AS v_empty
+       |  FROM r GROUP BY 1)
+       |SELECT carrier,
+       |  CAST(CASE WHEN carrier = 'none' THEN 2 ELSE 1 END AS BIGINT) AS n_emits,
+       |  z_scaled, v_empty,
+       |  ${graft.functions.Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_update_hll" -> (s14 _),
     "s01_undelivered_stream" -> (s01 _),
     "s01_tws_stream" -> (s01Tws _),
     "s02_windowed_stream" -> (s02 _),
@@ -876,6 +969,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s14_update_hll" -> s14Sql,
     "s01_undelivered_stream" -> s01Sql,
     "s01_tws_stream" -> s01Sql,
     "s02_windowed_stream" -> s02Sql,

@@ -49,6 +49,15 @@ class GraftFacadeSpec extends SparkSpec {
     val js = Seq(("a", """{"k": 7}""")).toDF("g", "props")
     assert(Graft.jsonFieldStats(js, "props", "g").collect()
       .head.getLong(2) == 7L)
+
+    // sampled quantiles: a 3-row group fits inside k, so the sample IS
+    // the group and the median is the exact middle length
+    val lens = docs.withColumn("len", length(col("text")))
+      .withColumn("g", lit("all"))
+    val sq = Graft.sampleQuantiles(lens, "g", "doc_id", "len").collect().head
+    assert(sq.getAs[Long]("n") == 3L && sq.getAs[Int]("m") == 3)
+    val exactLens = docs.collect().map(_.getString(1).length.toDouble).sorted
+    assert(sq.getAs[Double]("p50") == exactLens(1))
   }
 
   test("text operators tolerate null and empty text without throwing") {
