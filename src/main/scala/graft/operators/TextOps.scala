@@ -446,62 +446,70 @@ object TextOps {
     * IMMEDIATELY reduced to per-doc bigram TYPES (doc_id, w1, w2, c) —
     * the scored unit is the type, since every occurrence of a type
     * scores the same pu, so the per-doc mean Σpu/n over occurrences is
-    * exactly Σ(c·pu)/Σc over types (same integer arithmetic). The
-    * model then derives FROM that relation as window sums (cb over the
-    * (w1,w2) partition, the w1 marginal over the w1 partition) — no
-    * join operator anywhere, and the only occurrence-sized exchange in
-    * the whole plan is the map-side partial-agg feeding the first
-    * groupBy. (Round-6 shape joined the model back onto the raw
-    * occurrence stream: two wide string-key joins against every bigram
-    * occurrence, 7× the oracle and super-linear at 10×.)
-    * Documents with fewer than two tokens have no bigrams and drop out
-    * (both engines). */
+    * exactly Σ(c·pu)/Σc over types (same integer arithmetic).
+    *
+    * The model is a HASHED n-gram LM (the standard hashing trick for
+    * at-scale LM features): bigram and unigram counts key on the
+    * 60-bit portable hash of the token bytes (`h60(w1·0x1F·w2)`,
+    * `h60(w1)`), NOT on the strings — both engines hash identically,
+    * so collisions (≈ n²/2^61 — a handful of merged counts on a
+    * trillion-type corpus) are part of the shared contract and results
+    * stay bit-identical. Everything downstream of the one narrow
+    * tokenize+hash projection is fixed-width longs: the two model
+    * aggregations and the two scoring equi-joins shuffle 24-byte rows
+    * on uniform long keys. (Round-6 joined on the raw strings — two
+    * wide string-key joins, 7× the oracle and super-linear at 10×; a
+    * round-7 window-sum variant kept strings and sorted them twice,
+    * no better at 10×.) Documents with fewer than two tokens have no
+    * bigrams and drop out (both engines). */
   def bigramScores(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"),
       split(lower(col("text")), " ").as("ts"))
-    val bi = toks.select(col("doc_id"), explode(expr(
+    // one narrow pass: per occurrence, hashed bigram + hashed-w1 keys
+    val occ = toks.select(col("doc_id"), explode(expr(
       "zip_with(slice(ts, 1, size(ts)-1), slice(ts, 2, size(ts)-1)," +
         " (a, b) -> struct(a AS w1, b AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    // per-doc bigram types with multiplicity — the LAST occurrence-fed
-    // aggregation; everything downstream is type-level
-    val bd = bi.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
-    // the model NEVER leaves the type relation: cb and the w1 marginal
-    // are WINDOW sums over bd itself (partition by (w1,w2), then by
-    // w1), so there is no join operator in the plan at all — just two
-    // window exchanges over |doc-bigram types| rows
-    val v = toks.select(explode(col("ts")).as("wd"))
-      .agg(countDistinct(col("wd")).as("v"))
-    bd.withColumn("cb", sum(col("c")).over(Window.partitionBy("w1", "w2")))
-      .withColumn("c1", sum(col("c")).over(Window.partitionBy("w1")))
-      .crossJoin(broadcast(v))
-      .select(col("doc_id"), col("c"),
-        expr("((cb + 1) * 1000000) DIV (c1 + v)").as("pu"))
+      .select(col("doc_id"),
+        h60(concat(col("bg.w1"), lit("\u001f"), col("bg.w2"))).as("bh"),
+        h60(col("bg.w1")).as("h1"))
+      // localCheckpoint: occ feeds BOTH model aggregations and the
+      // scoring probe -- unmaterialized, the tokenize+hash pass runs
+      // once per consumer. Fixed-width longs, ~24 B/occurrence; same
+      // lazy-materialize / no-cross-run-cache trade as x49.
+      .localCheckpoint(eager = false)
+    val cb = occ.groupBy("bh").agg(count(lit(1)).as("cb"))
+    // the unigram (context) model: vocab-sized, BROADCAST back -- the
+    // x36 argument (word vocabularies are megabytes at any corpus
+    // scale), so the occurrence stream shuffles ONLY for the bh join
+    // (whose exchange Spark reuses from cb's aggregation)
+    val c1 = occ.groupBy("h1").agg(count(lit(1)).as("c1"))
+    // smoothing vocabulary V = |distinct left contexts| -- derivable
+    // from the c1 relation itself (one tiny agg over vocab rows)
+    // instead of a THIRD full tokenize pass over the corpus
+    val v = c1.agg(count(lit(1)).as("v"))
+    occ.join(cb, "bh").join(broadcast(c1), "h1").crossJoin(broadcast(v))
+      .select(col("doc_id"), expr("((cb + 1) * 1000000) DIV (c1 + v)").as("pu"))
       .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_bigrams"),
-        expr("sum(c * pu) DIV sum(c)").as("mean_p_u"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(pu) DIV count(*)").as("mean_p_u"))
   }
 
   def x45(s: SparkSession, d: String): DataFrame =
     bigramScores(Tables.documents(s, d))
 
   val x45Sql: String =
-    """WITH w AS (
-      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd,
-      |    generate_subscripts(string_split(lower(text), ' '), 1) AS pos
-      |  FROM documents),
-      |b AS (
-      |  SELECT doc_id, w1, w2 FROM (
-      |    SELECT doc_id, wd AS w1,
-      |      lead(wd) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-      |    FROM w)
-      |  WHERE w2 IS NOT NULL),
-      |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
-      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
-      |v AS (SELECT count(DISTINCT wd) AS v FROM w),
+    s"""WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |occ AS (
+      |  SELECT doc_id,
+      |    ${duckH60("ws[i] || chr(31) || ws[i+1]")} AS bh,
+      |    ${duckH60("ws[i]")} AS h1
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w)),
+      |cb AS (SELECT bh, count(*) AS cb FROM occ GROUP BY 1),
+      |c1 AS (SELECT h1, count(*) AS c1 FROM occ GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM c1),
       |p AS (SELECT doc_id, ((cb + 1) * 1000000) // (c1 + v) AS pu
-      |  FROM b JOIN cb USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v)
+      |  FROM occ JOIN cb USING (bh) JOIN c1 USING (h1) CROSS JOIN v)
       |SELECT doc_id, count(*) AS n_bigrams,
       |  CAST(sum(pu) // count(*) AS BIGINT) AS mean_p_u
       |FROM p GROUP BY doc_id""".stripMargin
