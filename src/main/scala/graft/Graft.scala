@@ -308,6 +308,33 @@ object Graft {
       valueCol: String, k: Int = 64): DataFrame =
     operators.Sketches.sampleQuantiles(df, groupCol, idCol, valueCol, k)
 
+  /** The storable sketch table: one 64-register HLL array per fine
+    * group — the input to [[rollupSketches]]. */
+  def sketchTable(df: DataFrame, key: org.apache.spark.sql.Column,
+      groupCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    operators.Sketches.sketchTable(df, key, groupCols)
+
+  /** Fold a stored sketch table to a coarser grouping without
+    * rescanning raw data (register-max union — bit-identical to
+    * sketching the coarse group directly). */
+  def rollupSketches(table: DataFrame, groupCols: Seq[String]): DataFrame =
+    operators.Sketches.rollupSketches(table, groupCols)
+
+  /** Aggregate Column: the k lexicographically-smallest `row` structs
+    * per group, ascending — the bounded-heap replacement for
+    * `row_number() OVER (...) <= k` (no per-group sort; encode DESC
+    * fields by negating them). Use inside `groupBy(...).agg(...)`,
+    * then `explode` the result. */
+  def topkRows(row: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    functions.TopK.rows(row, k)
+
+  /** Aggregate Column: values of the k rows with smallest (hk, v) —
+    * the deterministic merge-order-independent sample behind
+    * [[sampleQuantiles]]. */
+  def bottomkSample(hk: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column =
+    functions.BottomK.sample(hk, v, k)
+
   // ---- keyed upsert -------------------------------------------------
   /** Delta-style MERGE: one full-outer shuffle join applying matched
     * updates, source-only inserts, and target pass-through. */

@@ -51,6 +51,32 @@ object GraftExtensions {
       info("cms_sketch",
         "cms_sketch(str) - aggregate: portable 4x256 count-min counters as array<bigint>"),
       (es: Seq[Expression]) => CmsSketch(es(0)).toAggregateExpression()),
+    ("hll_registers",
+      info("hll_registers",
+        "hll_registers(str) - aggregate: the raw 64-register HLL array " +
+          "(the storable sketch-table form consumed by hll_union)"),
+      (es: Seq[Expression]) =>
+        HllSketch(es(0), emitRegisters = true).toAggregateExpression()),
+    ("hll_union",
+      info("hll_union",
+        "hll_union(array<int>) - aggregate: fold stored HLL register " +
+          "arrays to struct(z_scaled, v_empty) without rescanning raw data"),
+      (es: Seq[Expression]) =>
+        graft.functions.HllUnion(es(0)).toAggregateExpression()),
+    ("topk_rows",
+      info("topk_rows",
+        "topk_rows(struct, k) - aggregate: the k lexicographically-" +
+          "smallest structs per group, ascending (bounded heap - " +
+          "replaces row_number()<=k windows without the per-group sort)"),
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"topk_rows k must be an integer literal, got $other")
+        }
+        graft.functions.TopKRows(es(0), k).toAggregateExpression()
+      }),
     ("bottomk_sample",
       info("bottomk_sample",
         "bottomk_sample(hk, v, k) - aggregate: values of the k rows with " +

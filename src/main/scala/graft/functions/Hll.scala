@@ -46,7 +46,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class HllSketch(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    emitRegisters: Boolean = false)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
   import Hll.{M, MaxRho}
@@ -76,24 +77,18 @@ case class HllSketch(
     b1
   }
 
-  override def eval(buf: Array[Byte]): Any = {
-    var z = 0L
-    var v = 0
-    var j = 0
-    while (j < M) {
-      z += 1L << (MaxRho - buf(j))
-      if (buf(j) == 0) v += 1
-      j += 1
-    }
-    new GenericInternalRow(Array[Any](z, v))
-  }
+  override def eval(buf: Array[Byte]): Any =
+    if (emitRegisters)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buf.map(_.toInt))
+    else Hll.summaryRow(buf)
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
   override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
 
-  override def dataType: DataType = StructType(Seq(
-    StructField("z_scaled", LongType, nullable = false),
-    StructField("v_empty", IntegerType, nullable = false)))
+  override def dataType: DataType =
+    if (emitRegisters) ArrayType(IntegerType, containsNull = false)
+    else Hll.SummaryType
   override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -108,7 +103,74 @@ case class HllSketch(
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): HllSketch =
     copy(child = c)
-  override def prettyName: String = "hll_sketch"
+  override def prettyName: String =
+    if (emitRegisters) "hll_registers" else "hll_sketch"
+}
+
+/** Union of PRE-COMPUTED register arrays — the sketch-algebra rollup:
+  * a stored per-(fine-group) sketch table folds to any coarser grouping
+  * WITHOUT touching raw data (register max is associative and
+  * commutative, so a rollup of per-group sketches is BIT-IDENTICAL to
+  * sketching the coarse group directly — the property the x60 gate
+  * verifies). At 100 TB this is the nightly-rollup pattern: the raw
+  * stream is sketched once into |fine groups|·64 B, and every further
+  * cadence/granularity derives from sketch unions that never rescan. */
+case class HllUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+
+  import Hll.M
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == M,
+        s"hll_union expects a $M-register array, got ${arr.numElements()}")
+      var j = 0
+      while (j < M) {
+        val r = arr.getInt(j)
+        if (r > buf(j)) buf(j) = r.toByte
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < M) {
+      if (b2(j) > b1(j)) b1(j) = b2(j)
+      j += 1
+    }
+    b1
+  }
+
+  override def eval(buf: Array[Byte]): Any = Hll.summaryRow(buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = Hll.SummaryType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hll_union expects array<int> registers, got ${other.sql}")
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): HllUnion =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllUnion =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): HllUnion =
+    copy(child = c)
+  override def prettyName: String = "hll_union"
 }
 
 object Hll {
@@ -131,9 +193,37 @@ object Hll {
   val LcMicro: IndexedSeq[Long] =
     (1 to M).map(v => math.floor(M * math.log(M.toDouble / v) * 1e6).toLong)
 
+  /** The (z_scaled, v_empty) summary struct type and its builder,
+    * shared by the direct sketch and the union rollup. */
+  val SummaryType: DataType = StructType(Seq(
+    StructField("z_scaled", LongType, nullable = false),
+    StructField("v_empty", IntegerType, nullable = false)))
+
+  private[functions] def summaryRow(buf: Array[Byte]): Any = {
+    var z = 0L
+    var v = 0
+    var j = 0
+    while (j < M) {
+      z += 1L << (MaxRho - buf(j))
+      if (buf(j) == 0) v += 1
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](z, v))
+  }
+
   /** The sketch as an aggregate Column over a STRING child. */
   def sketch(c: Column): Column =
     Bridge.column(HllSketch(Bridge.expression(c)).toAggregateExpression())
+
+  /** The raw 64-register array as an aggregate Column — the storable
+    * sketch-table form consumed by [[union]]. */
+  def registers(c: Column): Column =
+    Bridge.column(HllSketch(Bridge.expression(c), emitRegisters = true)
+      .toAggregateExpression())
+
+  /** Union of stored register arrays, as (z_scaled, v_empty). */
+  def union(c: Column): Column =
+    Bridge.column(HllUnion(Bridge.expression(c)).toAggregateExpression())
 
   /** Estimate in micro-units from (z_scaled, v_empty) — IDENTICAL float
     * operation tree on Spark (expr) and DuckDB (oracle SQL): raw HLL

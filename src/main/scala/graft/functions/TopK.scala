@@ -1,0 +1,143 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Per-group top-k ROWS as a native Catalyst
+  * [[TypedImperativeAggregate]] — the bounded-state replacement for the
+  * `row_number() OVER (PARTITION BY g ORDER BY ...) <= k` idiom, which
+  * SORTS every group's full row set on its reducer. Here each partition
+  * reduces its rows to a ≤k-row heap per group BEFORE the exchange
+  * (map-side partial), merge is heap-union with eviction, and no sort
+  * larger than k ever happens — at 100 TB the shuffle carries
+  * |groups|·k rows instead of every row, and a hot group costs
+  * O(n log k) heap updates instead of an O(n log n) reducer sort.
+  *
+  * The child must be a STRUCT; rows are ranked by the struct's natural
+  * (lexicographic, null-last per field ordering) Catalyst ordering and
+  * the k SMALLEST are kept — encode "top by score" as a leading
+  * `-score` field. eval returns the kept rows ascending, so
+  * `explode(topk_rows(...))` reproduces exactly the window idiom's
+  * output (deterministic when the struct is unique per row; make it so
+  * with a tiebreak field, as the window form also requires).
+  */
+case class TopKRows(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.PriorityQueue[UnsafeRow]]
+  with UnaryLike[Expression] {
+
+  require(k > 0 && k <= (1 << 20), s"top-k size must be in [1, 2^20], got $k")
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val rowOrdering: Ordering[InternalRow] =
+    TypeUtils.getInterpretedOrdering(structType)
+      .asInstanceOf[Ordering[InternalRow]]
+
+  /** Max-heap: head = LARGEST kept row, the one a smaller row evicts. */
+  @transient private lazy val heapOrder: java.util.Comparator[UnsafeRow] =
+    (a: UnsafeRow, b: UnsafeRow) => rowOrdering.compare(b, a)
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
+    new java.util.PriorityQueue[UnsafeRow](math.min(k, 64) + 1, heapOrder)
+
+  private def offer(buf: java.util.PriorityQueue[UnsafeRow],
+      row: UnsafeRow): Unit =
+    if (buf.size < k) buf.add(row.copy())
+    else if (rowOrdering.compare(row, buf.peek()) < 0) {
+      buf.poll()
+      buf.add(row.copy())
+    }
+
+  override def update(buf: java.util.PriorityQueue[UnsafeRow],
+      input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v != null) offer(buf, toUnsafe(v.asInstanceOf[InternalRow]))
+    buf
+  }
+
+  override def merge(b1: java.util.PriorityQueue[UnsafeRow],
+      b2: java.util.PriorityQueue[UnsafeRow])
+      : java.util.PriorityQueue[UnsafeRow] = {
+    val it = b2.iterator()
+    while (it.hasNext) offer(b1, it.next())
+    b1
+  }
+
+  override def eval(buf: java.util.PriorityQueue[UnsafeRow]): Any = {
+    val rows = new Array[UnsafeRow](buf.size)
+    buf.toArray(rows)
+    java.util.Arrays.sort(rows, heapOrder.reversed())
+    new GenericArrayData(rows.asInstanceOf[Array[AnyRef]])
+  }
+
+  override def serialize(buf: java.util.PriorityQueue[UnsafeRow]): Array[Byte] = {
+    var total = 4
+    val it0 = buf.iterator()
+    while (it0.hasNext) total += 4 + it0.next().getSizeInBytes
+    val bb = java.nio.ByteBuffer.allocate(total)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) {
+      val r = it.next()
+      bb.putInt(r.getSizeInBytes)
+      r.writeTo(bb)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[UnsafeRow] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val row = new UnsafeRow(structType.size)
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      row.pointTo(arr, len)
+      buf.add(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case st: StructType if RowOrdering.isOrderable(st) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"topk_rows expects an orderable struct, got ${other.sql}")
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKRows =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKRows =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TopKRows =
+    copy(child = c)
+  override def prettyName: String = "topk_rows"
+}
+
+object TopK {
+  /** The k lexicographically-smallest `row` structs per group,
+    * ascending. Encode descending fields by negating them in the
+    * struct. */
+  def rows(row: Column, k: Int): Column =
+    Bridge.column(TopKRows(Bridge.expression(row), k).toAggregateExpression())
+}

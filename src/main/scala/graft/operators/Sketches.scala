@@ -220,13 +220,69 @@ object Sketches {
        |FROM q JOIN g ON q.lang = g.lang""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x60
+  /** Sketch-table ROLLUP — the sketch-algebra pattern a 100 TB pipeline
+    * actually runs: the raw stream is sketched ONCE into a stored
+    * per-(fine-group) register table (|groups|·64 B), and every coarser
+    * aggregation derives from `hll_union` over that table without ever
+    * rescanning raw data. The gate exploits union associativity:
+    * per-(event_type, user_id%16) registers rolled up to per-event_type
+    * must be BIT-IDENTICAL to sketching event_type directly — so the
+    * oracle is simply the direct x50 register arithmetic, and any
+    * lossy/asymmetric union (or a registers/summary mismatch between
+    * the two aggregates) breaks the row hash. */
+  def x60(s: SparkSession, d: String): DataFrame =
+    rollupSketches(
+      sketchTable(Tables.events(s, d), col("user_id").cast("string"),
+        Seq(col("event_type"), pmod(col("user_id"), lit(16)).as("sub"))),
+      Seq("event_type"))
+
+  /** Library entry: the storable sketch table — one 64-register array
+    * per fine group. */
+  def sketchTable(df: DataFrame, key: org.apache.spark.sql.Column,
+      groupCols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.groupBy(groupCols: _*).agg(Hll.registers(key).as("registers"))
+
+  /** Library entry: fold a sketch table to a coarser grouping —
+    * (groupCols..., z_scaled, v_empty, est_micro). */
+  def rollupSketches(table: DataFrame, groupCols: Seq[String]): DataFrame =
+    table.groupBy(groupCols.map(col): _*)
+      .agg(Hll.union(col("registers")).as("sk"))
+      .select(groupCols.map(col) ++ Seq(
+        col("sk").getField("z_scaled").as("z_scaled"),
+        col("sk").getField("v_empty").as("v_empty"),
+        expr(Hll.estMicroSpark("sk.z_scaled", "sk.v_empty"))
+          .as("est_micro")): _*)
+
+  val x60Sql: String =
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (
+       |  SELECT event_type, hv % 64 AS j,
+       |    max(CASE WHEN hv // 64 = 0 THEN 55
+       |             ELSE 55 - length(bin(hv // 64)) END) AS mj
+       |  FROM h GROUP BY 1, 2),
+       |a AS (
+       |  SELECT event_type,
+       |    CAST(sum(1::BIGINT << (55 - mj))
+       |         + (64 - count(*)) * (1::BIGINT << 55) AS BIGINT) AS z_scaled,
+       |    CAST(64 - count(*) AS INT) AS v_empty
+       |  FROM r GROUP BY 1)
+       |SELECT event_type, z_scaled, v_empty,
+       |  ${Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
+       |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x50_hll_distinct" -> (x50 _),
     "x52_cms_heavy_hitters" -> (x52 _),
-    "x59_sample_quantiles" -> (x59 _))
+    "x59_sample_quantiles" -> (x59 _),
+    "x60_sketch_rollup" -> (x60 _))
 
   val oracleSql: Map[String, String] = Map(
     "x50_hll_distinct" -> x50Sql,
     "x52_cms_heavy_hitters" -> x52Sql,
-    "x59_sample_quantiles" -> x59Sql)
+    "x59_sample_quantiles" -> x59Sql,
+    "x60_sketch_rollup" -> x60Sql)
 }

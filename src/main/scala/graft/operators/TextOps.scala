@@ -210,17 +210,29 @@ object TextOps {
     x22Impl(withWordsOf(docs), k)
   def x22(s: SparkSession, d: String): DataFrame = x22Impl(withWords(s, d), 3)
   private def x22Impl(ww: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // materialized: tf feeds the df build AND the scoring probe --
+    // unmaterialized, the explode+merge-agg runs once per consumer
+    // (same lazy-materialize trade as x45/x49)
     val tf = ww
       .select(col("doc_id"), explode(col("w")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // per-doc top-k via the bounded-heap topk_rows aggregate, NOT a
+    // row_number window: the window sorts every doc's full term set on
+    // its reducer; the aggregate reduces each partition to <=k rows per
+    // doc before the exchange and never sorts more than k (see
+    // functions/TopK.scala). Leading -score field encodes the
+    // (score DESC, term ASC) window order losslessly.
     tf.join(broadcast(df), "term")
       .withColumn("score", expr("tf * 1000000000000L div df"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))))
-      .filter(col("rn") <= k)
-      .select("doc_id", "term", "tf", "df", "score")
+      .groupBy("doc_id")
+      .agg(graft.functions.TopK.rows(
+        struct((-col("score")).as("ns"), col("term"),
+          col("tf"), col("df"), col("score")), k).as("top"))
+      .select(col("doc_id"), explode(col("top")).as("t"))
+      .select(col("doc_id"), col("t.term").as("term"), col("t.tf").as("tf"),
+        col("t.df").as("df"), col("t.score").as("score"))
   }
 
   val x22Sql: String =

@@ -83,6 +83,35 @@ class HllSpec extends SparkSpec {
     }
   }
 
+  test("registers output matches the reference; union rollup is lossless") {
+    val gen = Gen.listOf(Gen.asciiPrintableStr)
+    val vs = sample(gen, 42L) ++ (1 to 500).map(i => s"u$i")
+    // hll_registers emits the reference register array
+    val regs = vs.toDF("v").repartition(5)
+      .agg(Hll.registers(col("v")).as("r"))
+      .head().getSeq[Int](0).toArray
+    assert(regs.toSeq == registersOf(vs).toSeq)
+    // associativity: per-subgroup registers unioned == direct sketch
+    val fine = vs.zipWithIndex.map { case (v, i) => (i % 7, v) }
+      .toDF("sub", "v").repartition(4)
+      .groupBy("sub").agg(Hll.registers(col("v")).as("r"))
+    val u = fine.agg(Hll.union(col("r")).as("sk"))
+      .select($"sk.z_scaled", $"sk.v_empty").head()
+    assert((u.getLong(0), u.getInt(1)) == zvOf(registersOf(vs)))
+    // empty-table union: no rows -> empty sketch summary
+    val e = fine.filter(lit(false)).agg(Hll.union(col("r")).as("sk"))
+      .select($"sk.z_scaled", $"sk.v_empty").head()
+    assert((e.getLong(0), e.getInt(1)) == zvOf(new Array[Int](Hll.M)))
+  }
+
+  test("union rejects a wrong-width register array") {
+    val bad = Seq(Seq(1, 2, 3)).toDF("r")
+    val ex = intercept[Exception] {
+      bad.agg(Hll.union(col("r"))).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("linear-counting table matches direct ln computation") {
     (1 to Hll.M).foreach { v =>
       assert(Hll.LcMicro(v - 1) ==
