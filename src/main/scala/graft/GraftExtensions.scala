@@ -51,6 +51,12 @@ object GraftExtensions {
       info("cms_sketch",
         "cms_sketch(str) - aggregate: portable 4x256 count-min counters as array<bigint>"),
       (es: Seq[Expression]) => CmsSketch(es(0)).toAggregateExpression()),
+    ("cms_union",
+      info("cms_union",
+        "cms_union(array<bigint>) - aggregate: fold stored count-min " +
+          "counter arrays (elementwise add) without rescanning tokens"),
+      (es: Seq[Expression]) =>
+        graft.functions.CmsUnion(es(0)).toAggregateExpression()),
     ("hll_registers",
       info("hll_registers",
         "hll_registers(str) - aggregate: the raw 64-register HLL array " +

@@ -93,6 +93,72 @@ case class CmsSketch(
   override def prettyName: String = "cms_sketch"
 }
 
+/** Union of PRE-COMPUTED count-min counter arrays — frequency-sketch
+  * algebra, the [[HllUnion]] companion: counters form a commutative
+  * monoid under elementwise ADD, so a stored per-(fine-group) CMS table
+  * folds to any coarser grouping without rescanning the token stream,
+  * and the rollup is BIT-IDENTICAL to sketching the coarse group
+  * directly (the x61 gate's property). */
+case class CmsUnion(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  import Cms.{Depth, Width}
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](Depth * Width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == buf.length,
+        s"cms_union expects a ${buf.length}-cell array, got ${arr.numElements()}")
+      var j = 0
+      while (j < buf.length) { buf(j) += arr.getLong(j); j += 1 }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < b1.length) { b1(j) += b2(j); j += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cms_union expects array<bigint> counters, got ${other.sql}")
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CmsUnion =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CmsUnion =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CmsUnion =
+    copy(child = c)
+  override def prettyName: String = "cms_union"
+}
+
 object Cms {
   val Depth = 4
   val Width = 256
@@ -110,6 +176,10 @@ object Cms {
   /** The sketch as an aggregate Column over a STRING child. */
   def sketch(c: Column): Column =
     Bridge.column(CmsSketch(Bridge.expression(c)).toAggregateExpression())
+
+  /** Union of stored counter arrays (elementwise add). */
+  def union(c: Column): Column =
+    Bridge.column(CmsUnion(Bridge.expression(c)).toAggregateExpression())
 
   /** Spark expression: point estimate of `value` from sketch column
     * `cms` (1-based element_at into the flattened DEPTH×WIDTH array). */

@@ -274,15 +274,59 @@ object Sketches {
        |  ${Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
        |FROM a""".stripMargin
 
+  // ---------------------------------------------------------------- x61
+  /** CMS sketch-table rollup — the frequency companion of x60: counter
+    * arrays form a commutative monoid under elementwise ADD, so a
+    * stored per-(fine-group) CMS table folds to coarser groupings
+    * without rescanning the token stream, bit-identically to sketching
+    * the coarse group directly (the gated associativity property — the
+    * oracle is the direct cell arithmetic over all tokens, exactly
+    * x52's). Probe estimates come from the ROLLED-UP sketch. */
+  def x61(s: SparkSession, d: String): DataFrame = {
+    val tokens = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+    val fine = tokens
+      .groupBy(pmod(col("doc_id"), lit(8)).as("sub"))
+      .agg(Cms.sketch(col("t")).as("cms"))
+    val rolled = fine.agg(Cms.union(col("cms")).as("cms"))
+    val stack = ProbeTerms.map { p =>
+      s"'$p', ${Cms.estimateSpark("cms", p)}"
+    }.mkString(s"stack(${ProbeTerms.size}, ", ", ", ")")
+    rolled.select(expr(s"$stack AS (term, est_cnt)"))
+  }
+
+  val x61Sql: String = {
+    val hv = PortableHash.duckH60("t")
+    val sums = ProbeTerms.zipWithIndex.flatMap { case (p, i) =>
+      Cms.cells(p).zipWithIndex.map { case (c, row) =>
+        s"CAST(sum(CASE WHEN ${Cms.cellDuck("hv", row)} = $c THEN 1 ELSE 0 END) AS BIGINT) AS cell${i}_$row"
+      }
+    }.mkString(",\n    ")
+    val rows = ProbeTerms.zipWithIndex.map { case (p, i) =>
+      val est = (0 until Cms.Depth).map(r => s"cell${i}_$r").mkString("least(", ", ", ")")
+      s"SELECT '$p' AS term, $est AS est_cnt FROM agg"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+       |h AS (SELECT t, $hv AS hv FROM tok),
+       |agg AS (
+       |  SELECT
+       |    $sums
+       |  FROM h)
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x50_hll_distinct" -> (x50 _),
     "x52_cms_heavy_hitters" -> (x52 _),
     "x59_sample_quantiles" -> (x59 _),
-    "x60_sketch_rollup" -> (x60 _))
+    "x60_sketch_rollup" -> (x60 _),
+    "x61_cms_rollup" -> (x61 _))
 
   val oracleSql: Map[String, String] = Map(
     "x50_hll_distinct" -> x50Sql,
     "x52_cms_heavy_hitters" -> x52Sql,
     "x59_sample_quantiles" -> x59Sql,
-    "x60_sketch_rollup" -> x60Sql)
+    "x60_sketch_rollup" -> x60Sql,
+    "x61_cms_rollup" -> x61Sql)
 }

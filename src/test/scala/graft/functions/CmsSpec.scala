@@ -42,6 +42,24 @@ class CmsSpec extends SparkSpec {
     assert(one.sum == vs.size.toLong * Cms.Depth) // every token hits every row once
   }
 
+  test("union of per-subgroup sketches equals the direct sketch") {
+    val vs = sample(Gen.listOf(Gen.asciiPrintableStr), 7L) ++
+      (1 to 300).map(i => s"w${i % 40}")
+    val direct = countersOf(vs).toSeq
+    val rolled = vs.zipWithIndex.map { case (v, i) => (i % 5, v) }
+      .toDF("sub", "t").repartition(4)
+      .groupBy("sub").agg(Cms.sketch(col("t")).as("cms"))
+      .agg(Cms.union(col("cms")).as("cms"))
+      .head().getSeq[Long](0)
+    assert(rolled == direct)
+    // empty-table union: the zero sketch
+    val empty = Seq((1, "x")).toDF("sub", "t").filter(lit(false))
+      .groupBy("sub").agg(Cms.sketch(col("t")).as("cms"))
+      .agg(Cms.union(col("cms")).as("cms"))
+      .head().getSeq[Long](0)
+    assert(empty == Seq.fill(Cms.Depth * Cms.Width)(0L))
+  }
+
   test("point estimate is an upper bound and exact without collisions") {
     val vs = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++
       (1 to 200).map(i => s"noise-$i")

@@ -114,6 +114,28 @@ class UpsertBucketSpec extends SparkSpec {
     } finally graft.TempDirs.deleteRecursively(root)
   }
 
+  test("state path may carry an explicit filesystem scheme (file:)") {
+    // the HDFS/S3 claim's local proof: discovery, write, GC and
+    // read-back all resolve the FileSystem FROM the path URI — a
+    // scheme-qualified root must behave identically to a bare path
+    val root = java.nio.file.Files.createTempDirectory("graft_bk_").toFile
+    try {
+      val qualified =
+        new org.apache.hadoop.fs.Path(root.toURI) // file:/... URI form
+      def applyQ(id: Long, rows: Seq[(String, Long, String)]): Unit =
+        BucketedUpsert.applyBatch(spark, qualified, B, id, df(rows),
+          "messageId", StreamingQueries.latestWinsMerge)
+      applyQ(0, Seq(("a", 10L, "sent"), ("b", 5L, "sent")))
+      applyQ(1, Seq(("a", 20L, "delivered")))
+      val got = BucketedUpsert.currentState(spark, qualified, B).get
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      assert(got == Seq(("a", 20L, "delivered"), ("b", 5L, "sent")))
+      // and the bare-path view of the same root reads the same state
+      assert(state(root) == got)
+    } finally graft.TempDirs.deleteRecursively(root)
+  }
+
   test("empty batches write no version; state readable across versions") {
     val root = java.nio.file.Files.createTempDirectory("graft_bk_").toFile
     try {
