@@ -539,8 +539,9 @@ object Dedup {
     * missing from every band cannot be ranked — acceptable because
     * high-cosine pairs are precisely the ones banding collides with
     * highest probability (the paired-dataset trade documented there). */
-  def closestPairs(emb: DataFrame, k: Int = 100): DataFrame =
-    bandedCosinePairs(emb, thresh = None)
+  def closestPairs(emb: DataFrame, k: Int = 100,
+      maxBandBucket: Option[Int] = None): DataFrame =
+    bandedCosinePairs(emb, thresh = None, maxBandBucket)
       .orderBy(col("cos_u").desc, col("a").asc, col("b").asc)
       .limit(k)
 
