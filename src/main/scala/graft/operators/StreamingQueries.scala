@@ -950,7 +950,108 @@ object StreamingQueries {
        |  ${graft.functions.Hll.estMicroDuck("z_scaled", "v_empty")} AS est_micro
        |FROM a""".stripMargin
 
+  /** Replay source for [[s15]]: three one-file micro-batches with
+    * ascending mtimes — the full fixture, the watermark-advancing
+    * sentinel, and a deliberately LATE row whose event time sits inside
+    * an already-closed fixture window. One dir per (app, sf), cached
+    * like the sentinel dir. */
+  private val lateDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def lateReplayDir(s: SparkSession, d: String): java.io.File = {
+    val key = s.sparkContext.applicationId + "::" + d
+    Option(lateDirCache.get(key)).getOrElse {
+      import s.implicits._
+      val dir = graft.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory("graft_late_").toFile)
+      val ms = messageStatusOf(
+        s.read.parquet(graft.Tables.eventsPath(s, d)))
+      val minTs = ms.toDF().agg(min(col("timestamp"))).head().getLong(0)
+      def writeOne(n: Int, df: org.apache.spark.sql.Dataset[MessageStatus]): Unit = {
+        val stage = new java.io.File(dir, s"stage$n")
+        df.coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(dir, f"gen$n%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(System.currentTimeMillis() + n * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      writeOne(0, ms)
+      writeOne(1, Seq(MessageStatus("sentinel", "delivered", 0L, "none",
+        Sentinel1Ms)).toDS())
+      // late probe: event time at the very START of the fixture range —
+      // its window closed when the sentinel advanced the watermark
+      writeOne(2, Seq(MessageStatus("late_probe", "sent", 1L, "verizon",
+        minTs)).toDS())
+      Option(lateDirCache.putIfAbsent(key, dir)).getOrElse(dir)
+    }
+  }
+
+  /** s15 — watermark LATE-DATA DROP gated end-to-end: the windowed
+    * per-carrier count runs in UPDATE mode with the s14 emission-log
+    * sink, and the replay's third batch delivers one row whose event
+    * time lies inside a window the sentinel batch already closed. The
+    * streaming contract under gate: (a) that late row must be DROPPED
+    * (its window's count must NOT include it — state was evicted and
+    * the watermark filter discards it), (b) the closed window must not
+    * re-emit (n_emits stays 1 for every fixture group), and (c) update
+    * mode must not re-emit untouched groups during the sentinel batch
+    * (the s14 contract, re-proven under windows). A runtime that
+    * resurrects evicted state, counts late data, or re-emits closed
+    * windows breaks the row hash. Oracle = the batch twin over events
+    * alone (the late probe must be invisible) with n_emits ≡ 1.
+    * WindowedHllSpec observes eviction through the listener; this is
+    * the ORACLE-GATED form of the same contract. */
+  def s15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = lateReplayDir(s, d)
+    val stream = s.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[MessageStatus]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+    val agg = stream
+      .withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", "1 minute")
+      .groupBy(window(col("eventTime"), "1 hour"), col("carrier"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("carrier"),
+        col("cnt"))
+    val emitDir = graft.TempDirs.deleteOnExit(
+      java.nio.file.Files.createTempDirectory("graft_late_emit_").toFile)
+    val emitPath = new java.io.File(emitDir, "emissions").getAbsolutePath
+    val ckpt = scratchCkptDir("graft_late_ckpt_")
+    withReplayPartitions(s) { try {
+      val q = agg.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(emitPath)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
+      deleteRecursively(ckpt)
+    } }
+    s.read.parquet(emitPath)
+      .filter(col("carrier") =!= "none")
+      .groupBy("win_start", "carrier")
+      .agg(count(lit(1)).as("n_emits"),
+        expr("max_by(cnt, batch_id)").as("cnt"))
+  }
+
+  val s15Sql: String =
+    s"""SELECT date_trunc('hour', ts) AS win_start,
+       |  $carrierSql AS carrier,
+       |  CAST(1 AS BIGINT) AS n_emits,
+       |  count(*) AS cnt
+       |FROM events
+       |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_late_drop" -> (s15 _),
     "s14_update_hll" -> (s14 _),
     "s01_undelivered_stream" -> (s01 _),
     "s01_tws_stream" -> (s01Tws _),
@@ -969,6 +1070,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s15_late_drop" -> s15Sql,
     "s14_update_hll" -> s14Sql,
     "s01_undelivered_stream" -> s01Sql,
     "s01_tws_stream" -> s01Sql,
