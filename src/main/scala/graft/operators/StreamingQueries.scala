@@ -1050,7 +1050,84 @@ object StreamingQueries {
        |FROM events
        |GROUP BY 1, 2""".stripMargin
 
+  /** The s16 sink's merge: per-carrier register arrays fold by
+    * elementwise max (the HLL union), new carriers insert. Idempotent
+    * and batch-split-insensitive — register max is a bounded join-
+    * semilattice, the strongest algebra in the upsert family (even
+    * re-applying a PARTIAL batch is absorbed), which is what makes the
+    * exactly-once story trivial to reason about on top of
+    * [[BucketedUpsert]]'s replay contract. */
+  private[graft] def registersMaxMerge(target: DataFrame,
+      updates: DataFrame): DataFrame =
+    Merge.merge(target, updates, "carrier", "carrier",
+      whenMatched = Map("regs" ->
+        expr("zip_with(t.regs, s.regs, (a, b) -> greatest(a, b))")),
+      insertValues = Map("carrier" -> col("s.carrier"),
+        "regs" -> col("s.regs")))
+
+  /** s16 — a streaming SKETCH TABLE maintained through the exactly-once
+    * bucketed upsert sink: each micro-batch reduces to per-carrier HLL
+    * REGISTER ARRAYS (`hll_registers`, 64 B/group) and merges them into
+    * the bucketed parquet state by register max ([[registersMaxMerge]])
+    * — the composition of three separately-gated pieces (streaming
+    * reduction, sketch algebra, BucketedUpsert's replay contract) as
+    * one gated query. The oracle is the direct batch sketch over the
+    * whole fixture (s12's arithmetic): union associativity PLUS
+    * exactly-once must both hold for the stored registers to come out
+    * bit-identical after five incremental batches. This is the 100 TB
+    * production pattern x60 reads from: the raw stream is sketched
+    * once, incrementally, into a point-queryable table that rollups
+    * and dashboards consume without ever rescanning events. */
+  def s16(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Hll
+    val split = eventsSplitDir(s, d, 5)
+    val rawSchema = s.read.parquet(split.getAbsolutePath).schema
+    val stream = messageStatusOf(
+      s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1")
+        .parquet(split.getAbsolutePath)).toDF()
+    val numBuckets = 4
+    val stateBase =
+      java.nio.file.Files.createTempDirectory("graft_sktab_").toFile
+    val statePath = new org.apache.hadoop.fs.Path(stateBase.getAbsolutePath)
+    val ckpt = try scratchCkptDir("graft_sktab_ckpt_") catch {
+      case t: Throwable => deleteRecursively(stateBase); throw t
+    }
+    withReplayPartitions(s) { try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val reduced = batch.groupBy("carrier")
+            .agg(Hll.registers(col("messageId")).as("regs"))
+          BucketedUpsert.applyBatch(s, statePath, numBuckets, batchId,
+            reduced, "carrier", registersMaxMerge)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      val state = BucketedUpsert.currentState(s, statePath, numBuckets)
+        .getOrElse(sys.error("sketch-table stream produced no state"))
+      val resultDir = graft.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory("graft_sktab_out_").toFile)
+      val resultPath =
+        new java.io.File(resultDir, "state").getAbsolutePath
+      state.write.mode("overwrite").parquet(resultPath)
+      s.read.parquet(resultPath)
+        .select(col("carrier"),
+          expr("aggregate(regs, CAST(0 AS BIGINT)," +
+            " (acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 55 - r))")
+            .as("z_scaled"),
+          expr("CAST(size(filter(regs, r -> r = 0)) AS INT)").as("v_empty"))
+        .withColumn("est_micro",
+          expr(Hll.estMicroSpark("z_scaled", "v_empty")))
+    } finally {
+      deleteRecursively(stateBase)
+      deleteRecursively(ckpt)
+    } }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_sketch_table" -> (s16 _),
     "s15_late_drop" -> (s15 _),
     "s14_update_hll" -> (s14 _),
     "s01_undelivered_stream" -> (s01 _),
@@ -1070,6 +1147,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s16_sketch_table" -> s12Sql,
     "s15_late_drop" -> s15Sql,
     "s14_update_hll" -> s14Sql,
     "s01_undelivered_stream" -> s01Sql,

@@ -632,6 +632,36 @@ class OperatorsSpec extends SparkSpec {
       ("b", 5L, "sent"), ("c", 1L, "sent")))
   }
 
+  test("s16 register-max merge is a join-semilattice (idempotent, split-insensitive)") {
+    import spark.implicits._
+    def regs(vs: Int*): Seq[Int] = {
+      val r = new Array[Int](64)
+      vs.foreach { v => val j = v % 64; if (v / 64 + 1 > r(j)) r(j) = v / 64 + 1 }
+      r.toSeq
+    }
+    def t(rows: (String, Seq[Int])*) = rows.toDF("carrier", "regs")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getSeq[Int](1))
+        .sortBy(_._1).toSeq
+    val empty = t().filter(lit(false))
+    val b1 = t("v" -> regs(1, 70, 200), "a" -> regs(5))
+    val b2 = t("v" -> regs(70, 300), "t" -> regs(9, 9))
+    val once = StreamingQueries.registersMaxMerge(
+      StreamingQueries.registersMaxMerge(empty, b1), b2)
+    // idempotent: replaying b2 is absorbed (semilattice, x <= x∨y)
+    val twice = StreamingQueries.registersMaxMerge(once, b2)
+    assert(canon(once) == canon(twice))
+    // split-insensitive: folding the union in one step gives the same
+    // table as the two incremental merges
+    val combined = t("v" -> regs(1, 70, 200, 300), "a" -> regs(5),
+      "t" -> regs(9, 9))
+    assert(canon(once) == canon(
+      StreamingQueries.registersMaxMerge(empty, combined)))
+    // and elementwise: v's registers are the pointwise max of its batches
+    val vRegs = canon(once).collectFirst { case ("v", r) => r }.get
+    assert(vRegs == regs(1, 70, 200).zip(regs(70, 300)).map(p => p._1 max p._2))
+  }
+
   test("s09 chained agg conserves the event count across both levels") {
     val rows = graft.operators.StreamingQueries
       .queries("s09_chained_agg")(spark, sf).collect()
