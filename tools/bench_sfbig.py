@@ -29,6 +29,15 @@ QUERIES = [
     # round-7 additions: the heavy rows whose flat-at-scale claims
     # previously rested on sf0.1 alone (verdict r6 item 6)
     "x22_tfidf_topk", "x37_closest_pairs", "x57_training_assembly",
+    # round-7 second push: the s-family BATCH TWINS over the now-10x
+    # events table, the cheap text/assembly family, and the new sketch
+    # gates - scaling evidence for the remaining operator families
+    "q13_window_hourly", "q14_key_latency", "q15_timeout_alert",
+    "x46_user_sequences", "x08_lang_id", "x09_quality_score",
+    "x21_repetition", "x32_quality_filter", "x36_unigram_score",
+    "x34_shard_pack", "x53_mixture_sample", "x54_doc_chunks",
+    "x58_chunk_dups", "x59_sample_quantiles", "x60_sketch_rollup",
+    "x61_cms_rollup",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",

@@ -63,10 +63,30 @@ def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
     con.sql(f"COPY ({' UNION ALL '.join(emb_parts)}) TO "
             f"'{out}/embeddings.parquet' (FORMAT PARQUET)")
 
-    # the relational/stream tables are not scaled here (the rehearsal
-    # targets the corpus operators); symlink them so Tables.* resolves
+    # events scales too (round 7): replica r shifts user_id (and
+    # event_id) by r*ID_STRIDE, keeping every per-user sequence intact
+    # while multiplying key cardinality and per-window volume 10x - the
+    # s-family BATCH TWINS (q13/q14/q15/x46) get real 10x rows. ts is
+    # unchanged, so window boundaries and timeout semantics are
+    # identical at both scales. DuckDB re-writes ts as plain TIMESTAMP
+    # (micros), which both engines read natively - Tables.events'
+    # nanos shim simply never fires for this fixture.
+    evs = os.path.join(src, "events.parquet")
+    ev_link = os.path.join(out, "events.parquet")
+    if os.path.islink(ev_link):
+        os.remove(ev_link)  # pre-round-7 layouts symlinked events
+    ev_parts = [
+        (f"SELECT event_id + {r * ID_STRIDE} AS event_id, ts, "
+         f"user_id + {r * ID_STRIDE} AS user_id, event_type, value, props "
+         f"FROM read_parquet('{evs}')")
+        for r in range(replicas)]
+    con.sql(f"COPY ({' UNION ALL '.join(ev_parts)}) TO "
+            f"'{ev_link}' (FORMAT PARQUET)")
+
+    # the remaining relational tables are not scaled (the rehearsal
+    # targets the corpus + stream operators); symlink so Tables.* resolves
     for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events"]:
+              "orders", "lineitem"]:
         link = os.path.join(out, f"{t}.parquet")
         target = os.path.join(src, f"{t}.parquet")
         if not os.path.exists(link) and os.path.exists(target):
@@ -74,7 +94,8 @@ def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
 
     nd = con.sql(f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')").fetchone()[0]
     ne = con.sql(f"SELECT count(*) FROM read_parquet('{out}/embeddings.parquet')").fetchone()[0]
-    print(f"built {out}: {nd} documents, {ne} embeddings ({replicas}x {src})")
+    nv = con.sql(f"SELECT count(*) FROM read_parquet('{ev_link}')").fetchone()[0]
+    print(f"built {out}: {nd} documents, {ne} embeddings, {nv} events ({replicas}x {src})")
 
 
 if __name__ == "__main__":
