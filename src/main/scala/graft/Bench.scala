@@ -186,11 +186,15 @@ object Bench {
     // 10x corpus scale would otherwise grind for hours on the
     // quadratic-ish dedup oracles).
     // Try, not bare toInt: a malformed value (e.g. "off") must degrade
-    // to the default, never abort the bench this block promises to
-    // keep best-effort.
-    val oracleRuns = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_ORACLE_RUNS", "3").trim.toInt)
-      .getOrElse(3)
+    // toward doing LESS work (0 — the user was plainly trying to turn
+    // the pass off or down), with a warning naming the bad value, and
+    // never abort the bench this block promises to keep best-effort.
+    val oracleRunsRaw = sys.env.getOrElse("SPARK_GRAFT_ORACLE_RUNS", "3").trim
+    val oracleRuns = scala.util.Try(oracleRunsRaw.toInt).getOrElse {
+      System.err.println(s"BENCH WARN: SPARK_GRAFT_ORACLE_RUNS=" +
+        s"'$oracleRunsRaw' is not an integer; skipping the oracle pass (0)")
+      0
+    }
     val duckdb: Map[String, Double] = try {
       val script = new java.io.File("tools/time_oracle.py")
       if (!script.isFile || oracleRuns <= 0) Map.empty

@@ -185,9 +185,13 @@ object Graft {
   def repetitionStats(docs: DataFrame): DataFrame =
     operators.TextOps.repetitionStats(docs)
 
-  /** Top-k tf-idf terms per document (integer score = tf·1e12 div df). */
-  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
-    operators.TextOps.tfIdfTopK(docs, k)
+  /** Top-k tf-idf terms per document (integer score = tf·1e12 div df).
+    * `broadcastVocab = false` shuffle-joins the document-frequency
+    * relation instead of broadcasting it — for corpora whose
+    * vocabulary outgrows the driver. */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3,
+      broadcastVocab: Boolean = true): DataFrame =
+    operators.TextOps.tfIdfTopK(docs, k, broadcastVocab)
 
   /** Unigram corpus-frequency score per doc (micro-units) — the
     * integer-portable perplexity-filter stand-in. */

@@ -121,7 +121,7 @@ case class HllUnion(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
-  import Hll.M
+  import Hll.{M, MaxRho}
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](M)
 
@@ -134,6 +134,11 @@ case class HllUnion(
       var j = 0
       while (j < M) {
         val r = arr.getInt(j)
+        // a register outside [0, MaxRho] can only come from a corrupt or
+        // foreign sketch table; silently narrowing it with r.toByte would
+        // wrap to a negative register and poison z_scaled (1L << (55-r))
+        require(r >= 0 && r <= MaxRho,
+          s"hll_union register out of range: $r at index $j (valid 0..$MaxRho)")
         if (r > buf(j)) buf(j) = r.toByte
         j += 1
       }

@@ -40,15 +40,27 @@ case class TopKRows(
 
   private def structType: StructType = child.dataType.asInstanceOf[StructType]
 
-  @transient private lazy val rowOrdering: Ordering[InternalRow] =
-    TypeUtils.getInterpretedOrdering(structType)
-      .asInstanceOf[Ordering[InternalRow]]
+  // Codegen'd natural ascending ordering over the struct's fields (one
+  // Janino compile per executor, cached by canonicalized shape). The
+  // interpreted ordering this replaces ran a per-field virtual-dispatch
+  // comparison chain on EVERY heap offer — measured as the dominant
+  // cost of the x22 scoring stage at the 10× rehearsal.
+  @transient private lazy val rowOrdering: Ordering[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, SortOrder}
+    RowOrdering.create(
+      structType.fields.zipWithIndex.map { case (f, i) =>
+        SortOrder(BoundReference(i, f.dataType, f.nullable), Ascending)
+      }.toSeq, Nil)
+  }
 
   /** Max-heap: head = LARGEST kept row, the one a smaller row evicts. */
   @transient private lazy val heapOrder: java.util.Comparator[UnsafeRow] =
     (a: UnsafeRow, b: UnsafeRow) => rowOrdering.compare(b, a)
 
-  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+  // Codegen'd projection of the child struct (struct construction and
+  // field evaluation compiled, not interpreted per row). The projection
+  // reuses its output buffer, so kept rows are copy()'d in offer.
+  @transient private lazy val childProj = UnsafeProjection.create(Seq(child))
 
   override def createAggregationBuffer(): java.util.PriorityQueue[UnsafeRow] =
     new java.util.PriorityQueue[UnsafeRow](math.min(k, 64) + 1, heapOrder)
@@ -63,8 +75,9 @@ case class TopKRows(
 
   override def update(buf: java.util.PriorityQueue[UnsafeRow],
       input: InternalRow): java.util.PriorityQueue[UnsafeRow] = {
-    val v = child.eval(input)
-    if (v != null) offer(buf, toUnsafe(v.asInstanceOf[InternalRow]))
+    val projected = childProj(input)
+    if (!projected.isNullAt(0))
+      offer(buf, projected.getStruct(0, structType.size).asInstanceOf[UnsafeRow])
     buf
   }
 

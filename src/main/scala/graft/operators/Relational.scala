@@ -184,19 +184,28 @@ object Relational {
       .limit(50)
       .select("o_orderkey")
 
-  /** Q17 — ranking window function (beyond the reference's surface; a
+  /** Q17 — per-group ranked top-k (beyond the reference's surface; a
     * real analytics engine needs analytic windows): top-3 orders per
-    * customer by price. WindowGroupLimit keeps per-partition top-k
-    * before the shuffle. */
-  def q17(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * customer by price. Implemented on the bounded-heap `topk_rows`
+    * aggregate, not the row_number window: the window form (kept
+    * through round 7) sorts each reducer's surviving rows even after
+    * WindowGroupLimit's pushdown, while the aggregate reduces every
+    * map partition to ≤k rows per customer before the exchange and
+    * never sorts more than k (functions/TopK.scala — the same scale
+    * argument as x22). The rank column is recovered from the
+    * aggregate's ascending output order via posexplode, so the result
+    * — including rn — is bit-identical to the window idiom the oracle
+    * runs. */
+  def q17(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("o_custkey")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)))
-      .filter(col("rn") <= 3)
-      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-  }
+      .groupBy("o_custkey")
+      .agg(graft.functions.TopK.rows(
+        struct((-col("o_totalprice")).as("np"), col("o_orderkey"),
+          col("o_totalprice")), 3).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), col("t.o_orderkey").as("o_orderkey"),
+        col("t.o_totalprice").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rn"))
 
   /** Q18 — ROLLUP aggregation (subtotals + grand total in one pass). */
   def q18(s: SparkSession, d: String): DataFrame =

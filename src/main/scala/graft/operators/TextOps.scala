@@ -191,40 +191,55 @@ object TextOps {
        |FROM pb GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- x22
-  /** TF-IDF top-k terms per document. Document frequency is a |vocab|-
-    * row aggregate of the per-(doc, term) counts (tf rows are distinct
-    * per doc, so count(*) per term IS df) BROADCAST-joined back onto
-    * them — the tf relation itself never re-shuffles for df. (Round-6
-    * shape computed df as a window over the term partition, which
-    * re-exchanged every (doc, term) row by term; the df agg moves only
-    * per-partition term partials.) Score is pure integer arithmetic
-    * (tf·1e12 div df): monotone in tf/df and bit-identical across
-    * engines — no floating-point log. Wide exchanges: the (doc, term)
-    * groupBy and the per-doc top-k window, both map-side-partial fed;
-    * the df agg exchange carries |vocab|-scale partials only. The
-    * broadcast holds the vocabulary (megabytes at corpus scale — word
-    * vocabularies grow sub-linearly); for a corpus whose vocab outgrows
-    * the driver, drop the broadcast() hint and AQE/planner picks a
-    * shuffle join, restoring the round-6 exchange. */
-  def tfIdfTopK(docs: DataFrame, k: Int = 3): DataFrame =
-    x22Impl(withWordsOf(docs), k)
-  def x22(s: SparkSession, d: String): DataFrame = x22Impl(withWords(s, d), 3)
-  private def x22Impl(ww: DataFrame, k: Int): DataFrame = {
+  /** TF-IDF top-k terms per document. The per-doc term frequencies are
+    * derived NARROWLY — one codegen'd [[graft.functions.TermCounts]]
+    * call per document (tokenize, count, hash in a compiled kernel) —
+    * so the corpus-sized (doc, term) exchange the round-6/7 shapes
+    * paid (explode every occurrence, hash-aggregate by (doc, term))
+    * does not exist at all: a document's tf rows are a per-row map.
+    * Each tf row carries the 60-bit portable hash of its term (the
+    * x45/x36 hashing trick), so the df aggregation and the scoring
+    * join — the only wide operations left — move fixed-width longs,
+    * never term strings. (A same-doc h60 collision keeps both terms
+    * as separate tf rows and counts both in df, identically in both
+    * engines — part of the shared contract.) Document frequency is a
+    * |vocab|-row aggregate of the tf rows (distinct per doc, so
+    * count(*) per hash IS df) BROADCAST-joined back onto them. Score
+    * is pure integer arithmetic (tf·1e12 div df): monotone in tf/df
+    * and bit-identical across engines — no floating-point log.
+    *
+    * `broadcastVocab`: the broadcast holds the vocabulary (megabytes
+    * for natural-language corpora — word vocabularies grow
+    * sub-linearly); callers whose vocab outgrows the driver pass
+    * false and the planner picks a shuffle join on the long key (AQE
+    * still downgrades to broadcast at runtime when the model is
+    * actually small). */
+  def tfIdfTopK(docs: DataFrame, k: Int = 3,
+      broadcastVocab: Boolean = true): DataFrame =
+    x22Impl(docs, k, broadcastVocab)
+  def x22(s: SparkSession, d: String): DataFrame =
+    x22Impl(Tables.documents(s, d), 3, broadcastVocab = true)
+  private def x22Impl(docs: DataFrame, k: Int,
+      broadcastVocab: Boolean): DataFrame = {
     // materialized: tf feeds the df build AND the scoring probe --
-    // unmaterialized, the explode+merge-agg runs once per consumer
-    // (same lazy-materialize trade as x45/x49)
-    val tf = ww
-      .select(col("doc_id"), explode(col("w")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // unmaterialized, the tokenize+count pass runs once per consumer
+    // (same lazy-materialize trade as x45/x49). The checkpointed plan
+    // is NARROW (no exchange above it): materialization is one scan.
+    val tf = docs
+      .select(col("doc_id"),
+        explode(graft.functions.TermCounts(col("text"))).as("r"))
+      .select(col("doc_id"), col("r.th").as("th"),
+        col("r.term").as("term"), col("r.tf").as("tf"))
       .localCheckpoint(eager = false)
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfBase = tf.groupBy("th").agg(count(lit(1)).as("df"))
+    val df = if (broadcastVocab) broadcast(dfBase) else dfBase
     // per-doc top-k via the bounded-heap topk_rows aggregate, NOT a
     // row_number window: the window sorts every doc's full term set on
     // its reducer; the aggregate reduces each partition to <=k rows per
     // doc before the exchange and never sorts more than k (see
     // functions/TopK.scala). Leading -score field encodes the
     // (score DESC, term ASC) window order losslessly.
-    tf.join(broadcast(df), "term")
+    tf.join(df, "th")
       .withColumn("score", expr("tf * 1000000000000L div df"))
       .groupBy("doc_id")
       .agg(graft.functions.TopK.rows(
@@ -238,11 +253,13 @@ object TextOps {
   val x22Sql: String =
     s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
        |tf AS (SELECT doc_id, unnest(w) AS term FROM ws),
-       |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tf GROUP BY 1, 2),
-       |wd AS (SELECT doc_id, term, tf, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tfc),
+       |tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM tf GROUP BY 1, 2),
+       |tfh AS (SELECT doc_id, term, tf, ${duckH60("term")} AS th FROM tfc),
+       |dfr AS (SELECT th, CAST(count(*) AS BIGINT) AS df FROM tfh GROUP BY th),
        |sc AS (SELECT doc_id, term, tf, df, tf * 1000000000000 // df AS score,
        |  row_number() OVER (PARTITION BY doc_id ORDER BY tf * 1000000000000 // df DESC, term) AS rn
-       |  FROM wd)
+       |  FROM tfh JOIN dfr USING (th))
        |SELECT doc_id, term, tf, df, score FROM sc WHERE rn <= 3""".stripMargin
 
   // ---------------------------------------------------------------- x32
@@ -297,28 +314,37 @@ object TextOps {
     * arithmetic is integer division, so both engines floor
     * identically (a log-prob variant would hit libm ulp divergence).
     *
-    * Scale shape: the frequency table is vocab-sized and BROADCAST
-    * (word vocabularies are millions of rows — megabytes — at any
-    * corpus size), so the corpus-side token stream never shuffles for
-    * the join; the only corpus-sized exchange is the per-doc
-    * aggregation, which partial-aggregates map-side. */
+    * Scale shape: the model is a HASHED unigram table (the x45 hashing
+    * trick): the token stream carries only the 60-bit portable hash of
+    * each token, so the frequency aggregation and the scoring join key
+    * on fixed-width longs, and the model is SHUFFLE-joined back — not
+    * broadcast. (Round 7 broadcast the vocab relation; the 10×
+    * rehearsal showed the broadcast grows with the corpus — a
+    * word-perturbed corpus mints near-occurrence-scale vocabulary — so
+    * the "megabytes at any scale" assumption does not survive growth.
+    * With AQE the planner still picks a broadcast at runtime when the
+    * model really is small.) Collisions (≈ n²/2^61) merge counts
+    * identically in both engines — part of the shared contract. The
+    * only corpus-sized exchanges are the model aggregation and the
+    * scoring join, both on uniform long keys. */
   def unigramScores(docs: DataFrame): DataFrame = {
     // materialized: the token stream feeds the vocab build AND the
     // scoring join — unmaterialized, the explode re-ran per consumer
     // (measured super-linear at the 10× rehearsal, the x45/x49/x22
-    // disease); ~30 B/token, lazily localCheckpointed like those three
+    // disease); 16 B/token, lazily localCheckpointed like those three
     val words = withWordsOf(docs)
       .select(col("doc_id"), explode(col("w")).as("wd"))
+      .select(col("doc_id"), h60(col("wd")).as("hw"))
       .localCheckpoint(eager = false)
     // per-token micro-unit weight attached to the VOCAB relation; the
     // corpus total is a 1-row agg broadcast back (a no-partition
     // window would drag the vocab through ONE reducer)
-    val freqBase = words.groupBy("wd").agg(count(lit(1)).as("wf"))
+    val freqBase = words.groupBy("hw").agg(count(lit(1)).as("wf"))
     val total = freqBase.agg(sum(col("wf")).as("total"))
     val freq = freqBase.crossJoin(broadcast(total))
-      .select(col("wd"), expr("wf * 1000000 div total").as("u"))
+      .select(col("hw"), expr("wf * 1000000 div total").as("u"))
     words
-      .join(broadcast(freq), "wd")
+      .join(freq, "hw")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
         expr("sum(u) div count(1)").as("mean_freq_u"))
@@ -328,12 +354,13 @@ object TextOps {
     unigramScores(Tables.documents(s, d))
 
   val x36Sql: String =
-    """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
-      |  FROM documents),
-      |f AS (SELECT wd, count(*) AS wf FROM w GROUP BY wd),
+    s"""WITH w AS (SELECT doc_id, ${duckH60("wd")} AS hw
+      |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS wd
+      |        FROM documents)),
+      |f AS (SELECT hw, count(*) AS wf FROM w GROUP BY hw),
       |t AS (SELECT sum(wf) AS total FROM f),
       |u AS (SELECT doc_id, (wf * 1000000) // total AS u
-      |  FROM w JOIN f USING (wd) CROSS JOIN t)
+      |  FROM w JOIN f USING (hw) CROSS JOIN t)
       |SELECT doc_id, count(*) AS n_toks,
       |  CAST(sum(u) // count(*) AS BIGINT) AS mean_freq_u
       |FROM u GROUP BY doc_id""".stripMargin
