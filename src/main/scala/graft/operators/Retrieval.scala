@@ -92,17 +92,18 @@ object Retrieval {
     // or backtick can't break the generated expression
     require(terms.forall(_.matches("[a-z0-9_.-]+")),
       s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
-    val tfCols: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
-      expr(s"size(filter(w, x -> x = '$t'))").as(s"tf${i + 1}")
-    }
-    // a NULL text would give size(null) = -1 for dl AND tf, poisoning
-    // the corpus stats (nd counts it, sdl decrements) — drop such rows;
-    // the oracle's ww CTE filters identically so stats agree
+    // a NULL text would poison the corpus stats (nd counts it, sdl
+    // decrements) — drop such rows; the oracle's ww CTE filters
+    // identically so stats agree. The (dl, tf1..tfn) projection is ONE
+    // codegen'd query_tf pass per document (tokenize + count every
+    // query term in a compiled kernel) — the composed split+filter
+    // form allocated the token array and re-walked it per term with
+    // interpreted lambdas (functions/QueryTf.scala).
     val t = docs
       .filter(col("text").isNotNull)
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .withColumn("dl", size(col("w")))
-      .select(col("doc_id") +: col("dl") +: tfCols: _*)
+      .select(col("doc_id"),
+        graft.functions.QueryTf(col("text"), terms).as("q"))
+      .select(col("doc_id"), col("q.*"))
       .localCheckpoint(eager = false)
     val statCols: Seq[Column] =
       count(lit(1)).as("nd") +: sum(col("dl")).as("sdl") +:

@@ -579,8 +579,13 @@ object StreamingQueries {
   def s10(s: SparkSession, d: String): DataFrame = {
     val split = eventsSplitDir(s, d, 5)
     val rawSchema = s.read.parquet(split.getAbsolutePath).schema
+    // 2 files/trigger over the 5-way split = 3 micro-batches with
+    // overlapping keys. The contract needs MULTI-batch incrementality
+    // (>=2 batches, replay, GC across versions), not one batch per
+    // file — per-file triggers bought nothing but two more sink write
+    // jobs per replay (round-7 verdict #6).
     val stream = messageStatusOf(
-      s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1")
+      s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "2")
         .parquet(split.getAbsolutePath)).toDF()
     val numBuckets = 16
     val stateBase =
@@ -1074,7 +1079,7 @@ object StreamingQueries {
     * one gated query. The oracle is the direct batch sketch over the
     * whole fixture (s12's arithmetic): union associativity PLUS
     * exactly-once must both hold for the stored registers to come out
-    * bit-identical after five incremental batches. This is the 100 TB
+    * bit-identical after the incremental multi-batch replay. This is the 100 TB
     * production pattern x60 reads from: the raw stream is sketched
     * once, incrementally, into a point-queryable table that rollups
     * and dashboards consume without ever rescanning events. */
@@ -1082,8 +1087,11 @@ object StreamingQueries {
     import graft.functions.Hll
     val split = eventsSplitDir(s, d, 5)
     val rawSchema = s.read.parquet(split.getAbsolutePath).schema
+    // 3 incremental batches (2+2+1 files) — see the s10 note: the
+    // union-associativity + exactly-once composition this gates is
+    // batch-count-invariant, and >=2 batches exercise it fully.
     val stream = messageStatusOf(
-      s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "1")
+      s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "2")
         .parquet(split.getAbsolutePath)).toDF()
     val numBuckets = 4
     val stateBase =

@@ -59,6 +59,19 @@ def spark_bench(sf_dir, names):
         return json.load(f)["queries"]
 
 
+def capped_bench(sf_dir):
+    """graft.CappedBench: the banded operators with maxBandBucket, timed
+    against their uncapped forms with recall, at the given dir."""
+    env = dict(os.environ,
+               SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_RUNS="2")
+    subprocess.run(["sbt", "-batch", "runMain graft.CappedBench"], env=env,
+                   check=True, stdout=subprocess.DEVNULL,
+                   stderr=subprocess.DEVNULL)
+    with open("capped_result.json") as f:
+        return json.load(f)
+
+
 TIMEOUT_S = 300   # cap per DuckDB run; a hit records "timeout:<cap>"
 SLOW_S = 30       # one sample suffices when a single run exceeds this
 
@@ -129,6 +142,10 @@ def main(sf1="/root/testdata/sf0.1", sf10="/tmp/sfbig",
         "spark_10x": spark_bench(sf10, QUERIES),
         "duckdb_1x": duck_bench(sf1, oracles, QUERIES),
         "duckdb_10x": duck_bench(sf10, oracles, QUERIES),
+        # round-8 verdict #5: the candidate cap rehearsed where it
+        # matters — the 10x output-quadratic tail — with per-row recall
+        # (capped pairs / uncapped pairs; x37: top-k overlap fraction)
+        "capped_10x": capped_bench(sf10),
     }
     def ratio(a, b):
         ok = all(isinstance(v, (int, float)) and v for v in (a, b))
