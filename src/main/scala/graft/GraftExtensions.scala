@@ -96,6 +96,35 @@ object GraftExtensions {
         }
         graft.functions.BottomKSample(es(0), es(1), k).toAggregateExpression()
       }),
+    ("bottomk_pairs",
+      info("bottomk_pairs",
+        "bottomk_pairs(hk, v, k) - aggregate: the k smallest (hk, v) " +
+          "pairs as array<struct> (the storable sample-table form " +
+          "consumed by bottomk_union)"),
+      (es: Seq[Expression]) => {
+        val k = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"bottomk_pairs k must be an integer literal, got $other")
+        }
+        graft.functions.BottomKSample(es(0), es(1), k, emitPairs = true)
+          .toAggregateExpression()
+      }),
+    ("bottomk_union",
+      info("bottomk_union",
+        "bottomk_union(pairs, k) - aggregate: fold stored bottom-k pair " +
+          "arrays to a coarser grouping (exact - bottom-k is a " +
+          "selection) without rescanning raw data"),
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"bottomk_union k must be an integer literal, got $other")
+        }
+        graft.functions.BottomKUnion(es(0), k).toAggregateExpression()
+      }),
   )
 
   /** Register on an already-built session (tests, notebooks). */

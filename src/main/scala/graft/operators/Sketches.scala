@@ -316,17 +316,61 @@ object Sketches {
        |$rows""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x62
+  /** Bottom-k sample-table rollup — the x60/x61 algebra applied to the
+    * x59 quantile sketch, completing the sketch-ALGEBRA family: a
+    * stored per-(fine-group) bottom-k PAIR table (`bottomk_pairs`,
+    * 16·k B per group) folds to any coarser grouping via
+    * `bottomk_union` without rescanning raw data. Sound because
+    * bottom-k under the (hk, v) total order is a SELECTION: every
+    * member of the coarse group's bottom-k is in its fine group's
+    * bottom-k, so bottomk(∪ fine bottomk) ≡ bottomk(coarse) EXACTLY —
+    * not approximately — and the gate compares the rolled-up pairs
+    * bit-for-bit against the direct per-lang computation (the oracle
+    * never sees the fine partition, so any union loss breaks the
+    * hash). The fixture's per-lang group sizes exceed k while some
+    * (lang, shard) fine groups fall below it — both the full-heap and
+    * underfull branches are exercised. */
+  def x62(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.BottomK
+    val docs = Tables.documents(s, d)
+    val hk = PortableHash.h60(
+      concat(lit("qs_"), col("doc_id").cast("string")))
+    val fine = docs
+      .groupBy(col("lang"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .agg(BottomK.pairs(hk, col("n_chars").cast("long"), QsK).as("ps"))
+    fine.groupBy("lang")
+      .agg(BottomK.union(col("ps"), QsK).as("ps"))
+      .select(col("lang"), posexplode(col("ps")).as(Seq("pos", "p")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rk"),
+        col("p.hk").as("hk"), col("p.v").as("v"))
+  }
+
+  val x62Sql: String = {
+    val hk = PortableHash.duckH60("concat('qs_', CAST(doc_id AS VARCHAR))")
+    s"""WITH t AS (
+       |  SELECT lang, CAST(n_chars AS BIGINT) AS v, $hk AS hk
+       |  FROM documents),
+       |r AS (SELECT lang, hk, v,
+       |    row_number() OVER (PARTITION BY lang ORDER BY hk, v) AS rk
+       |  FROM t)
+       |SELECT lang, CAST(rk AS BIGINT) AS rk, hk, v FROM r
+       |WHERE rk <= $QsK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x50_hll_distinct" -> (x50 _),
     "x52_cms_heavy_hitters" -> (x52 _),
     "x59_sample_quantiles" -> (x59 _),
     "x60_sketch_rollup" -> (x60 _),
-    "x61_cms_rollup" -> (x61 _))
+    "x61_cms_rollup" -> (x61 _),
+    "x62_sample_rollup" -> (x62 _))
 
   val oracleSql: Map[String, String] = Map(
     "x50_hll_distinct" -> x50Sql,
     "x52_cms_heavy_hitters" -> x52Sql,
     "x59_sample_quantiles" -> x59Sql,
     "x60_sketch_rollup" -> x60Sql,
-    "x61_cms_rollup" -> x61Sql)
+    "x61_cms_rollup" -> x61Sql,
+    "x62_sample_rollup" -> x62Sql)
 }

@@ -715,12 +715,19 @@ object StreamingQueries {
       .writeStream.format("parquet").option("path", outPath)
       .option("checkpointLocation", ck("cons"))
       .outputMode("append").start()
-    val sentDir = cachedSentinelDir(s)
-    def sentinel(glob: String, name: String): Unit = produce(
-      s.readStream
-        .schema(implicitly[org.apache.spark.sql.Encoder[MessageStatus]].schema)
-        .option("pathGlobFilter", glob)
-        .parquet(sentDir.getAbsolutePath).as[MessageStatus], name)
+    // Sentinels go through the SAME Confluent framing as the produced
+    // events but are appended to the broker log directly (one batch
+    // collect of 1 row each — they are harness machinery, not the
+    // produce contract: the gated produce path is the events run's
+    // real DSv2 streaming sink with its epochs; a full streaming-query
+    // start/stop per 1-row sentinel bought nothing but ~0.5 s each).
+    def sentinel(ms: MessageStatus): Unit = {
+      val framed = graft.sources.KafkaIO
+        .frameConfluent(Seq(ms).toDS(), registry)
+        .collect()
+        .map(r => (r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value")))
+      graft.sources.memkafka.MemBroker.append(topic, framed.toSeq)
+    }
     withReplayPartitions(s) { try {
       produce(eventsStream(s, d), "prod_events")
       val c1 = consumer()
@@ -731,9 +738,9 @@ object StreamingQueries {
       // is the data batch in which the timers fire (same two-batch
       // pattern as s01 — no-data micro-batches are not awaited by
       // processAllAvailable, so firing must ride a data batch)
-      sentinel("sentinel_00.parquet", "prod_s0")
+      sentinel(MessageStatus("sentinel", "delivered", 0L, "none", Sentinel1Ms))
       c2.processAllAvailable()
-      sentinel("sentinel_01.parquet", "prod_s1")
+      sentinel(MessageStatus("sentinel", "delivered", 0L, "none", Sentinel2Ms))
       c2.processAllAvailable()
       c2.stop()
       s.read.parquet(outPath)

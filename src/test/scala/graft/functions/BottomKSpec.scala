@@ -56,6 +56,44 @@ class BottomKSpec extends SparkSpec {
     assert(got == Seq(10L, 30L))
   }
 
+  test("pairs emit (hk, v) ascending; union of shard pairs equals direct") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i * 40503L % 4096, i % 53, i % 5))
+    val df = rows.toDF("hk", "v", "shard").repartition(7)
+    // direct bottom-k pairs over the whole set
+    val direct = df.agg(BottomK.pairs(col("hk"), col("v"), K).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+      .toSeq
+    assert(direct == rows.map(t => (t._1, t._2)).sorted.take(K),
+      "pairs must be the k smallest (hk, v), ascending")
+    // rollup: per-shard pair tables folded with bottomk_union
+    val rolled = df.groupBy("shard")
+      .agg(BottomK.pairs(col("hk"), col("v"), K).as("ps"))
+      .agg(BottomK.union(col("ps"), K).as("ps"))
+      .select(explode(col("ps")).as("p"))
+      .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+      .toSeq
+    assert(rolled == direct,
+      "bottomk_union over fine-group pairs must equal the direct bottom-k")
+  }
+
+  test("union is invariant to the fine partitioning") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i * 2654435761L % 997, i))
+    val direct = rows.sorted.take(K)
+    for (shards <- Seq(1, 3, 16)) {
+      val got = rows.map { case (h, v) => (h, v, v % shards) }
+        .toDF("hk", "v", "shard").repartition(5)
+        .groupBy("shard").agg(BottomK.pairs(col("hk"), col("v"), K).as("ps"))
+        .agg(BottomK.union(col("ps"), K).as("ps"))
+        .select(explode(col("ps")).as("p"))
+        .collect().map(r => (r.getStruct(0).getLong(0), r.getStruct(0).getLong(1)))
+        .toSeq
+      assert(got == direct, s"shards=$shards must not change the rollup")
+    }
+  }
+
   test("SQL registration matches the column API") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
