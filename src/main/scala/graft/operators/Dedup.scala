@@ -153,18 +153,17 @@ object Dedup {
         floor(col("jac") * 1000000).cast("long").as("jac_u"))
   }
 
-  /** DuckDB mirror of [[lshPairs]] — same constants, same band layout,
-    * same hashed-set Jaccard. @param shingleSql yields the (possibly
-    * duplicated) shingle LIST for one document row. */
-  private def lshSql(shingleSql: String, seed: Int, r: Int, nBands: Int,
-      thresh: Double): String = {
+  /** The CTE chain of [[lshSql]] up to relation `j` (a, b, jac) — also
+    * the pair oracle for the streaming admission gate (s17). */
+  private[operators] def lshPairCtes(shingleSql: String, seed: Int, r: Int,
+      nBands: Int): String = {
     val minCols = (0 until r * nBands).map { j =>
       s"min((hf % $P * ${permA(seed + j)} + ${permB(seed + j)}) % $P) AS m$j"
     }.mkString(",\n  ")
     val bandKey = "concat_ws('_', bn, " +
       (0 until r).map(k => s"sig[$r*bn+${k + 1}]").mkString(", ") + ")"
     val sigList = (0 until r * nBands).map(j => s"m$j").mkString("[", ", ", "]")
-    s"""WITH base AS (SELECT doc_id, $shingleSql AS sg FROM documents),
+    s"""base AS (SELECT doc_id, $shingleSql AS sg FROM documents),
        |hv AS (SELECT doc_id, ${duckH60("s")} AS hf
        |  FROM (SELECT doc_id, unnest(sg) AS s FROM base)),
        |sig AS (SELECT doc_id, list_sort(list(DISTINCT hf)) AS hs,
@@ -178,9 +177,28 @@ object Dedup {
        |v AS (SELECT a, b, len(list_intersect(sa.hs, sb.hs)) AS inter,
        |    len(sa.hs) AS la, len(sb.hs) AS lb
        |  FROM cand JOIN sig2 sa ON sa.doc_id = cand.a JOIN sig2 sb ON sb.doc_id = cand.b),
-       |j AS (SELECT a, b, inter / CAST(la + lb - inter AS DOUBLE) AS jac FROM v)
-       |SELECT a, b, CAST(floor(jac * 1000000) AS BIGINT) AS jac_u FROM j WHERE jac >= $thresh""".stripMargin
+       |j AS (SELECT a, b, inter / CAST(la + lb - inter AS DOUBLE) AS jac FROM v)""".stripMargin
   }
+
+  /** DuckDB mirror of [[lshPairs]] — same constants, same band layout,
+    * same hashed-set Jaccard. @param shingleSql yields the (possibly
+    * duplicated) shingle LIST for one document row. */
+  private def lshSql(shingleSql: String, seed: Int, r: Int, nBands: Int,
+      thresh: Double): String =
+    s"""WITH ${lshPairCtes(shingleSql, seed, r, nBands)}
+       |SELECT a, b, CAST(floor(jac * 1000000) AS BIGINT) AS jac_u FROM j WHERE jac >= $thresh""".stripMargin
+
+  /** Streaming-admission support (s17): the x02-family signature
+    * relation and its exploded band keys, with the family constants
+    * (seed 0, r 2, 8 bands) pinned so the streaming gate and the x02
+    * oracle share one contract. */
+  private[operators] def admissionSig(docs: DataFrame): DataFrame =
+    wordSigOf(docs, seed = 0, r = 2, nBands = 8)
+  private[operators] def admissionBands(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), bandKeyCol(2, 8).as("bk"))
+  // def, not val: wordShinglesSql is declared later in this object and
+  // a val here would read null during object init
+  private[operators] def admissionShinglesSql: String = wordShinglesSql
 
   /** Word 3-gram shingle-occurrence hashes, one row each (codegen'd). */
   private[graft] def wordShingleHashes(docs: DataFrame): DataFrame =

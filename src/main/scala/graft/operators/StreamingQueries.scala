@@ -1141,7 +1141,167 @@ object StreamingQueries {
     } }
   }
 
+  /** Replay source for [[s17]]: the documents fixture as three one-file
+    * micro-batches with batch membership pinned to `doc_id % 3` (and
+    * ascending mtimes, so file order IS batch order) — the oracle must
+    * know which batch every doc rode, so the split is deterministic,
+    * never repartition-arbitrary. One dir per (app, sf). */
+  private val admitDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def admissionReplayDir(s: SparkSession, d: String): java.io.File = {
+    val key = s.sparkContext.applicationId + "::" + d
+    Option(admitDirCache.get(key)).getOrElse {
+      val dir = graft.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory("graft_admit_src_").toFile)
+      val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+      (0 until 3).foreach { n =>
+        val stage = new java.io.File(dir, s"stage$n")
+        docs.filter(pmod(col("doc_id"), lit(3)) === n)
+          .coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(dir, f"gen$n%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(System.currentTimeMillis() + n * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      Option(admitDirCache.putIfAbsent(key, dir)).getOrElse(dir)
+    }
+  }
+
+  /** s17 — STREAMING NEAR-DUP ADMISSION: the production ingest gate a
+    * training corpus actually runs — each arriving micro-batch of
+    * documents is LSH-checked against every document seen in EARLIER
+    * batches (plus smaller-id members of its own batch) and admitted
+    * iff it has no near-duplicate predecessor. This is x27's
+    * batch-versus-corpus incremental join promoted to a real
+    * Structured Streaming pipeline with persistent signature state:
+    * each batch (a) computes its x02-family MinHash signatures ONCE
+    * (narrow ShingleSig pass), (b) band-joins them against the stored
+    * signature table (batch×corpus candidates — never corpus²), (c)
+    * exact-Jaccard-verifies (≥ 0.8) and counts predecessor partners,
+    * and (d) appends its own signatures to the state and its verdicts
+    * to the output log — both as per-batch OVERWRITE versions, so a
+    * replayed batch (crash between sink write and checkpoint commit)
+    * rewrites identical content: signatures are a pure function of the
+    * batch, and the state it read (strictly earlier batch dirs) is
+    * never mutated afterwards.
+    *
+    * The admission predicate is deliberately (batch, id)-lexicographic
+    * — a doc is rejected iff SOME near-dup partner precedes it in
+    * arrival order, whether or not that partner was itself admitted —
+    * which makes the semantics batch-split-deterministic and
+    * SQL-expressible: the oracle computes the full x02 pair relation,
+    * assigns batches by the same `doc_id % 3` rule the replay split
+    * pins, and counts lexicographic predecessors. Any drift in the
+    * streaming path (signatures, banding, verification threshold,
+    * state reads crossing into the current batch) breaks the row hash.
+    *
+    * 100 TB posture: per-batch cost is O(batch bands × matching corpus
+    * bands) — candidates scale with the BATCH; the signature state is
+    * an append-only parquet log readable by any later ingest epoch
+    * (the x27 scale argument, plus exactly-once). */
+  def s17(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayMath
+    val dir = admissionReplayDir(s, d)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val stateBase = java.nio.file.Files
+      .createTempDirectory("graft_admit_state_").toFile
+    val outBase = graft.TempDirs.deleteOnExit(java.nio.file.Files
+      .createTempDirectory("graft_admit_out_").toFile)
+    val ckpt = try scratchCkptDir("graft_admit_ckpt_") catch {
+      case t: Throwable => deleteRecursively(stateBase); throw t
+    }
+    withReplayPartitions(s) { try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // signatures once per batch; they feed the band join, the
+          // verify lookups, and the state write (narrowSigOf persists
+          // the relation through its own LRU — no extra materialization
+          // needed here)
+          val sigB = Dedup.admissionSig(batch)
+          val priorDirs = Option(stateBase.listFiles())
+            .getOrElse(Array.empty[java.io.File]).toSeq
+            .filter(_.getName.startsWith("sig_b"))
+            .filter(_.getName.drop(5).toLong < batchId)
+            .map(_.getAbsolutePath)
+          val prior =
+            if (priorDirs.isEmpty) None else Some(s.read.parquet(priorDirs: _*))
+          val bandsB = Dedup.admissionBands(sigB)
+          // same-batch predecessors: partner with smaller id
+          val sameCand = bandsB.alias("x")
+            .join(bandsB.alias("y"), col("x.bk") === col("y.bk") &&
+              col("y.doc_id") < col("x.doc_id"))
+            .select(col("x.doc_id").as("doc_id"),
+              col("y.doc_id").as("partner"))
+          // earlier-batch predecessors: every banded corpus match
+          val cand = prior.fold(sameCand) { p =>
+            sameCand.unionByName(
+              bandsB.alias("x")
+                .join(Dedup.admissionBands(p).alias("y"),
+                  col("x.bk") === col("y.bk"))
+                .select(col("x.doc_id").as("doc_id"),
+                  col("y.doc_id").as("partner")))
+          }.distinct()
+          val partnerHs = prior.fold(sigB)(p => sigB.unionByName(p))
+            .select(col("doc_id").as("partner"), col("hs").as("hsb"))
+          val verified = cand
+            .join(sigB.select(col("doc_id"), col("hs").as("hsa")), "doc_id")
+            .join(partnerHs, "partner")
+            .withColumn("inter",
+              ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+            .withColumn("jac", col("inter") /
+              (size(col("hsa")) + size(col("hsb")) - col("inter"))
+                .cast("double"))
+            .filter(col("jac") >= 0.8)
+            .groupBy("doc_id").agg(count(lit(1)).as("n_prior"))
+          batch.select("doc_id").distinct()
+            .join(verified, Seq("doc_id"), "left")
+            .select(col("doc_id"), lit(batchId).as("batch_id"),
+              (coalesce(col("n_prior"), lit(0L)) === 0).as("admitted"),
+              coalesce(col("n_prior"), lit(0L)).as("n_prior"))
+            .write.mode("overwrite")
+            .parquet(new java.io.File(outBase, s"b$batchId").getAbsolutePath)
+          sigB.write.mode("overwrite")
+            .parquet(new java.io.File(stateBase, s"sig_b$batchId")
+              .getAbsolutePath)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      s.read.parquet(Option(outBase.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("b")).map(_.getAbsolutePath).toSeq: _*)
+    } finally {
+      deleteRecursively(stateBase)
+      deleteRecursively(ckpt)
+    } }
+  }
+
+  val s17Sql: String = {
+    val pairCtes = Dedup.lshPairCtes(Dedup.admissionShinglesSql,
+      seed = 0, r = 2, nBands = 8)
+    s"""WITH $pairCtes,
+       |pr AS (SELECT a, b FROM j WHERE jac >= 0.8),
+       |e AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+       |dd AS (SELECT doc_id, doc_id % 3 AS bt FROM documents),
+       |pre AS (
+       |  SELECT d.doc_id, count(*) AS n_prior
+       |  FROM dd d JOIN e ON e.x = d.doc_id JOIN dd p ON p.doc_id = e.y
+       |  WHERE (p.bt < d.bt) OR (p.bt = d.bt AND p.doc_id < d.doc_id)
+       |  GROUP BY d.doc_id)
+       |SELECT d.doc_id, CAST(d.bt AS BIGINT) AS batch_id,
+       |  coalesce(n_prior, 0) = 0 AS admitted,
+       |  CAST(coalesce(n_prior, 0) AS BIGINT) AS n_prior
+       |FROM dd d LEFT JOIN pre USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_stream_admission" -> (s17 _),
     "s16_sketch_table" -> (s16 _),
     "s15_late_drop" -> (s15 _),
     "s14_update_hll" -> (s14 _),
@@ -1162,6 +1322,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s17_stream_admission" -> s17Sql,
     "s16_sketch_table" -> s12Sql,
     "s15_late_drop" -> s15Sql,
     "s14_update_hll" -> s14Sql,

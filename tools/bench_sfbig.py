@@ -38,6 +38,8 @@ QUERIES = [
     "x34_shard_pack", "x53_mixture_sample", "x54_doc_chunks",
     "x58_chunk_dups", "x59_sample_quantiles", "x60_sketch_rollup",
     "x61_cms_rollup",
+    # round-8: the quantile-sketch rollup completing the algebra family
+    "x62_sample_rollup",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
