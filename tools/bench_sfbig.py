@@ -40,6 +40,9 @@ QUERIES = [
     "x61_cms_rollup",
     # round-8: the quantile-sketch rollup completing the algebra family
     "x62_sample_rollup",
+    # round-8: the streaming near-dup admission gate - the 100 TB ingest
+    # path claim, measured (candidates scale with the batch)
+    "s17_stream_admission",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
