@@ -117,4 +117,29 @@ object Tables {
       df.repartition(target)
     else df
   }
+
+  /** Partition count for an exchange whose row volume scales with the
+    * byte size of a file-backed input: `max(defaultParallelism,
+    * inputBytes / bytesPerPartition)`, capped at 1024. Partition COUNT
+    * never changes a result — only where a fixed count would sort/spill
+    * partitions far larger than executor memory at a rehearsal scale
+    * the session's parallelism was not sized for (x18's one pinned
+    * shingle exchange ships ~500 M rows at the 100× corpus; 32
+    * partitions sort-spilled it to 69 s). Non-file inputs (or any
+    * listing failure) fall back to the floor — identical to the old
+    * fixed behavior. */
+  def sizeScaledPartitions(df: DataFrame,
+      bytesPerPartition: Long = 1L << 20): Int = {
+    val sc = df.sparkSession.sparkContext
+    val floor = sc.defaultParallelism
+    val bytes =
+      try {
+        val conf = sc.hadoopConfiguration
+        df.inputFiles.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    math.min(1024L, math.max(floor.toLong, bytes / bytesPerPartition)).toInt
+  }
 }

@@ -62,7 +62,12 @@ object Decontaminate {
     // concurrent consumer stages), and an unpinned repartition lets AQE
     // coalesce the tiny test-scale shuffle below the session's
     // parallelism.
-    val parts = corpus.sparkSession.sparkContext.defaultParallelism
+    // partition count scales with the file-backed input size (1 MB of
+    // compressed input per partition ≈ 64 MB of shingle rows after the
+    // ~8× explode + hash amplification): at test scale this IS
+    // defaultParallelism; at the 100× rehearsal it is what keeps the
+    // sort-window below spill
+    val parts = Tables.sizeScaledPartitions(corpus)
     val shd = shd0.repartition(parts, col("hf"))
     // Document frequency via a window over the same partitioning, and
     // the cap applied BEFORE any per-hash document list exists: a

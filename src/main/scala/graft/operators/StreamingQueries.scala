@@ -136,10 +136,17 @@ object StreamingQueries {
     * are few, so 8 partitions cut per-partition state-store commit
     * overhead without losing parallelism), restoring the session value
     * after. */
-  private def withReplayPartitions[T](s: SparkSession)(f: => T): T = {
+  private def withReplayPartitions[T](s: SparkSession)(f: => T): T =
+    withReplayPartitionsN(s, sys.env.getOrElse("GRAFT_REPLAY_PARTS", "8").toInt)(f)
+
+  /** As [[withReplayPartitions]] with an explicit count — for replays
+    * whose per-batch work scales with the DATA (s17's batch×corpus
+    * candidate joins), where the fixed detector-replay count would
+    * sort-spill at rehearsal scale. Partition count never changes a
+    * result. */
+  private def withReplayPartitionsN[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("GRAFT_REPLAY_PARTS", "8"))
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -1214,11 +1221,28 @@ object StreamingQueries {
     val ckpt = try scratchCkptDir("graft_admit_ckpt_") catch {
       case t: Throwable => deleteRecursively(stateBase); throw t
     }
-    withReplayPartitions(s) { try {
+    // candidate-join volume scales (quadratically in the near-dup rate)
+    // with the corpus: size the replay's shuffle-partition count from
+    // the replay files' bytes (~1 MB parquet per partition), flooring at
+    // the detector-replay default so gate-scale latency is unchanged
+    val replayBytes = Option(dir.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val admitParts = math.min(512L, math.max(
+      sys.env.getOrElse("GRAFT_REPLAY_PARTS", "8").toLong,
+      replayBytes >> 20)).toInt
+    withReplayPartitionsN(s, admitParts) { try {
       val q = stream.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode("update")
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+          // each micro-batch arrives as ONE replay file = one scan
+          // split, which would serialize the signature pass (the
+          // expensive narrow stage) on a single core at rehearsal
+          // scale — spread it first; at gate scale (admitParts == the
+          // detector floor) this stays a no-op
+          val batch = if (admitParts > 8) batch0.repartition(admitParts)
+                      else batch0
           // signatures once per batch; they feed the band join, the
           // verify lookups, and the state write (narrowSigOf persists
           // the relation through its own LRU — no extra materialization
