@@ -25,23 +25,23 @@ object StreamingQueries {
     "['verizon', 'att', 't-mobile'][CAST(user_id % 3 + 1 AS INT)]"
 
   /** The events fixture as a streaming Dataset[MessageStatus]: a real
-    * readStream file source over the events parquet (glob-filtered),
-    * the same ts normalization as [[graft.Tables.events]] — both ride
+    * readStream file source over the events parquet, the same ts
+    * normalization as [[graft.Tables.events]] — both ride
     * [[graft.Tables.eventsPath]], so no session conf is mutated here
     * and the batch/streaming paths cannot drift in encoding. No driver
-    * collect — rows stream through executors. */
+    * collect — rows stream through executors.
+    *
+    * The source reads the cached multi-file split of the fixture
+    * ([[eventsSplitDir]]) rather than the raw single-file layout:
+    * parquet row groups are larger than the fixture, so a one-file
+    * source pins the whole data batch's scan+shuffle-write on ONE core
+    * — with no trigger cap all split files still arrive in the same
+    * micro-batch (identical rows, identical batching, the scan is just
+    * N tasks wide). */
   private def eventsStream(s: SparkSession, d: String): Dataset[MessageStatus] = {
-    val path = new java.io.File(graft.Tables.eventsPath(s, d))
-    val rawSchema = s.read.parquet(path.getAbsolutePath).schema
-    // the file source lists a DIRECTORY: glob-filter down to the one
-    // fixture file when the path is the raw single-file layout
-    val raw =
-      if (path.isDirectory)
-        s.readStream.schema(rawSchema).parquet(path.getAbsolutePath)
-      else
-        s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", path.getName).parquet(path.getParent)
-    messageStatusOf(raw)
+    val dir = eventsSplitDir(s, d, 8)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    messageStatusOf(s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
   }
 
   /** The events→MessageStatus mapping, shared by every replay source
@@ -75,7 +75,7 @@ object StreamingQueries {
     * for all rows (range-partitioned on the distinct timestamps). */
   private def sentinelDir(s: SparkSession, rows: Seq[MessageStatus]): java.io.File = {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_sentinel_").toFile
+    val dir = scratchDir("graft_sentinel_")
     val stage = new java.io.File(dir, "stage")
     rows.toDS().repartitionByRange(rows.size, col("timestamp"))
       .write.parquet(stage.getAbsolutePath)
@@ -117,18 +117,38 @@ object StreamingQueries {
       .as[MessageStatus]
   }
 
-  /** A scratch checkpoint dir on tmpfs when the host has one: the
-    * replays run to completion and discard state, so checkpoint
-    * durability buys nothing and /dev/shm takes the state-store commit
-    * I/O off disk (measured ~40% off the outer-join replay). Production
-    * deployments choose durable checkpointLocation — this shortcut is
-    * the HARNESS's, shared by the memory-sink and foreachBatch replay
-    * paths. */
-  private def scratchCkptDir(prefix: String): java.io.File = {
+  /** A scratch dir on tmpfs when the host has one: the replays run to
+    * completion and discard everything they write, so durability buys
+    * nothing and /dev/shm takes the I/O off disk (measured ~40% off the
+    * outer-join replay for the checkpoint alone; the upsert/sketch-table
+    * replays also read+rewrite their bucketed state through it every
+    * micro-batch). Production deployments choose durable
+    * checkpointLocation / state URIs — this shortcut is the HARNESS's,
+    * shared by the checkpoint, replay-state, and replay-output paths. */
+  private def scratchDir(prefix: String): java.io.File = {
     val shm = new java.io.File("/dev/shm")
     val base = if (shm.isDirectory && shm.canWrite) shm.toPath
       else new java.io.File(System.getProperty("java.io.tmpdir")).toPath
     java.nio.file.Files.createTempDirectory(base, prefix).toFile
+  }
+
+  private def scratchCkptDir(prefix: String): java.io.File = scratchDir(prefix)
+
+  /** Run `f` with no-data micro-batches disabled, restoring the prior
+    * setting after. No-data batches only matter for timers/eviction that
+    * fire AFTER the last data batch; every replay's second sentinel is
+    * itself a data batch that fires everything real, so the trailing
+    * no-data batch would only GC the sentinel's own state (~0.3-0.5 s of
+    * per-query-run overhead for zero output — two such batches showed up
+    * in s11's restarted-consumer leg alone). */
+  private def withoutNoDataBatches[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Run `f` with the replay shuffle-partition count (the stateful
@@ -155,20 +175,12 @@ object StreamingQueries {
     * the memory-sink drain — the only driver materialization in the
     * replay path. */
   private def runToSink(s: SparkSession, df: DataFrame, outputMode: String): DataFrame = withReplayPartitions(s) {
-    // Create the scratch dir before the noData mutation below: a failed
+    // Create the scratch dir before the noData mutation: a failed
     // createTempDirectory (tmpfs full) must not leak that un-restored
     // setting. (withReplayPartitions restores its own conf in all
     // paths, so ordering relative to IT is not load-bearing.)
     val ckpt = scratchCkptDir("graft_replay_ckpt_")
-    // No-data micro-batches only matter for timers/eviction that fire
-    // AFTER the last data batch; the replay's second sentinel file is
-    // itself a data batch that fires everything real, so the trailing
-    // no-data batch would only GC the sentinel's own state (~1s of
-    // per-replay overhead for zero output). Restored afterwards.
-    val prevNoData = s.conf
-      .getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
+    withoutNoDataBatches(s) { try {
       val qn = "replay_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = df.writeStream
         .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -190,13 +202,7 @@ object StreamingQueries {
       // map caches) and each replay runs slower than the last.
       org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
       deleteRecursively(ckpt)
-      prevNoData match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
-    }
+    } }
   }
 
   private def deleteRecursively(f: java.io.File): Unit =
@@ -553,7 +559,7 @@ object StreamingQueries {
     // a racing duplicate build is a spare temp dir reaped at JVM exit
     val key = s"${s.sparkContext.applicationId}|$d|$nFiles"
     Option(splitCache.get(key)).getOrElse {
-      val dir = java.nio.file.Files.createTempDirectory("graft_evsplit_").toFile
+      val dir = scratchDir("graft_evsplit_")
       s.read.parquet(graft.Tables.eventsPath(s, d)).repartition(nFiles)
         .write.mode("overwrite").parquet(dir.getAbsolutePath)
       val built = graft.TempDirs.deleteOnExit(dir)
@@ -594,9 +600,14 @@ object StreamingQueries {
     val stream = messageStatusOf(
       s.readStream.schema(rawSchema).option("maxFilesPerTrigger", "2")
         .parquet(split.getAbsolutePath)).toDF()
-    val numBuckets = 16
+    // Bucket count is the horizontal-scale knob (a production table
+    // uses thousands); the gate only needs >1 so a batch demonstrably
+    // touches a SUBSET of buckets. 8 at replay scale halves the leaf
+    // write/read tasks per merge batch vs 16 with the contract intact —
+    // the oracle never observes the layout.
+    val numBuckets = 8
     val stateBase =
-      java.nio.file.Files.createTempDirectory("graft_upsert_").toFile
+      scratchDir("graft_upsert_")
     // the sink addresses its state through the Hadoop FileSystem API —
     // this temp dir could equally be an hdfs:// or s3a:// URI
     val statePath = new org.apache.hadoop.fs.Path(stateBase.getAbsolutePath)
@@ -626,7 +637,7 @@ object StreamingQueries {
       // SCAN over it (JVM-exit cleanup, like the other fixture caches):
       // the harness stays driver-bounded at any |keys| — no collect.
       val resultDir = graft.TempDirs.deleteOnExit(
-        java.nio.file.Files.createTempDirectory("graft_upsert_out_").toFile)
+        scratchDir("graft_upsert_out_"))
       val resultPath = new java.io.File(resultDir, "state").getAbsolutePath
       state.select(col("messageId"), col("timestamp").as("ts_ms"),
           col("status"))
@@ -711,7 +722,7 @@ object StreamingQueries {
       q.processAllAvailable(); q.stop()
     }
     val outDir = graft.TempDirs.deleteOnExit(
-      java.nio.file.Files.createTempDirectory("graft_s11_out_").toFile)
+      scratchDir("graft_s11_out_"))
     val outPath = new java.io.File(outDir, "alerts").getAbsolutePath
     // Consumer factory: every start resumes from the SAME checkpoint —
     // the restart in the middle of the run is the point of the query.
@@ -735,7 +746,7 @@ object StreamingQueries {
         .map(r => (r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value")))
       graft.sources.memkafka.MemBroker.append(topic, framed.toSeq)
     }
-    withReplayPartitions(s) { try {
+    withReplayPartitions(s) { withoutNoDataBatches(s) { try {
       produce(eventsStream(s, d), "prod_events")
       val c1 = consumer()
       c1.processAllAvailable()
@@ -757,7 +768,7 @@ object StreamingQueries {
     } finally {
       graft.sources.memkafka.MemBroker.clear(topic)
       deleteRecursively(base)
-    } }
+    } } }
   }
 
   /** s12 — STREAMING approximate distinct: the x50 HLL sketch running
@@ -913,7 +924,7 @@ object StreamingQueries {
         col("sk").getField("z_scaled").as("z_scaled"),
         col("sk").getField("v_empty").as("v_empty"))
     val emitDir = graft.TempDirs.deleteOnExit(
-      java.nio.file.Files.createTempDirectory("graft_upd_emit_").toFile)
+      scratchDir("graft_upd_emit_"))
     val emitPath = new java.io.File(emitDir, "emissions").getAbsolutePath
     val ckpt = scratchCkptDir("graft_upd_ckpt_")
     withReplayPartitions(s) { try {
@@ -982,7 +993,7 @@ object StreamingQueries {
     Option(lateDirCache.get(key)).getOrElse {
       import s.implicits._
       val dir = graft.TempDirs.deleteOnExit(
-        java.nio.file.Files.createTempDirectory("graft_late_").toFile)
+        scratchDir("graft_late_"))
       val ms = messageStatusOf(
         s.read.parquet(graft.Tables.eventsPath(s, d)))
       val minTs = ms.toDF().agg(min(col("timestamp"))).head().getLong(0)
@@ -1036,7 +1047,7 @@ object StreamingQueries {
       .select(col("window.start").as("win_start"), col("carrier"),
         col("cnt"))
     val emitDir = graft.TempDirs.deleteOnExit(
-      java.nio.file.Files.createTempDirectory("graft_late_emit_").toFile)
+      scratchDir("graft_late_emit_"))
     val emitPath = new java.io.File(emitDir, "emissions").getAbsolutePath
     val ckpt = scratchCkptDir("graft_late_ckpt_")
     withReplayPartitions(s) { try {
@@ -1109,7 +1120,7 @@ object StreamingQueries {
         .parquet(split.getAbsolutePath)).toDF()
     val numBuckets = 4
     val stateBase =
-      java.nio.file.Files.createTempDirectory("graft_sktab_").toFile
+      scratchDir("graft_sktab_")
     val statePath = new org.apache.hadoop.fs.Path(stateBase.getAbsolutePath)
     val ckpt = try scratchCkptDir("graft_sktab_ckpt_") catch {
       case t: Throwable => deleteRecursively(stateBase); throw t
@@ -1130,7 +1141,7 @@ object StreamingQueries {
       val state = BucketedUpsert.currentState(s, statePath, numBuckets)
         .getOrElse(sys.error("sketch-table stream produced no state"))
       val resultDir = graft.TempDirs.deleteOnExit(
-        java.nio.file.Files.createTempDirectory("graft_sktab_out_").toFile)
+        scratchDir("graft_sktab_out_"))
       val resultPath =
         new java.io.File(resultDir, "state").getAbsolutePath
       state.write.mode("overwrite").parquet(resultPath)
@@ -1160,7 +1171,7 @@ object StreamingQueries {
     val key = s.sparkContext.applicationId + "::" + d
     Option(admitDirCache.get(key)).getOrElse {
       val dir = graft.TempDirs.deleteOnExit(
-        java.nio.file.Files.createTempDirectory("graft_admit_src_").toFile)
+        scratchDir("graft_admit_src_"))
       val docs = graft.Tables.documents(s, d).select("doc_id", "text")
       (0 until 3).foreach { n =>
         val stage = new java.io.File(dir, s"stage$n")
@@ -1214,10 +1225,8 @@ object StreamingQueries {
     val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
     val stream = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
-    val stateBase = java.nio.file.Files
-      .createTempDirectory("graft_admit_state_").toFile
-    val outBase = graft.TempDirs.deleteOnExit(java.nio.file.Files
-      .createTempDirectory("graft_admit_out_").toFile)
+    val stateBase = scratchDir("graft_admit_state_")
+    val outBase = graft.TempDirs.deleteOnExit(scratchDir("graft_admit_out_"))
     val ckpt = try scratchCkptDir("graft_admit_ckpt_") catch {
       case t: Throwable => deleteRecursively(stateBase); throw t
     }
