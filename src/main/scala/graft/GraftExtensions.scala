@@ -111,6 +111,22 @@ object GraftExtensions {
         graft.functions.BottomKSample(es(0), es(1), k, emitPairs = true)
           .toAggregateExpression()
       }),
+    ("bounded_set",
+      info("bounded_set",
+        "bounded_set(bigint, cap) - aggregate: the group's distinct " +
+          "values as a sorted array when there are at most cap of them, " +
+          "NULL past the cap (state <= cap+1 longs per group - the " +
+          "document-frequency-cap shape: over-cap groups are dropped " +
+          "without their contents ever existing)"),
+      (es: Seq[Expression]) => {
+        val cap = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.asInstanceOf[Number].intValue()
+          case other => throw new IllegalArgumentException(
+            s"bounded_set cap must be an integer literal, got $other")
+        }
+        graft.functions.BoundedLongSet(es(0), cap).toAggregateExpression()
+      }),
     ("bottomk_union",
       info("bottomk_union",
         "bottomk_union(pairs, k) - aggregate: fold stored bottom-k pair " +

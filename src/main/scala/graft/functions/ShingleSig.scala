@@ -55,6 +55,20 @@ sealed abstract class ShingleSigComputer(seed: Int, nSlots: Int)
     v >>> 4
   }
 
+  /** h60 over a byte slice, digesting into a caller-owned 16-byte
+    * scratch buffer — the allocation-free form the per-gram loops use
+    * (md5 of the slice is identical to md5 of a copied sub-array). */
+  protected final def h60(bytes: Array[Byte], off: Int, len: Int,
+      out: Array[Byte]): Long = {
+    val m = md.get()
+    m.update(bytes, off, len)
+    m.digest(out, 0, 16)
+    var v = 0L
+    var k = 0
+    while (k < 8) { v = (v << 8) | (out(k) & 0xffL); k += 1 }
+    v >>> 4
+  }
+
   /** One 60-bit hash per gram OCCURRENCE, in document order. */
   protected def gramHashes(u: UTF8String): Array[Long]
 
@@ -94,12 +108,35 @@ sealed abstract class ShingleSigComputer(seed: Int, nSlots: Int)
 final class CharShingleSigComputer(seed: Int, nSlots: Int, gramLen: Int)
     extends ShingleSigComputer(seed, nSlots) {
   override protected def gramHashes(u: UTF8String): Array[Long] = {
+    // One rolling pass over the document's UTF-8 bytes: two byte
+    // offsets (window start, window end) each advance one codepoint per
+    // gram, and each gram is hashed as a SLICE of the shared byte array
+    // through the reusable digest buffer. Value-identical to the
+    // substringSQL formulation (md5 of the same bytes) but O(n) instead
+    // of O(n²) — substringSQL re-walks the string from byte 0 on every
+    // call, which turned long documents into per-task stragglers (a
+    // 100k-char doc cost ~5G byte steps; the whole 100× corpus ran at 4
+    // of 32 cores behind them) — and allocation-free per gram where the
+    // old loop minted a UTF8String + byte[] + digest array each.
+    val bytes = u.getBytes
     val n = u.numChars()
     val count = math.max(n - gramLen + 1, 1)
     val hashes = new Array[Long](count)
+    val out = new Array[Byte](16)
+    var sb = 0 // byte offset of char i
+    var eb = 0 // byte offset of char i + gramLen (capped at end)
+    var ec = 0 // chars consumed by eb
+    while (ec < gramLen && eb < bytes.length) {
+      eb += UTF8String.numBytesForFirstByte(bytes(eb))
+      ec += 1
+    }
     var i = 0
     while (i < count) {
-      hashes(i) = h60(u.substringSQL(i + 1, gramLen).getBytes)
+      hashes(i) = h60(bytes, sb, eb - sb, out)
+      if (sb < bytes.length)
+        sb += UTF8String.numBytesForFirstByte(bytes(sb))
+      if (eb < bytes.length)
+        eb += UTF8String.numBytesForFirstByte(bytes(eb))
       i += 1
     }
     hashes

@@ -66,23 +66,32 @@ object Decontaminate {
     // compressed input per partition ≈ 64 MB of shingle rows after the
     // ~8× explode + hash amplification): at test scale this IS
     // defaultParallelism; at the 100× rehearsal it is what keeps the
-    // sort-window below spill
+    // per-partition aggregation below spill
     val parts = Tables.sizeScaledPartitions(corpus)
     val shd = shd0.repartition(parts, col("hf"))
-    // Document frequency via a window over the same partitioning, and
-    // the cap applied BEFORE any per-hash document list exists: a
-    // boilerplate shingle shared by a million documents is a counter
-    // and a dropped row here, never a million-element set.
-    import org.apache.spark.sql.expressions.Window
-    val capped = shd
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("hf")))
-      .filter(col("df") <= maxShingleDocFreq)
-    // Bounded sets (<= maxShingleDocFreq elements by construction),
-    // still under the one exchange's partitioning.
-    val perHash = capped.groupBy("hf").agg(
-      collect_set(when(col("__bench"), col("doc_id"))).as("bs"),
-      collect_set(when(!col("__bench"), col("doc_id"))).as("cs"))
-      .filter(size(col("bs")) > 0 && size(col("cs")) > 0)
+    // Frequency cap and set collection in ONE aggregation pass: each
+    // side's distinct doc ids via the bounded-set aggregate
+    // ([[graft.functions.BoundedLongSet]]), whose state is ≤ cap+1
+    // longs per hash no matter how many documents share the shingle —
+    // a boilerplate shingle shared by a million documents overflows at
+    // cap+1 and frees its contents (NULL here = df > cap = dropped,
+    // EXACTLY the frequency filter). The former formulation pre-counted
+    // df with a window over the same partitioning, which sorted the
+    // full shingle relation ONCE for the window and AGAIN inside the
+    // (sort-fallback) collect_set aggregation — at the 100× corpus the
+    // two ~half-billion-row sorts were the row's entire gap to the
+    // single-node baseline.
+    val cap = maxShingleDocFreq
+    val perHash = shd.groupBy("hf").agg(
+      graft.functions.BoundedSet.collect(
+        when(col("__bench"), col("doc_id")), cap).as("bs"),
+      graft.functions.BoundedSet.collect(
+        when(!col("__bench"), col("doc_id")), cap).as("cs"))
+      // overflow on EITHER side implies combined df > cap; the size sum
+      // applies the cap when both sides stayed under it individually
+      .filter(col("bs").isNotNull && col("cs").isNotNull &&
+        size(col("bs")) + size(col("cs")) <= cap &&
+        size(col("bs")) > 0 && size(col("cs")) > 0)
     perHash
       .select(explode(col("cs")).as("doc_id"), col("bs"))
       .select(col("doc_id"), explode(col("bs")).as("bench_id"))
