@@ -66,7 +66,10 @@ class BoundedSetSpec extends SparkSpec {
   test("SQL registration matches the column API") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
-    val df = (1L to 60L).map(i => (i % 5) -> (i % 11)).toDF("g", "v")
+    // values stay under the cap (7 distinct per group <= Cap=8), so
+    // both paths return concrete arrays and the comparison sees sets,
+    // not the overflow NULL (covered by the dedicated tests above)
+    val df = (1L to 60L).map(i => (i % 5) -> (i % 7)).toDF("g", "v")
     df.createOrReplaceTempView("bs_in")
     val viaSql = spark.sql(
       s"SELECT g, bounded_set(v, $Cap) AS s FROM bs_in GROUP BY g ORDER BY g")
