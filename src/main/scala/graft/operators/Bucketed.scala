@@ -250,11 +250,86 @@ object Bucketed {
       |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
       |FROM orders GROUP BY 1""".stripMargin
 
+  /** Confs under which the optimizer injects a runtime bloom filter
+    * (InjectRuntimeFilter) for q35, restored after `f`. The two
+    * thresholds exist to stop tiny-scan injections that cannot pay for
+    * themselves — at 100 TB the DEFAULTS (application scan > 10 GB,
+    * creation side < 10 MB) fire on exactly this query shape; at
+    * fixture scale they must be widened or the rule (correctly) judges
+    * the scan too small to bother. The conf window must cover
+    * OPTIMIZATION, not just construction, which is why [[q35]]
+    * materializes inside it. */
+  private[graft] def withBloomConfs[T](s: SparkSession)(f: => T): T = {
+    val pins = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64MB",
+      // the rule only fires on a PROBABLY-SHUFFLE join, decided by size
+      // (hints are only consulted for broadcast): at fixture scale both
+      // sides fit the broadcast threshold, so model the target scale —
+      // where neither side broadcasts — explicitly
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
+    pins.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  /** The join q35 gates: big fact (lineitem) ⋈ selectively-filtered
+    * orders. The merge hint pins the shuffle-join shape the technique
+    * exists for — at the target scale neither side broadcasts, and
+    * InjectRuntimeFilter only pays off when the application side
+    * shuffles. Under [[withBloomConfs]] the optimizer builds a bloom
+    * filter over the surviving o_orderkey set (a `bloom_filter_agg`
+    * subquery on the creation side) and applies
+    * `bloom_filter_might_contain(l_orderkey)` INSIDE the fact scan's
+    * filter — rows of the 100 TB side that cannot join are dropped at
+    * the scan, before the shuffle, the row-level analogue of q33's
+    * directory-level dynamic pruning. */
+  private[graft] def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    li.hint("merge").join(urgent, col("l_orderkey") === col("o_orderkey"))
+  }
+
+  /** q35 — runtime bloom-filter join pruning, gated end-to-end: the
+    * oracle runs the plain join, so identical output proves the
+    * injected filter is a pure access-path change (no row the bloom
+    * passes is double-counted, none it should pass is dropped). The
+    * aggregate materializes inside the conf window because the
+    * InjectRuntimeFilter rule reads its confs at optimization time —
+    * returning a lazy plan and restoring the confs would silently
+    * optimize WITHOUT the filter (the streaming replays set the same
+    * precedent for returning a computed result). PlanSpec asserts the
+    * bloom is really in the executed plan and that the conf-off twin
+    * matches. */
+  def q35(s: SparkSession, d: String): DataFrame = withBloomConfs(s) {
+    val agg = bloomJoin(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
+    val rows = agg.collect()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+  }
+
+  val q35Sql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q23_bucketed_join" -> (q23 _),
     "q24_partition_prune" -> (q24 _),
     "q33_dynamic_prune" -> (q33 _),
     "q34_schema_evolution" -> (q34 _),
+    "q35_runtime_bloom" -> (q35 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -262,5 +337,6 @@ object Bucketed {
     "q24_partition_prune" -> q24Sql,
     "q33_dynamic_prune" -> q33Sql,
     "q34_schema_evolution" -> q34Sql,
+    "q35_runtime_bloom" -> q35Sql,
   )
 }

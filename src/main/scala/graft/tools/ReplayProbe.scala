@@ -38,10 +38,17 @@ object ReplayProbe {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
         println(s"PROBE end")
     })
-    args.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
-      println(f"PROBE $name total=${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
+    // args: query names, or "conf:key=value" to set a session conf
+    // before the queries that follow it (e.g. a state-store provider).
+    args.foreach {
+      case c if c.startsWith("conf:") =>
+        val kv = c.stripPrefix("conf:").split("=", 2)
+        spark.conf.set(kv(0), kv(1))
+        println(s"PROBE conf ${kv(0)}=${kv(1)}")
+      case name =>
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"PROBE $name total=${(System.nanoTime() - t0) / 1e9}%.3f s rows=$n")
     }
     // listener events are async; let the bus drain before the JVM exits
     Thread.sleep(2000)

@@ -245,6 +245,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("phase"), "selective predicate lives on the dim")
   }
 
+  test("q35 bloom filter is injected into the fact side at optimization time") {
+    // inside the conf window the optimizer must build a bloom over the
+    // filtered orders keys and probe it on the lineitem side BEFORE the
+    // shuffle — the row-level analogue of q33's directory pruning
+    val (withBloom, planStr) = Bucketed.withBloomConfs(spark) {
+      val j = Bucketed.bloomJoin(spark, sf)
+      (j.collect().toSet, plan(j))
+    }
+    assert(planStr.toLowerCase.contains("might_contain"),
+      s"fact scan must probe the runtime bloom filter:\n$planStr")
+    // conf-off twin: the filter is a pure access-path change
+    val without = Bucketed.bloomJoin(spark, sf)
+    assert(!plan(without).toLowerCase.contains("might_contain"),
+      "default thresholds must not inject at fixture scale (the twin is bloom-free)")
+    assert(without.collect().toSet === withBloom,
+      "bloom-pruned join must return exactly the plain join's rows")
+  }
+
   test("q22 salted join spreads the hot key: join is on (k, __salt)") {
     val p = plan(Skew.q22(spark, sf))
     assert(p.contains("__salt"), "join keys must include the salt column")
