@@ -263,6 +263,22 @@ class PlanSpec extends SparkSpec {
       "bloom-pruned join must return exactly the plain join's rows")
   }
 
+  test("q36 hot partition is split by AQE skew handling (skew=true)") {
+    // the final adaptive plan only exists after execution, so collect
+    // first and read the executed plan after — inside the conf window,
+    // since AQE reads the skew confs while re-optimizing between stages
+    val (withSplit, planStr) = Skew.withAqeSkewConfs(spark) {
+      val j = Skew.skewJoin(spark, sf)
+      val rows = j.collect().toSet
+      (rows, j.queryExecution.executedPlan.toString)
+    }
+    assert(planStr.contains("skew=true"),
+      s"AQE must split the hot partition (skew=true on the join):\n$planStr")
+    // conf-off twin: the split is pure partitioning mechanics
+    assert(Skew.skewJoin(spark, sf).collect().toSet === withSplit,
+      "skew-split join must return exactly the plain join's rows")
+  }
+
   test("q22 salted join spreads the hot key: join is on (k, __salt)") {
     val p = plan(Skew.q22(spark, sf))
     assert(p.contains("__salt"), "join keys must include the salt column")
