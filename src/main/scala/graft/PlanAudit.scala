@@ -35,6 +35,8 @@ object PlanAudit {
       "corpus token total: ONE aggregated row attached to the |vocab|-row frequency frame (replaced the no-partition vocab window)",
     "x57_training_assembly" ->
       "inherits x53's mixture-totals attach: ONE aggregated row onto the |sources|-row stats frame",
+    "x63_hybrid_rrf" ->
+      "inherits x49's 1-row stats attach plus the x06 idiom: the ONE-row query vector broadcast onto the streaming corpus",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -35,6 +35,7 @@ object SparkEntry {
       operators.Pca.queries ++
       operators.Packing.queries ++
       operators.Retrieval.queries ++
+      operators.Hybrid.queries ++
       operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -58,6 +59,7 @@ object SparkEntry {
       operators.Pca.oracleSql ++
       operators.Packing.oracleSql ++
       operators.Retrieval.oracleSql ++
+      operators.Hybrid.oracleSql ++
       operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql

@@ -118,14 +118,17 @@ object Retrieval {
       .limit(k)
   }
 
-  val x49Sql: String = {
-    val tfDefs = GateTerms.zipWithIndex.map { case (t, i) =>
+  /** The BM25 oracle as DuckDB CTE text, parameterized by terms and k —
+    * shared by x49 (k = GateK) and x63's lexical leg, so the two gates
+    * cannot drift. Callers embed `$body` as `WITH $ctes SELECT ...`. */
+  private[operators] def bm25SqlCtes(terms: Seq[String]): String = {
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(w, x -> x = '$t')) AS tf${i + 1}"
     }.mkString(",\n    ")
-    val dfDefs = GateTerms.indices.map(i =>
+    val dfDefs = terms.indices.map(i =>
       s"CAST(sum(CASE WHEN tf${i + 1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df${i + 1}"
     ).mkString(",\n    ")
-    s"""WITH ww AS (
+    s"""ww AS (
        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
        |  WHERE text IS NOT NULL),
        |t AS (
@@ -135,13 +138,21 @@ object Retrieval {
        |st AS (
        |  SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(dl) AS BIGINT) AS sdl,
        |    $dfDefs
-       |  FROM t)
+       |  FROM t)""".stripMargin
+  }
+
+  /** The rendered score expression over the bm25SqlCtes columns. */
+  private[operators] def bm25ScoreSql(nTerms: Int): String = score(nTerms)
+
+  private[operators] def gateTerms: Seq[String] = GateTerms
+
+  val x49Sql: String =
+    s"""WITH ${bm25SqlCtes(GateTerms)}
        |SELECT doc_id,
        |  CAST(floor(${score(GateTerms.size)} * 1000000.0) AS BIGINT) AS score_micro
        |FROM t CROSS JOIN st
        |ORDER BY score_micro DESC, doc_id
        |LIMIT $GateK""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x49_bm25_topk" -> (x49 _))

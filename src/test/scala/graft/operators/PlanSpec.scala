@@ -263,6 +263,14 @@ class PlanSpec extends SparkSpec {
       "bloom-pruned join must return exactly the plain join's rows")
   }
 
+  test("x63 both retrieval legs are TakeOrderedAndProject, no global sort") {
+    val p = plan(Hybrid.x63(spark, sf))
+    // two bounded-heap top-k legs (lexical + semantic); a Sort over the
+    // corpus would mean a leg regressed to a global sort
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"both candidate legs must be bounded-heap top-k:\n$p")
+  }
+
   test("q36 hot partition is split by AQE skew handling (skew=true)") {
     // the final adaptive plan only exists after execution, so collect
     // first and read the executed plan after — inside the conf window,
