@@ -43,6 +43,9 @@ QUERIES = [
     # round-8: the streaming near-dup admission gate - the 100 TB ingest
     # path claim, measured (candidates scale with the batch)
     "s17_stream_admission",
+    # round-8 second push: hybrid BM25+cosine RRF retrieval - two
+    # bounded-heap corpus scans, fusion on driver-sized lists
+    "x63_hybrid_rrf",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
