@@ -99,6 +99,9 @@ QUERIES = [
     # the streaming admission gate: batch-proportional epochs vs the
     # oracle's one-shot full-pair recompute
     "s17_stream_admission",
+    # hybrid RRF retrieval: two bounded-heap corpus scans, fixed-size
+    # answer - the curve-crossing row (Spark near-flat, DuckDB linear)
+    "x63_hybrid_rrf",
 ]
 
 
