@@ -111,6 +111,12 @@ object PlanAudit {
       // audit nothing — their kernels are audited by the streaming
       // suites and the PlanSpec un-truncated-kernel tests instead
       .filterNot(_._1.matches("^s\\d.*"))
+      // q35/q36 materialize inside their conf windows for the same
+      // reason (the optimizer rules they gate read conf at
+      // optimize/execute time), so their audited plan would also be a
+      // blind LocalTableScan — their join subtrees are plan-asserted
+      // by PlanSpec INSIDE the conf windows instead
+      .filterNot(n => n._1 == "q35_runtime_bloom" || n._1 == "q36_aqe_skew_join")
       .map { case (name, fn) =>
         val f = planFeatures(fn(spark, sfDir).queryExecution.executedPlan)
         val topk = if (f.topk) "✓" else ""

@@ -121,7 +121,15 @@ object Retrieval {
   /** The BM25 oracle as DuckDB CTE text, parameterized by terms and k —
     * shared by x49 (k = GateK) and x63's lexical leg, so the two gates
     * cannot drift. Callers embed `$body` as `WITH $ctes SELECT ...`. */
-  private[operators] def bm25SqlCtes(terms: Seq[String]): String = {
+  private[operators] def bm25SqlCtes(terms0: Seq[String]): String = {
+    // mirror bm25TopK's normalization and alphabet guard EXACTLY: a
+    // mixed-case term must lowercase (the token stream is lowercased)
+    // and nothing outside the tokenizer's alphabet may reach the
+    // rendered SQL — otherwise the two gates drift or the SQL breaks
+    val terms = terms0.map(_.toLowerCase)
+    require(terms.nonEmpty && terms.size <= 16, "1..16 query terms")
+    require(terms.forall(_.matches("[a-z0-9_.-]+")),
+      s"query terms must be plain tokens, got: ${terms.mkString(", ")}")
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(w, x -> x = '$t')) AS tf${i + 1}"
     }.mkString(",\n    ")

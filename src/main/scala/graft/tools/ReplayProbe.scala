@@ -43,6 +43,8 @@ object ReplayProbe {
     args.foreach {
       case c if c.startsWith("conf:") =>
         val kv = c.stripPrefix("conf:").split("=", 2)
+        require(kv.length == 2 && kv(0).nonEmpty,
+          s"malformed conf argument '$c' — expected conf:key=value")
         spark.conf.set(kv(0), kv(1))
         println(s"PROBE conf ${kv(0)}=${kv(1)}")
       case name =>

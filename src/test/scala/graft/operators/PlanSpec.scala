@@ -265,10 +265,12 @@ class PlanSpec extends SparkSpec {
 
   test("x63 both retrieval legs are TakeOrderedAndProject, no global sort") {
     val p = plan(Hybrid.x63(spark, sf))
-    // two bounded-heap top-k legs (lexical + semantic); a Sort over the
-    // corpus would mean a leg regressed to a global sort
-    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
-      s"both candidate legs must be bounded-heap top-k:\n$p")
+    // three bounded-heap top-k spans: the lexical leg, the semantic
+    // leg, AND the final fused orderBy+limit — requiring all three
+    // means a leg regressing to a global sort cannot hide behind the
+    // fusion's own TakeOrderedAndProject
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 3,
+      s"both candidate legs and the fusion must be bounded-heap top-k:\n$p")
   }
 
   test("q36 hot partition is split by AQE skew handling (skew=true)") {
