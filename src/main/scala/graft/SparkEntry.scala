@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Packing.queries ++
       operators.Retrieval.queries ++
       operators.Hybrid.queries ++
+      operators.Propagate.queries ++
       operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -60,6 +61,7 @@ object SparkEntry {
       operators.Packing.oracleSql ++
       operators.Retrieval.oracleSql ++
       operators.Hybrid.oracleSql ++
+      operators.Propagate.oracleSql ++
       operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
