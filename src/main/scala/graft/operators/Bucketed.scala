@@ -258,8 +258,15 @@ object Bucketed {
     * fixture scale they must be widened or the rule (correctly) judges
     * the scan too small to bother. The conf window must cover
     * OPTIMIZATION, not just construction, which is why [[q35]]
-    * materializes inside it. */
-  private[graft] def withBloomConfs[T](s: SparkSession)(f: => T): T = {
+    * materializes inside it. The pins live on a CLONED session
+    * (`newSession`: same SparkContext and warehouse, isolated SQLConf),
+    * handed to `f` — a concurrent query planned on the parent session
+    * during the window keeps its broadcast joins; nothing global is
+    * mutated, so no restore is needed. Builder-time `spark.sql.*`
+    * settings (shuffle partitions etc.) live in the SparkConf and so
+    * carry over to the clone. */
+  private[graft] def withBloomConfs[T](s: SparkSession)(f: SparkSession => T): T = {
+    val ss = s.newSession()
     val pins = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
@@ -269,12 +276,8 @@ object Bucketed {
       // sides fit the broadcast threshold, so model the target scale —
       // where neither side broadcasts — explicitly
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
-    pins.foreach { case (k, v) => s.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+    pins.foreach { case (k, v) => ss.conf.set(k, v) }
+    f(ss)
   }
 
   /** The join q35 gates: big fact (lineitem) ⋈ selectively-filtered
@@ -308,12 +311,14 @@ object Bucketed {
     * precedent for returning a computed result). PlanSpec asserts the
     * bloom is really in the executed plan and that the conf-off twin
     * matches. */
-  def q35(s: SparkSession, d: String): DataFrame = withBloomConfs(s) {
-    val agg = bloomJoin(s, d)
+  def q35(s: SparkSession, d: String): DataFrame = withBloomConfs(s) { ss =>
+    val agg = bloomJoin(ss, d)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n_items"),
         sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_cents"))
     val rows = agg.collect()
+    // materialized under the clone's confs; handed back on the caller's
+    // session so downstream writes see the caller's settings
     s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
   }
 

@@ -53,8 +53,12 @@ object Hybrid {
   def rrfHybrid(docs: DataFrame, emb: DataFrame, terms: Seq[String],
       queryVecId: Long, kPer: Int = KPer, rrfK: Int = RrfK,
       k: Int = FinalK): DataFrame = {
-    // ---- lexical leg: BM25 top-kPer (x49's exact scoring contract)
-    val lex = Retrieval.bm25TopK(docs, terms, kPer)
+    // ---- lexical leg: BM25 top-kPer (x49's exact scoring contract).
+    // The query item is excluded from BOTH candidate lists (it would
+    // trivially self-retrieve on each); its text still counts toward
+    // the BM25 corpus stats, exactly as its vector still defines the
+    // semantic query.
+    val lex = Retrieval.bm25TopK(docs, terms, kPer, Some(queryVecId))
       .select(col("doc_id").as("id"), col("score_micro").as("s"))
     // ---- semantic leg: one-query cosine top-kPer (x06's layout: the
     // corpus streams, the 1-row query broadcasts)
@@ -99,7 +103,7 @@ object Hybrid {
        |lexall AS (
        |  SELECT doc_id AS id,
        |    CAST(floor(${Retrieval.bm25ScoreSql(terms.size)} * 1000000.0) AS BIGINT) AS s
-       |  FROM t CROSS JOIN st),
+       |  FROM t CROSS JOIN st WHERE doc_id <> $QueryVecId),
        |lex AS (
        |  SELECT id, row_number() OVER (ORDER BY s DESC, id) AS r FROM lexall
        |  QUALIFY r <= $KPer),

@@ -38,22 +38,31 @@ object Propagate {
 
   /** Library entry: propagate `scores` (id, s0) over undirected
     * `pairs` (a, b) for `iters` rounds; returns (id, s0, s) for every
-    * scored id. */
+    * scored id. N(v) is defined over SCORED endpoints only: an edge
+    * touching an id absent from `scores` is dropped (semi-join on both
+    * endpoints) before deg is counted, so deg and the neighbor sum
+    * always range over the same set — an unscored neighbor can neither
+    * dilute the average nor leave a node with deg>0 but NULL sum_s
+    * (which would otherwise surface as a NULL score and let NULL
+    * ordering decide the top-N). PropagateSpec pins both properties. */
   def qualityPropagate(scores: DataFrame, pairs: DataFrame,
       iters: Int = Iters): DataFrame = {
+    val base = scores
+      .select(col("id").cast("long").as("id"), col("s0").cast("long").as("s0"))
+      .localCheckpoint(eager = false)
     // symmetric distinct neighbor view: u ∈ N(v) — pairs arrive once
-    // per unordered pair, so mirror and dedupe
+    // per unordered pair, so mirror and dedupe; then keep only edges
+    // whose BOTH endpoints are scored (see scaladoc above)
     val edges = pairs
       .select(col("a").cast("long").as("v"), col("b").cast("long").as("u"))
       .unionByName(pairs
         .select(col("b").cast("long").as("v"), col("a").cast("long").as("u")))
       .where(col("v") =!= col("u"))
       .distinct()
+      .join(base.select(col("id").as("v")), Seq("v"), "left_semi")
+      .join(base.select(col("id").as("u")), Seq("u"), "left_semi")
       .localCheckpoint(eager = false)
     val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(eager = false)
-    val base = scores
-      .select(col("id").cast("long").as("id"), col("s0").cast("long").as("s0"))
       .localCheckpoint(eager = false)
     var cur = base.select(col("id"), col("s0"), col("s0").as("s"))
     for (_ <- 1 to iters) {
@@ -102,15 +111,16 @@ object Propagate {
   val x64Sql: String = {
     val iters = (1 to Iters).map(i => iterSql(s"it${i - 1}", i))
       .mkString(",\n")
-    s"""WITH pairs AS (${Dedup.x02Sql}),
+    s"""WITH sc AS (${TextOps.x09Sql}),
+       |s0 AS (SELECT doc_id AS id, score_u AS s0 FROM sc),
+       |pairs AS (${Dedup.x02Sql}),
        |edges AS (
        |  SELECT DISTINCT v, u FROM (
        |    SELECT a AS v, b AS u FROM pairs
        |    UNION ALL SELECT b AS v, a AS u FROM pairs)
-       |  WHERE v <> u),
+       |  WHERE v <> u
+       |    AND v IN (SELECT id FROM s0) AND u IN (SELECT id FROM s0)),
        |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY v),
-       |sc AS (${TextOps.x09Sql}),
-       |s0 AS (SELECT doc_id AS id, score_u AS s0 FROM sc),
        |it0 AS (SELECT id, s0, s0 AS s FROM s0),
        |$iters
        |SELECT id AS doc_id, s0 AS s0_u, s AS s_u

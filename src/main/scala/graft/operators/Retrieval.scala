@@ -81,8 +81,12 @@ object Retrieval {
 
   /** Library entry: BM25 top-k of `terms` (lowercase, whitespace
     * tokenization) over any (doc_id, text) DataFrame. Returns
-    * (doc_id, score_micro) with deterministic doc_id tie-break. */
-  def bm25TopK(docs: DataFrame, terms0: Seq[String], k: Int): DataFrame = {
+    * (doc_id, score_micro) with deterministic doc_id tie-break.
+    * `excludeDocId` drops that id from the CANDIDATE list only — the
+    * corpus stats (nd, sdl, df) still count it, so excluding the query
+    * document (Hybrid's use) does not perturb every other score. */
+  def bm25TopK(docs: DataFrame, terms0: Seq[String], k: Int,
+      excludeDocId: Option[Long] = None): DataFrame = {
     // the token stream is lowercased, so match the terms to it — a
     // mixed-case query would otherwise silently score tf = 0 everywhere
     val terms = terms0.map(_.toLowerCase)
@@ -110,10 +114,11 @@ object Retrieval {
         terms.indices.map(i =>
           sum(when(col(s"tf${i + 1}") > 0, 1L).otherwise(0L)).as(s"df${i + 1}"))
     val stats = t.agg(statCols.head, statCols.tail: _*)
-    t.join(broadcast(stats))
+    val scored = t.join(broadcast(stats))
       .select(col("doc_id"),
         expr(s"CAST(floor(${score(terms.size)} * 1000000.0) AS BIGINT)")
           .as("score_micro"))
+    excludeDocId.fold(scored)(id => scored.filter(col("doc_id") =!= id))
       .orderBy(col("score_micro").desc, col("doc_id"))
       .limit(k)
   }

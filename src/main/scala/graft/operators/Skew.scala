@@ -141,8 +141,12 @@ object Skew {
     * the conf models the target scale, as in
     * [[Bucketed.withBloomConfs]]. The window must cover EXECUTION (AQE
     * reads these while re-optimizing between stages), which is why
-    * [[q36]] materializes inside it. */
-  private[graft] def withAqeSkewConfs[T](s: SparkSession)(f: => T): T = {
+    * [[q36]] materializes inside it. As with [[Bucketed.withBloomConfs]]
+    * the pins live on a CLONED session handed to `f`, so a concurrent
+    * query on the parent session never inherits the tiny skew
+    * thresholds or the disabled broadcast. */
+  private[graft] def withAqeSkewConfs[T](s: SparkSession)(f: SparkSession => T): T = {
+    val ss = s.newSession()
     val pins = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
@@ -150,12 +154,8 @@ object Skew {
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val prev = pins.map { case (k, _) => k -> s.conf.getOption(k) }
-    pins.foreach { case (k, v) => s.conf.set(k, v) }
-    try f finally prev.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+    pins.foreach { case (k, v) => ss.conf.set(k, v) }
+    f(ss)
   }
 
   /** The join q36 gates: the hot-keyed fact (half the rows on key 0)
@@ -174,10 +174,10 @@ object Skew {
     * partitioning mechanics, so the result must equal the plain join
     * (same contract as q22's salt). Materializes inside the conf
     * window, as [[Bucketed.q35]] does and for the same reason. */
-  def q36(s: SparkSession, d: String): DataFrame = withAqeSkewConfs(s) {
+  def q36(s: SparkSession, d: String): DataFrame = withAqeSkewConfs(s) { ss =>
     // min(payload) forces the payload through the scan and the skewed
     // shuffle (column pruning would otherwise drop it at the source)
-    val agg = skewJoin(s, d)
+    val agg = skewJoin(ss, d)
       .groupBy("k", "n_cust")
       .agg(count(lit(1)).as("n_rows"),
         sum(col("l_quantity")).cast("long").as("sum_qty"),

@@ -249,8 +249,14 @@ class PlanSpec extends SparkSpec {
     // inside the conf window the optimizer must build a bloom over the
     // filtered orders keys and probe it on the lineitem side BEFORE the
     // shuffle — the row-level analogue of q33's directory pruning
-    val (withBloom, planStr) = Bucketed.withBloomConfs(spark) {
-      val j = Bucketed.bloomJoin(spark, sf)
+    val (withBloom, planStr) = Bucketed.withBloomConfs(spark) { ss =>
+      // the conf window is a CLONED session: the parent must keep its
+      // broadcast threshold while the window is open (the isolation the
+      // helper exists for)
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+        "conf window must not leak into the parent session")
+      assert(ss.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1")
+      val j = Bucketed.bloomJoin(ss, sf)
       (j.collect().toSet, plan(j))
     }
     assert(planStr.toLowerCase.contains("might_contain"),
@@ -277,8 +283,10 @@ class PlanSpec extends SparkSpec {
     // the final adaptive plan only exists after execution, so collect
     // first and read the executed plan after — inside the conf window,
     // since AQE reads the skew confs while re-optimizing between stages
-    val (withSplit, planStr) = Skew.withAqeSkewConfs(spark) {
-      val j = Skew.skewJoin(spark, sf)
+    val (withSplit, planStr) = Skew.withAqeSkewConfs(spark) { ss =>
+      assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+        "conf window must not leak into the parent session")
+      val j = Skew.skewJoin(ss, sf)
       val rows = j.collect().toSet
       (rows, j.queryExecution.executedPlan.toString)
     }
