@@ -37,6 +37,8 @@ object PlanAudit {
       "inherits x53's mixture-totals attach: ONE aggregated row onto the |sources|-row stats frame",
     "x63_hybrid_rrf" ->
       "inherits x49's 1-row stats attach plus the x06 idiom: the ONE-row query vector broadcast onto the streaming corpus",
+    "x65_sketch_jaccard" ->
+      "all-pairs compare of the |sources|-row SKETCH table (16·k-byte rows): both sides driver-sized by construction, the x06 broadcast idiom",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

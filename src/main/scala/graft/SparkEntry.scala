@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Retrieval.queries ++
       operators.Hybrid.queries ++
       operators.Propagate.queries ++
+      operators.SketchSim.queries ++
       operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -62,6 +63,7 @@ object SparkEntry {
       operators.Retrieval.oracleSql ++
       operators.Hybrid.oracleSql ++
       operators.Propagate.oracleSql ++
+      operators.SketchSim.oracleSql ++
       operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
