@@ -39,6 +39,8 @@ object PlanAudit {
       "inherits x49's 1-row stats attach plus the x06 idiom: the ONE-row query vector broadcast onto the streaming corpus",
     "x65_sketch_jaccard" ->
       "all-pairs compare of the |sources|-row SKETCH table (16·k-byte rows): both sides driver-sized by construction, the x06 broadcast idiom",
+    "x66_bpe_merges" ->
+      "per-round winning-pair attach: broadcast cross join of ONE aggregated row onto the |vocab|-row dict (the x36/x45 idiom, once per merge round)",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -38,6 +38,7 @@ object SparkEntry {
       operators.Hybrid.queries ++
       operators.Propagate.queries ++
       operators.SketchSim.queries ++
+      operators.Bpe.queries ++
       operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -64,6 +65,7 @@ object SparkEntry {
       operators.Hybrid.oracleSql ++
       operators.Propagate.oracleSql ++
       operators.SketchSim.oracleSql ++
+      operators.Bpe.oracleSql ++
       operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql

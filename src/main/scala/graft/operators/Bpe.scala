@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE-style tokenizer induction (Sennrich et al. ACL'16)
+  * — the first merge rounds of training a subword vocabulary on a
+  * corpus, the genuinely-distributed part of tokenizer training at
+  * 100 TB. Round r: count adjacent symbol pairs over the word
+  * dictionary (weighted by corpus word frequency), pick the most
+  * frequent pair (cnt DESC, then lexicographic — a deterministic
+  * tie-break), and re-tokenize every word by merging that pair
+  * greedily left-to-right (leftmost non-overlapping occurrences, the
+  * textbook semantics).
+  *
+  * Scale shape — the real BPE trainer's: ONE pass over the corpus
+  * builds the word-frequency dictionary (explode + map-side-combined
+  * count, the only corpus-sized stage); every merge round then runs on
+  * the |vocab|-row dict — a pair explode bounded by Σ|word|, an
+  * aggregation to the pair space, a 1-row winner attach (the x36/x45
+  * sanctioned broadcast), and a per-row array fold for the merge. At
+  * 100 TB the dict is ~10⁶ rows regardless of corpus size, so rounds
+  * are fixed-cost; each round's dict is lazily checkpointed so plans
+  * stay flat in the round count (the Propagate discipline).
+  *
+  * Merge-equivalence note (why the two engines agree bit-for-bit):
+  * Spark re-tokenizes with a greedy left FOLD (aggregate() carrying a
+  * pending symbol); the oracle uses gaps-and-islands — match
+  * positions i (a[i]=p ∧ a[i+1]=q) form islands of consecutive
+  * integers, and greedy leftmost non-overlap selects exactly the
+  * EVEN-OFFSET positions within each island (the fold consumes i and
+  * i+1 on a merge, so within an island every other match survives;
+  * across a gap the scan is fresh). BpeSpec pins the equivalence on
+  * the adversarial shapes (same-symbol runs, alternating pairs,
+  * shared-boundary occurrences).
+  */
+object Bpe {
+
+  /** Unrolled merge rounds. */
+  private val Rounds = 3
+  /** Final symbol-inventory rows gated. */
+  private val TopN = 40
+
+  /** One greedy left-to-right merge of pair (`p`,`q`) over symbol
+    * array column `a` — the textbook single BPE merge, as a Catalyst
+    * fold (no UDF): the accumulator carries the emitted prefix and a
+    * pending symbol; a (pend=p, next=q) hit emits the merged symbol
+    * and clears the pending slot so an overlapping occurrence cannot
+    * double-consume. */
+  private def mergeFold(a: String, p: String, q: String): Column = expr(
+    s"""aggregate(
+       |  $a,
+       |  named_struct('out', cast(array() as array<string>),
+       |               'pend', cast(null as string)),
+       |  (s, x) -> CASE
+       |    WHEN s.pend IS NULL THEN
+       |      named_struct('out', s.out, 'pend', x)
+       |    WHEN s.pend = $p AND x = $q THEN
+       |      named_struct('out', concat(s.out, array(concat($p, $q))),
+       |                   'pend', cast(null as string))
+       |    ELSE
+       |      named_struct('out', concat(s.out, array(s.pend)), 'pend', x)
+       |  END,
+       |  s -> CASE WHEN s.pend IS NULL THEN s.out
+       |            ELSE concat(s.out, array(s.pend)) END)""".stripMargin)
+
+  /** Adjacent-pair frequency over the current dict (f-weighted). */
+  private def pairCounts(dict: DataFrame): DataFrame = dict
+    .filter(size(col("a")) >= 2)
+    // sequence(1, n) is DESCENDING when n < 1, hence the guard above
+    .select(col("f"), explode(expr(
+      "transform(sequence(1, size(a) - 1)," +
+        " i -> struct(element_at(a, i) AS p, element_at(a, i + 1) AS q))"))
+      .as("pq"))
+    .groupBy(col("pq.p").as("p"), col("pq.q").as("q"))
+    .agg(sum(col("f")).as("cnt"))
+
+  /** Library entry: run `rounds` BPE merges over any (text) relation;
+    * returns (merges, finalDict) — the per-round winning pairs with
+    * their counts, and the re-tokenized word dictionary. */
+  def bpeTrain(docs: DataFrame, rounds: Int = Rounds)
+      : (Seq[DataFrame], DataFrame) = {
+    var dict = docs.filter(col("text").isNotNull)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("a"))
+      .localCheckpoint(eager = false)
+    val merges = (1 to rounds).map { _ =>
+      val win = pairCounts(dict)
+        .orderBy(col("cnt").desc, col("p"), col("q")).limit(1)
+        .localCheckpoint(eager = false)
+      dict = dict.crossJoin(broadcast(win.select(col("p"), col("q"))))
+        .select(col("f"), mergeFold("a", "p", "q").as("a"))
+        .localCheckpoint(eager = false)
+      win
+    }
+    (merges, dict)
+  }
+
+  // ---------------------------------------------------------------- x66
+  /** x66 — the 3 merge decisions plus the resulting top-40 symbol
+    * inventory (f-weighted), one (item, cnt) relation: a drifted merge
+    * in ANY round changes the inventory, so the whole chain is gated
+    * by one hash. */
+  def x66(s: SparkSession, d: String): DataFrame = {
+    val (merges, dict) = bpeTrain(Tables.documents(s, d))
+    val mergeRows = merges.zipWithIndex.map { case (win, i) =>
+      win.select(
+        concat(lit(s"m${i + 1}:"), col("p"), lit("+"), col("q")).as("item"),
+        col("cnt"))
+    }.reduce(_ unionByName _)
+    val inv = dict
+      .select(col("f"), explode(col("a")).as("sym"))
+      .groupBy("sym").agg(sum(col("f")).as("cnt"))
+      .orderBy(col("cnt").desc, col("sym"))
+      .limit(TopN)
+      .select(concat(lit("s:"), col("sym")).as("item"), col("cnt"))
+    mergeRows.unionByName(inv)
+  }
+
+  /** One oracle merge round: pc → win → match positions → islands →
+    * even-offset selection → rebuild (see the equivalence note). */
+  private def roundSql(prev: String, r: Int): String =
+    s"""pc$r AS (
+       |  SELECT a[i] AS p, a[i + 1] AS q, CAST(sum(f) AS BIGINT) AS cnt
+       |  FROM (SELECT f, a, unnest(range(1, len(a))) AS i
+       |        FROM $prev WHERE len(a) >= 2)
+       |  GROUP BY 1, 2),
+       |win$r AS (SELECT p, q, cnt FROM pc$r ORDER BY cnt DESC, p, q LIMIT 1),
+       |pos$r AS (
+       |  SELECT w, f, a, i, a[i] AS sym,
+       |    (i < len(a) AND a[i] = (SELECT p FROM win$r)
+       |                AND a[i + 1] = (SELECT q FROM win$r)) AS m
+       |  FROM (SELECT w, f, a, unnest(range(1, len(a) + 1)) AS i FROM $prev)),
+       |mm$r AS (
+       |  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS isl
+       |  FROM pos$r WHERE m),
+       |sel$r AS (
+       |  SELECT w, i FROM (
+       |    SELECT w, i, i - min(i) OVER (PARTITION BY w, isl) AS off FROM mm$r)
+       |  WHERE off % 2 = 0),
+       |a$r AS (
+       |  SELECT p.w, p.f,
+       |    list(CASE WHEN s.i IS NOT NULL THEN p.a[p.i] || p.a[p.i + 1]
+       |              ELSE p.sym END ORDER BY p.i) AS a
+       |  FROM pos$r p
+       |  LEFT JOIN sel$r s  ON s.w = p.w AND s.i = p.i
+       |  LEFT JOIN sel$r s2 ON s2.w = p.w AND s2.i = p.i - 1
+       |  WHERE s2.i IS NULL
+       |  GROUP BY p.w, p.f)""".stripMargin
+
+  val x66Sql: String = {
+    val rounds = (1 to Rounds).map(r => roundSql(s"a${r - 1}", r))
+      .mkString(",\n")
+    val mergeSelects = (1 to Rounds).map(r =>
+      s"SELECT 'm$r:' || p || '+' || q AS item, cnt FROM win$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |a0 AS (
+       |  SELECT w, f,
+       |    list_transform(range(1, len(w) + 1), i -> substring(w, i, 1)) AS a
+       |  FROM w0),
+       |$rounds,
+       |inv AS (
+       |  SELECT 's:' || sym AS item, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    SELECT f, unnest(a) AS sym FROM a$Rounds)
+       |  GROUP BY sym ORDER BY sum(f) DESC, sym LIMIT $TopN)
+       |SELECT item, cnt FROM (
+       |  $mergeSelects
+       |  UNION ALL SELECT item, cnt FROM inv)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x66_bpe_merges" -> (x66 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "x66_bpe_merges" -> x66Sql)
+}
