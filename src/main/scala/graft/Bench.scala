@@ -148,6 +148,18 @@ object Bench {
         f"cpu+${cpuMs - cpu0}ms heap${(rt.totalMemory - rt.freeMemory) / (1 << 20)}MB" +
         f" committed${rt.totalMemory / (1 << 20)}MB")
       samples(name) = samples(name) :+ (if (ok) Some(sec) else None)
+      // Free the PREVIOUS query's dead state before the next one runs:
+      // lazily-checkpointed RDD blocks (the iterative operators' plan
+      // truncation) are only released after a driver GC notices their
+      // DataFrames are unreachable (ContextCleaner holds weak refs).
+      // Across a large interleaved set at 10x fixture scale the
+      // accumulated blocks crowd the block manager long before an
+      // organic full GC runs, and later memory-hungry queries pay a
+      // 3-6x penalty that no code of their own causes (x36 measured
+      // 3.5s solo vs 19.9s late in a 46-query round). The nudge runs
+      // AFTER this run's sample is recorded, so it never inflates a
+      // measured time.
+      System.gc()
     }
     // Estimator: 2nd-smallest of the interleaved samples. The host's
     // contamination is strictly ONE-SIDED (co-tenant stall windows only

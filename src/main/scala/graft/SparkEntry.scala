@@ -39,6 +39,7 @@ object SparkEntry {
       operators.Propagate.queries ++
       operators.SketchSim.queries ++
       operators.Bpe.queries ++
+      operators.Funnel.queries ++
       operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.Propagate.oracleSql ++
       operators.SketchSim.oracleSql ++
       operators.Bpe.oracleSql ++
+      operators.Funnel.oracleSql ++
       operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql

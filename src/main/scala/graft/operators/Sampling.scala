@@ -251,6 +251,48 @@ object Sampling {
        |  CAST((cum_toks - toks) // $ShardCapacity AS BIGINT) AS shard_id
        |FROM c""".stripMargin
 
+  // ---------------------------------------------------------------- x68
+  /** Per-source QUALITY QUOTA: the [[QuotaK]] best-scoring documents
+    * per source (x09's gated score, doc_id tie-break) — the "cap every
+    * domain's contribution to the mixture" curation pass, distinct
+    * from x20 (which samples RANDOMLY per stratum) in that the quota
+    * is merit-ranked. Runs on the bounded-heap `topk_rows` aggregate,
+    * NOT a row_number window: each map partition reduces to ≤k rows
+    * per source before the exchange, so the shuffle carries
+    * |sources|·k rows — the window idiom would sort every source's
+    * full document set on one reducer (the skew a 100 TB corpus with
+    * a dominant source makes fatal). eval returns rows ascending in
+    * (-score, doc_id), so posexplode's position IS the quota rank. */
+  private val QuotaK = 5
+
+  def sourceQuota(scored: DataFrame, k: Int = QuotaK): DataFrame = scored
+    .groupBy("source")
+    .agg(graft.functions.TopK.rows(
+      struct((-col("score_u")).as("ns"), col("doc_id"), col("score_u")),
+      k).as("top"))
+    .select(col("source"), posexplode(col("top")))
+    .select(col("source"), (col("pos") + 1).cast("long").as("rk"),
+      col("col.doc_id").as("doc_id"), col("col.score_u").as("score_u"))
+
+  def x68(s: SparkSession, d: String): DataFrame = {
+    val scores = TextOps.x09(s, d).select(col("doc_id"), col("score_u"))
+    val src = graft.Tables.documents(s, d).select(col("doc_id"), col("source"))
+    sourceQuota(src.join(scores, "doc_id"))
+  }
+
+  val x68Sql: String =
+    s"""WITH sc AS (${TextOps.x09Sql}),
+       |j AS (
+       |  SELECT d.source, sc.doc_id, sc.score_u
+       |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT source, doc_id, score_u,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY score_u DESC, doc_id) AS rk
+       |  FROM j)
+       |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, score_u
+       |FROM r WHERE rk <= $QuotaK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_vocab_topk" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
@@ -258,6 +300,7 @@ object Sampling {
     "x26_token_budget" -> (x26 _),
     "x34_shard_pack" -> (x34 _),
     "x53_mixture_sample" -> (x53 _),
+    "x68_source_quota" -> (x68 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -267,5 +310,6 @@ object Sampling {
     "x26_token_budget" -> x26Sql,
     "x34_shard_pack" -> x34Sql,
     "x53_mixture_sample" -> x53Sql,
+    "x68_source_quota" -> x68Sql,
   )
 }

@@ -46,6 +46,11 @@ QUERIES = [
     # round-8 second push: hybrid BM25+cosine RRF retrieval - two
     # bounded-heap corpus scans, fusion on driver-sized lists
     "x63_hybrid_rrf",
+    # round-9: quality propagation over the dup graph (bounded Pregel
+    # rounds), KMV cross-source Jaccard (one corpus pass + sketch-table
+    # compare), and BPE merge rounds (one corpus pass + vocab-row dict
+    # rounds) - each claims a flat-at-scale stage structure; measure it
+    "x64_quality_propagate", "x65_sketch_jaccard", "x66_bpe_merges",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
