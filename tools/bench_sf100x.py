@@ -102,6 +102,12 @@ QUERIES = [
     # hybrid RRF retrieval: two bounded-heap corpus scans, fixed-size
     # answer - the curve-crossing row (Spark near-flat, DuckDB linear)
     "x63_hybrid_rrf",
+    # round-9 linear-answer rows: KMV cross-source Jaccard (one corpus
+    # pass + sketch-table compare), BPE merge rounds (corpus pass +
+    # vocab-row dict rounds), ordered funnel (user-keyed joins over the
+    # genuinely-100x events table). x64 stays excluded with the other
+    # output-quadratic pair-relation rows.
+    "x65_sketch_jaccard", "x66_bpe_merges", "x67_funnel",
 ]
 
 

@@ -51,6 +51,9 @@ QUERIES = [
     # compare), and BPE merge rounds (one corpus pass + vocab-row dict
     # rounds) - each claims a flat-at-scale stage structure; measure it
     "x64_quality_propagate", "x65_sketch_jaccard", "x66_bpe_merges",
+    # round-9: ordered funnel - user-keyed joins over the genuinely-10x
+    # events table (the q13/q14 batch-twin family's join-shaped sibling)
+    "x67_funnel",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
