@@ -158,8 +158,9 @@ object Bench {
       // 3-6x penalty that no code of their own causes (x36 measured
       // 3.5s solo vs 19.9s late in a 46-query round). The nudge runs
       // AFTER this run's sample is recorded, so it never inflates a
-      // measured time.
-      System.gc()
+      // measured time. Gate: SPARK_GRAFT_BENCH_GC=0 disables (A/B
+      // measurement of the nudge's own cost).
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") System.gc()
     }
     // Estimator: 2nd-smallest of the interleaved samples. The host's
     // contamination is strictly ONE-SIDED (co-tenant stall windows only
