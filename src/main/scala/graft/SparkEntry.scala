@@ -40,6 +40,7 @@ object SparkEntry {
       operators.SketchSim.queries ++
       operators.Bpe.queries ++
       operators.Funnel.queries ++
+      operators.Diff.queries ++
       operators.Sketches.queries ++
       operators.StreamingQueries.queries ++
       multimodal.Multimodal.queries
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.SketchSim.oracleSql ++
       operators.Bpe.oracleSql ++
       operators.Funnel.oracleSql ++
+      operators.Diff.oracleSql ++
       operators.Sketches.oracleSql ++
       operators.StreamingQueries.oracleSql ++
       multimodal.Multimodal.oracleSql
