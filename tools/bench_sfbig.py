@@ -54,6 +54,9 @@ QUERIES = [
     # round-9: ordered funnel - user-keyed joins over the genuinely-10x
     # events table (the q13/q14 batch-twin family's join-shaped sibling)
     "x67_funnel",
+    # round-9: corpus snapshot diff and the x40 rebuild leg the 100x
+    # curve reads (hash-first full-outer join; linear answers)
+    "x69_corpus_diff", "x40_corpus_rebuild",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
