@@ -249,9 +249,18 @@ object Bench {
     val duckQs = duckdb.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val duckTotal = duckdb.values.sum
+    // Tail keys deliberately REPEAT the headline numbers: the driver
+    // archives only the last ~2000 chars of stdout, which preserves the
+    // end of the line but can truncate the front where "value" lives —
+    // spark_total makes the artifact self-contained either way. The
+    // gc-nudge gate is recorded so artifacts from the two measurement
+    // regimes (with/without the between-sample System.gc) stay
+    // distinguishable after the fact.
+    val gcNudge = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") 1 else 0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""duckdb":$duckQs,"duckdb_total":$duckTotal,""" +
+      s""""duckdb":$duckQs,"duckdb_total":$duckTotal,"spark_total":$total,""" +
+      s""""gc_nudge":$gcNudge,""" +
       s""""canary":{"sec":$canarySec,"attempts":$canaryAttempts,"sla":$canarySla},""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     // File mirror first, then stdout last line, then flush: the driver can

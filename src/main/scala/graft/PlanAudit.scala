@@ -41,6 +41,10 @@ object PlanAudit {
       "all-pairs compare of the |sources|-row SKETCH table (16·k-byte rows): both sides driver-sized by construction, the x06 broadcast idiom",
     "x66_bpe_merges" ->
       "per-round winning-pair attach: broadcast cross join of ONE aggregated row onto the |vocab|-row dict (the x36/x45 idiom, once per merge round)",
+    "x71_bpe_deep" ->
+      "x66's winning-pair attach at 8 rounds — same ONE-row broadcast per round",
+    "x69_corpus_diff" ->
+      "max(doc_id)+1 addition offset: ONE aggregated row broadcast onto the re-ingested slice",
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -93,7 +93,18 @@ object Bpe {
       val win = pairCounts(dict)
         .orderBy(col("cnt").desc, col("p"), col("q")).limit(1)
         .localCheckpoint(eager = false)
-      dict = dict.crossJoin(broadcast(win.select(col("p"), col("q"))))
+      // LEFT join (on true), not crossJoin: when a round finds no
+      // adjacent pair at all (rounds > available merges — every word is
+      // a single symbol), the winner relation is EMPTY, and a crossJoin
+      // would silently empty the dict. Under the left join the dict
+      // rows survive with NULL p/q, and mergeFold's `s.pend = p`
+      // comparison is never true on NULL, so the fold passes every
+      // word through unchanged — exactly the oracle's behavior, whose
+      // scalar `(SELECT p FROM win)` subqueries yield NULL matches.
+      // With a non-empty (1-row) winner this IS the broadcast cross
+      // join it replaced.
+      dict = dict.join(broadcast(win.select(col("p"), col("q"))),
+          lit(true), "left")
         .select(col("f"), mergeFold("a", "p", "q").as("a"))
         .localCheckpoint(eager = false)
       win
@@ -102,12 +113,13 @@ object Bpe {
   }
 
   // ---------------------------------------------------------------- x66
-  /** x66 — the 3 merge decisions plus the resulting top-40 symbol
-    * inventory (f-weighted), one (item, cnt) relation: a drifted merge
-    * in ANY round changes the inventory, so the whole chain is gated
-    * by one hash. */
-  def x66(s: SparkSession, d: String): DataFrame = {
-    val (merges, dict) = bpeTrain(Tables.documents(s, d))
+  /** Gate relation for an N-round training run: the N merge decisions
+    * plus the resulting top-`TopN` symbol inventory (f-weighted), one
+    * (item, cnt) relation — a drifted merge in ANY round changes both
+    * its own `m<r>:` row and the downstream inventory, so the whole
+    * chain is pinned by one hash. */
+  private def gateDf(s: SparkSession, d: String, rounds: Int): DataFrame = {
+    val (merges, dict) = bpeTrain(Tables.documents(s, d), rounds)
     val mergeRows = merges.zipWithIndex.map { case (win, i) =>
       win.select(
         concat(lit(s"m${i + 1}:"), col("p"), lit("+"), col("q")).as("item"),
@@ -122,8 +134,30 @@ object Bpe {
     mergeRows.unionByName(inv)
   }
 
+  /** x66 — the canonical 3-round gate. */
+  def x66(s: SparkSession, d: String): DataFrame = gateDf(s, d, Rounds)
+
+  // ---------------------------------------------------------------- x71
+  /** Deeper merge schedule for x71 — enough rounds that later winners
+    * are themselves products of earlier merges (multi-character
+    * symbols merging with each other), the regime a real tokenizer
+    * spends almost all its training in. */
+  private val DeepRounds = 8
+
+  /** x71 — the same chain-gate at [[DeepRounds]] rounds: proves the
+    * merge loop is stable when iterated (each round's winner hash is
+    * folded into the gate), where a real tokenizer runs thousands of
+    * merges. Per-round cost is fixed (|vocab|-row dict), so the round
+    * count is a pure loop-stability axis, not a scale axis. */
+  def x71(s: SparkSession, d: String): DataFrame = gateDf(s, d, DeepRounds)
+
   /** One oracle merge round: pc → win → match positions → islands →
-    * even-offset selection → rebuild (see the equivalence note). */
+    * even-offset selection → rebuild (see the equivalence note).
+    * `pos` and the rebuilt dict are MATERIALIZED: each round references
+    * its predecessor more than once, so default CTE inlining re-derives
+    * the whole prefix per reference — exponential in the round count
+    * (x71's 8 rounds exhausted file handles re-scanning the base
+    * parquet 2^8 times before materialization). */
   private def roundSql(prev: String, r: Int): String =
     s"""pc$r AS (
        |  SELECT a[i] AS p, a[i + 1] AS q, CAST(sum(f) AS BIGINT) AS cnt
@@ -131,7 +165,7 @@ object Bpe {
        |        FROM $prev WHERE len(a) >= 2)
        |  GROUP BY 1, 2),
        |win$r AS (SELECT p, q, cnt FROM pc$r ORDER BY cnt DESC, p, q LIMIT 1),
-       |pos$r AS (
+       |pos$r AS MATERIALIZED (
        |  SELECT w, f, a, i, a[i] AS sym,
        |    (i < len(a) AND a[i] = (SELECT p FROM win$r)
        |                AND a[i + 1] = (SELECT q FROM win$r)) AS m
@@ -143,7 +177,7 @@ object Bpe {
        |  SELECT w, i FROM (
        |    SELECT w, i, i - min(i) OVER (PARTITION BY w, isl) AS off FROM mm$r)
        |  WHERE off % 2 = 0),
-       |a$r AS (
+       |a$r AS MATERIALIZED (
        |  SELECT p.w, p.f,
        |    list(CASE WHEN s.i IS NOT NULL THEN p.a[p.i] || p.a[p.i + 1]
        |              ELSE p.sym END ORDER BY p.i) AS a
@@ -153,10 +187,10 @@ object Bpe {
        |  WHERE s2.i IS NULL
        |  GROUP BY p.w, p.f)""".stripMargin
 
-  val x66Sql: String = {
-    val rounds = (1 to Rounds).map(r => roundSql(s"a${r - 1}", r))
+  private def gateSql(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map(r => roundSql(s"a${r - 1}", r))
       .mkString(",\n")
-    val mergeSelects = (1 to Rounds).map(r =>
+    val mergeSelects = (1 to nRounds).map(r =>
       s"SELECT 'm$r:' || p || '+' || q AS item, cnt FROM win$r")
       .mkString("\n  UNION ALL ")
     s"""WITH w0 AS (
@@ -171,16 +205,21 @@ object Bpe {
        |$rounds,
        |inv AS (
        |  SELECT 's:' || sym AS item, CAST(sum(f) AS BIGINT) AS cnt FROM (
-       |    SELECT f, unnest(a) AS sym FROM a$Rounds)
+       |    SELECT f, unnest(a) AS sym FROM a$nRounds)
        |  GROUP BY sym ORDER BY sum(f) DESC, sym LIMIT $TopN)
        |SELECT item, cnt FROM (
        |  $mergeSelects
        |  UNION ALL SELECT item, cnt FROM inv)""".stripMargin
   }
 
+  val x66Sql: String = gateSql(Rounds)
+  val x71Sql: String = gateSql(DeepRounds)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x66_bpe_merges" -> (x66 _))
+    "x66_bpe_merges" -> (x66 _),
+    "x71_bpe_deep" -> (x71 _))
 
   val oracleSql: Map[String, String] = Map(
-    "x66_bpe_merges" -> x66Sql)
+    "x66_bpe_merges" -> x66Sql,
+    "x71_bpe_deep" -> x71Sql)
 }

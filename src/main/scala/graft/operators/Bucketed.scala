@@ -266,7 +266,10 @@ object Bucketed {
     * settings (shuffle partitions etc.) live in the SparkConf and so
     * carry over to the clone. */
   private[graft] def withBloomConfs[T](s: SparkSession)(f: SparkSession => T): T = {
-    val ss = s.newSession()
+    // clone carries the parent's RUNTIME conf deltas too (a bare
+    // newSession inherits only builder-time SparkConf settings — a
+    // harness-applied runtime override would silently vanish here)
+    val ss = Sessions.cloneWithRuntimeConfs(s)
     val pins = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",

@@ -39,18 +39,26 @@ object Diff {
   /** x69 — diff the fixture corpus against a deterministically-derived
     * "next crawl" (the x27 simulate-the-new-batch convention): docs
     * with id % 7 = 0 dropped (removals), id % 5 = 0 edited (changes),
-    * and id % 11 = 0 re-ingested under id+1000000 (additions). The
+    * and id % 11 = 0 re-ingested under id+offset (additions). The
     * rules overlap on purpose — doc 0 matches all three, so the gate
     * pins the precedence (a dropped doc is `removed` even if the edit
-    * rule also matched it). */
+    * rule also matched it).
+    *
+    * The addition offset is max(doc_id)+1, derived from the corpus
+    * itself: a fixed literal (the previous 1e6) silently collides with
+    * real ids once a fixture crosses that size — and the 100× rehearsal
+    * corpus is within an order of magnitude of it. ONE aggregated row
+    * attached by broadcast cross join (the x36/x45 sanctioned idiom). */
   def x69(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+    val off = docs.agg((max(col("doc_id")) + 1L).as("off"))
     val next = docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 11 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .crossJoin(broadcast(off))
+        .select((col("doc_id") + col("off")).as("doc_id"), col("text")))
     corpusDiff(docs, next)
   }
 
@@ -63,7 +71,7 @@ object Diff {
        |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
        |  FROM documents WHERE doc_id % 7 <> 0
        |  UNION ALL
-       |  SELECT doc_id + 1000000 AS doc_id, text
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
        |  FROM documents WHERE doc_id % 11 = 0),
        |b AS (
        |  SELECT doc_id, ${duckH60("text")} AS h

@@ -146,7 +146,9 @@ object Skew {
     * query on the parent session never inherits the tiny skew
     * thresholds or the disabled broadcast. */
   private[graft] def withAqeSkewConfs[T](s: SparkSession)(f: SparkSession => T): T = {
-    val ss = s.newSession()
+    // runtime conf deltas carried onto the clone — see
+    // [[Sessions.cloneWithRuntimeConfs]]
+    val ss = Sessions.cloneWithRuntimeConfs(s)
     val pins = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",
