@@ -271,6 +271,172 @@ object Similarity {
        |FROM c
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
 
+  // ---------------------------------------------------------------- x70
+  private val PqM = 8      // subspaces
+  private val PqDs = 8     // dims per subspace (PqM * PqDs = Dim)
+  private val PqKs = 16    // codewords per subspace
+  private val PqIters = 2  // Lloyd passes per subspace codebook
+
+  /** Per-subspace PQ codebooks trained with the same driver-held-model
+    * k-means discipline as [[trainCentroids]]: seeds are the hash-picked
+    * first [[PqKs]] vectors' subvectors (code id = seed rank), then each
+    * Lloyd pass is ONE narrow encode map over the corpus (codebooks as a
+    * codegen reference object via [[graft.functions.PqEncode]]) plus an
+    * (m·k)-row aggregate; only m·k rows reach the driver. Means use the
+    * x12 integer micro-unit form, so the DuckDB oracle replays the
+    * identical codebooks; codewords that lose all members are dropped on
+    * both engines (GROUP BY emits only surviving cells).
+    *
+    * Input `un`: (vec_id, u) with u the UNIT vector v/‖v‖ — PQ on the
+    * normalized vector makes the ADC dot product approximate cosine. */
+  private def trainPq(un: DataFrame, iters: Int): graft.functions.PqModel = {
+    import graft.functions.{PqEncode, PqModel}
+    val seeds = un
+      .withColumn("hk", graft.functions.PortableHash.h60(
+        concat(lit("pq_"), col("vec_id").cast("string"))))
+      .orderBy(col("hk").asc, col("vec_id").asc).limit(PqKs)
+      .select(col("u")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    var model = PqModel.fromSeeds(PqM, PqDs, seeds)
+    for (_ <- 0 until iters) {
+      val aggs = (0 until PqDs).map { i =>
+        sum(floor(element_at(col("su"), i + 1) * 1000000)).as(s"s$i")
+      } :+ count(lit(1)).as("cnt")
+      val stats = un
+        .select(col("u"), posexplode(PqEncode(col("u"), model)).as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+          expr(s"slice(u, m * $PqDs + 1, $PqDs)").as("su"))
+        .groupBy("m", "code").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val byM = stats.groupBy(_.getInt(0))
+      val cids = Array.tabulate(PqM) { mm =>
+        byM.getOrElse(mm, Array.empty).map(_.getInt(1)).sorted
+      }
+      val cws = Array.tabulate(PqM) { mm =>
+        val rows = byM.getOrElse(mm, Array.empty)
+          .map(r => r.getInt(1) -> r).toMap
+        cids(mm).map { cid =>
+          val r = rows(cid)
+          val cnt = r.getLong(2 + PqDs)
+          Array.tabulate(PqDs)(i =>
+            math.floor(r.getLong(2 + i).toDouble / cnt) / 1000000.0)
+        }
+      }
+      model = new PqModel(PqDs, cids, cws)
+    }
+    model
+  }
+
+  /** Library entry: IVF-PQ ANN over any (vec_id, embedding) — the
+    * missing 100 TB retrieval component x12/x25 don't cover. The index
+    * row is (vec_id, coarse cell, m one-byte-sized codes): candidates
+    * carry 8 ints instead of 64 doubles through the probe join, the
+    * 32× memory/shuffle reduction that makes billion-vector serving
+    * fit executor memory. Search = the x12 shape (broadcast probes ⋈
+    * cell members on cell id — an equi-join, no cross product) scored
+    * by ADC ([[graft.functions.PqAdcScore]]): the query's unit vector
+    * against each candidate's RECONSTRUCTED codewords — the corpus
+    * floats are never read again after indexing. */
+  def annIvfPq(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters): DataFrame = {
+    import graft.functions.{PqAdcScore, PqEncode}
+    val e = vecsOf(emb)
+    val coarse = trainCentroids(e, lloydIters)
+    val un = e.select(col("vec_id"), col("v"), col("nrm"),
+      expr("transform(v, x -> x / nrm)").as("u"))
+    val pq = trainPq(un.select(col("vec_id"), col("u")), PqIters)
+    val index = un.select(col("vec_id"),
+      element_at(graft.functions.CentroidTopCids(
+        col("v"), col("nrm"), coarse, NProbe), 1).as("cid"),
+      PqEncode(col("u"), pq).as("codes"))
+    val probes = un.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("u").as("qu"),
+        explode(graft.functions.CentroidTopCids(
+          col("v"), col("nrm"), coarse, NProbe)).as("cid"))
+    broadcast(probes).join(index, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score", PqAdcScore(col("qu"), col("codes"), pq))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
+  def x70(s: SparkSession, d: String): DataFrame =
+    annIvfPq(Tables.embeddings(s, d), 0L until NQueries.toLong)
+
+  /** Oracle: replays coarse training (shared prefix), per-subspace PQ
+    * training (seed ranks → Lloyd micro-unit means), encoding (argmin
+    * L2, tie → smaller code), and the per-subspace-quantized ADC sum.
+    * `usub`/`pe`/`enc` are MATERIALIZED — each is referenced more than
+    * once and default CTE inlining would re-derive the whole chain per
+    * reference (the x71 lesson). */
+  val x70Sql: String = {
+    def lloydPq(prev: String, r: Int): String =
+      s"""pe$r AS MATERIALIZED (
+         |  SELECT vec_id, m, cid FROM (
+         |    SELECT s.vec_id, s.m, c.cid, row_number() OVER (
+         |        PARTITION BY s.vec_id, s.m
+         |        ORDER BY list_sum(list_transform(range(1, ${PqDs + 1}),
+         |          i -> (s.su[i] - c.cw[i]) * (s.su[i] - c.cw[i]))), c.cid) AS rn
+         |    FROM usub s JOIN $prev c USING (m))
+         |  WHERE rn = 1),
+         |pst$r AS (
+         |  SELECT e.m, e.cid, d,
+         |    sum(CAST(floor(s.su[d] * 1000000) AS BIGINT)) AS sv,
+         |    count(*) AS cnt
+         |  FROM pe$r e JOIN usub s USING (vec_id, m),
+         |    (SELECT unnest(range(1, ${PqDs + 1})) AS d) t
+         |  GROUP BY e.m, e.cid, d),
+         |cb$r AS (
+         |  SELECT m, cid, list(floor(sv / cnt) / 1000000.0 ORDER BY d) AS cw
+         |  FROM pst$r GROUP BY m, cid)""".stripMargin
+    val iters = (1 to PqIters).map(r => lloydPq(s"cb${r - 1}", r))
+      .mkString(",\n")
+    s"""$ivfAssignSqlPrefix,
+       |un AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, ${Dim + 1}), i -> v[i] / nrm) AS u
+       |  FROM n),
+       |subs AS (SELECT unnest(range(0, $PqM)) AS m),
+       |pqseed AS (
+       |  SELECT vec_id, u, row_number() OVER (
+       |      ORDER BY ${PortableHash.duckH60("concat('pq_', vec_id)")}, vec_id) AS cid
+       |  FROM un
+       |  QUALIFY cid <= $PqKs),
+       |cb0 AS (
+       |  SELECT m, cid, list_transform(range(1, ${PqDs + 1}), i -> u[m * $PqDs + i]) AS cw
+       |  FROM pqseed CROSS JOIN subs),
+       |usub AS MATERIALIZED (
+       |  SELECT vec_id, m, list_transform(range(1, ${PqDs + 1}), i -> u[m * $PqDs + i]) AS su
+       |  FROM un CROSS JOIN subs),
+       |$iters,
+       |enc AS MATERIALIZED (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT s.vec_id, s.m, c.cid, row_number() OVER (
+       |        PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_sum(list_transform(range(1, ${PqDs + 1}),
+       |          i -> (s.su[i] - c.cw[i]) * (s.su[i] - c.cw[i]))), c.cid) AS rn
+       |    FROM usub s JOIN cb$PqIters c USING (m))
+       |  WHERE rn = 1),
+       |probe AS (SELECT vec_id AS qid, cid FROM sc
+       |  WHERE crn <= $NProbe AND vec_id < $NQueries),
+       |cand AS (SELECT p.qid, a.vec_id
+       |  FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+       |adc AS (
+       |  SELECT c.qid, c.vec_id,
+       |    CAST(sum(CAST(floor(list_sum(list_transform(range(1, ${PqDs + 1}),
+       |      i -> q.su[i] * cb.cw[i])) * 1000000) AS BIGINT)) AS BIGINT) AS score
+       |  FROM cand c
+       |  JOIN enc ON enc.vec_id = c.vec_id
+       |  JOIN cb$PqIters cb ON cb.m = enc.m AND cb.cid = enc.code
+       |  JOIN usub q ON q.vec_id = c.qid AND q.m = enc.m
+       |  GROUP BY c.qid, c.vec_id)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM adc
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
+  }
+
   // ---------------------------------------------------------------- x33
   private val SemThresh = 0.3
 
@@ -500,6 +666,7 @@ object Similarity {
     "x56_ann_filtered" -> (x56 _),
     "x07_ann_lsh" -> (x07 _),
     "x12_ann_ivf" -> (x12 _),
+    "x70_ann_pq" -> (x70 _),
     "x25_embed_quantize" -> (x25 _),
     "x33_semdedup" -> (x33 _),
     "x44_gram_matrix" -> (x44 _),
@@ -510,6 +677,7 @@ object Similarity {
     "x56_ann_filtered" -> x56Sql,
     "x07_ann_lsh" -> x07Sql,
     "x12_ann_ivf" -> x12Sql,
+    "x70_ann_pq" -> x70Sql,
     "x25_embed_quantize" -> x25Sql,
     "x33_semdedup" -> x33Sql,
     "x44_gram_matrix" -> x44Sql,

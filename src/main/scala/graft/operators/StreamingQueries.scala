@@ -1333,7 +1333,58 @@ object StreamingQueries {
        |FROM dd d LEFT JOIN pre USING (doc_id)""".stripMargin
   }
 
+  /** Finalize horizon of the streaming funnel: a user's funnel closes
+    * 30 days (event time) after their last event — beyond the fixture's
+    * max per-user gap (~6 days), so the replay emits exactly one row
+    * per user and the batch twin is the oracle. */
+  private val FunnelHorizonMs = 30L * 86400000L
+
+  /** The events fixture as a streaming [[FunnelEvent]] relation (raw
+    * event_type preserved — the funnel needs the view/click/purchase
+    * steps, not the MessageStatus projection). */
+  private def funnelEventsStream(s: SparkSession, d: String): Dataset[FunnelEvent] = {
+    import s.implicits._
+    val dir = eventsSplitDir(s, d, 8)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    graft.Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
+      .selectExpr("user_id AS userId", "event_type AS eventType",
+        "unix_millis(ts) AS tms")
+      .as[FunnelEvent]
+  }
+
+  /** s18 — the x67 ordered funnel as a STREAMING query: per-user
+    * tri-state in `transformWithState` (watermark-pruned candidate
+    * lists — see [[graft.streaming.FunnelDetector]] for why a naive
+    * min-per-step is wrong on out-of-order input and why the state
+    * stays bounded by the out-of-orderness window, not user history),
+    * finalized by an event-time timer [[FunnelHorizonMs]] past each
+    * user's last event, append output. The sentinel rows ride as user
+    * −1 (an id the fixture cannot produce) so the watermark advances
+    * without polluting any real user's state; the oracle is x67's
+    * batch twin over the same fixture. */
+  def s18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stream = funnelEventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s))
+        .select(lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          col("timestamp").as("tms"))
+        .as[FunnelEvent])
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runToSink(s,
+        FunnelDetector.funnel(stream, FunnelHorizonMs).toDF(), "append")
+      .filter(col("user_id") >= 0)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_stream_funnel" -> (s18 _),
     "s17_stream_admission" -> (s17 _),
     "s16_sketch_table" -> (s16 _),
     "s15_late_drop" -> (s15 _),
@@ -1355,6 +1406,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s18_stream_funnel" -> Funnel.x67Sql,
     "s17_stream_admission" -> s17Sql,
     "s16_sketch_table" -> s12Sql,
     "s15_late_drop" -> s15Sql,

@@ -29,6 +29,10 @@ class DiffSpec extends SparkSpec {
   }
 
   test("x69 gate on sf0.001: statuses follow the simulation rules") {
+    // the addition offset is max(doc_id)+1, derived from the corpus —
+    // collision-proof at any fixture size (round-9 advice)
+    val off = graft.Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.max("doc_id")).head().getLong(0) + 1L
     val rows = Diff.x69(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getString(1))
     val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
@@ -36,12 +40,12 @@ class DiffSpec extends SparkSpec {
     // rule — doc 0 matches both and must be removed)
     assert(byStatus("removed").forall(_ % 7 == 0))
     assert(byStatus("removed").contains(0L))
-    // additions: exactly the re-ingested id+1000000 keys
-    assert(byStatus("added").forall(id => id >= 1000000L && (id - 1000000L) % 11 == 0))
+    // additions: exactly the re-ingested id+offset keys
+    assert(byStatus("added").forall(id => id >= off && (id - off) % 11 == 0))
     // changes: edited (id % 5 == 0) and not removed
     assert(byStatus("changed").forall(id => id % 5 == 0 && id % 7 != 0))
     // everything else unchanged
     assert(byStatus("unchanged").forall(id =>
-      id < 1000000L && id % 7 != 0 && id % 5 != 0))
+      id < off && id % 7 != 0 && id % 5 != 0))
   }
 }

@@ -92,6 +92,29 @@ class ExactnessSpec extends SparkSpec {
     assert(rTrained > 0.0)
   }
 
+  test("x70 IVF-PQ recall vs exact x06 and vs its own IVF candidates") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val qids = 0L until 10L
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.annBrute(emb, qids))
+    val ivf = topk(Similarity.annIvf(emb, qids))
+    val pq = topk(Similarity.annIvfPq(emb, qids))
+    val rExact = pq.intersect(exact).size.toDouble / exact.size
+    // the decomposition that matters: PQ shares x12's candidate set
+    // (same coarse cells, same probes), so (pq ∩ ivf)/|ivf| isolates
+    // the ADC-quantization loss from the cell-probe loss
+    val rIvf = pq.intersect(ivf).size.toDouble / ivf.size
+    info(f"IVF-PQ recall@10 at sf0.001: vs exact $rExact%.3f, " +
+      f"vs IVF candidates $rIvf%.3f")
+    assert(pq.size == exact.size, "PQ must fill the full top-k")
+    assert(rExact > 0.0)
+    // ADC over 8x16 codebooks keeps most of what the cell probe kept —
+    // a collapse here means the codebooks or the ADC arithmetic broke,
+    // not the probe
+    assert(rIvf >= 0.5, f"ADC degraded IVF's ranking too far: $rIvf%.3f")
+  }
+
   test("x05 banded pairs are a subset of exact pairs; recall reported") {
     val emb = graft.Tables.embeddings(spark, sf)
     def pairs(df: org.apache.spark.sql.DataFrame) =

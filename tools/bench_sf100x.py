@@ -108,6 +108,14 @@ QUERIES = [
     # genuinely-100x events table). x64 stays excluded with the other
     # output-quadratic pair-relation rows.
     "x65_sketch_jaccard", "x66_bpe_merges", "x67_funnel",
+    # round-10: snapshot diff at 100x (verdict-r9 item - linear,
+    # hash-first), the Pregel propagation step (Spark's curve is the
+    # point; the oracle's recursive CTE is output-quadratic and is
+    # expected to time out, as s17/x45/x66's oracles already do), the
+    # new IVF-PQ gate (broadcast-model narrow maps + equi-join search),
+    # and the 8-round BPE chain (fixed-cost rounds over the vocab dict)
+    "x69_corpus_diff", "x64_quality_propagate", "x70_ann_pq",
+    "x71_bpe_deep",
 ]
 
 

@@ -57,6 +57,12 @@ QUERIES = [
     # round-9: corpus snapshot diff and the x40 rebuild leg the 100x
     # curve reads (hash-first full-outer join; linear answers)
     "x69_corpus_diff", "x40_corpus_rebuild",
+    # round-10: the verdict-r9 `weak` rows (the only >2x-at-sf0.1 batch
+    # rows without a committed scale curve) plus the new IVF-PQ gate -
+    # every ANN/training stage is a broadcast-model narrow map, search
+    # an equi-join; the curve should be near-flat in corpus size
+    "x12_ann_ivf", "x70_ann_pq", "x14_asof_join", "x47_cluster_sizes",
+    "x55_leakage_split",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
