@@ -10,18 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into (fixed batch size, one decoder instance per partition, columnar
   * in/out).
   *
-  * The image, audio AND video paths decode REAL bytes: payloads are
-  * valid binary PPM (P6) images, RIFF/WAVE 16-bit PCM files, and
-  * YUV4MPEG2 (.y4m) uncompressed video streams, and [[Decode]] parses
-  * them back — header walk, chunk scan, frame-plane reads — with no
-  * codec libraries (all three formats are uncompressed and fully
-  * specified by their public format docs). The generator and parser
-  * share no arithmetic: the oracle recomputes every expected value
-  * independently from doc_id, so a parser bug fails the gate.
-  * COMPRESSED codecs (JPEG/H.264/Opus) genuinely need libraries this
-  * container lacks and stay out of scope; m02 keeps the char-frame
-  * decimation stub as the plumbing contract a compressed-stream
-  * decoder would drop into, while m05 decodes actual video bytes.
+  * EVERY media path decodes REAL bytes: payloads are valid binary PPM
+  * (P6) images, RIFF/WAVE 16-bit PCM files, YUV4MPEG2 (.y4m)
+  * uncompressed video streams, and baseline-sequential JPEGs
+  * ([[Jpeg]]), and the parsers read them back — header walks, chunk
+  * scans, frame-plane reads, and for m02 a full entropy-coded decode
+  * (Huffman + dequant + IDCT) — with no codec libraries; all four
+  * formats are fully specified by public docs (ITU-T T.81 for JPEG).
+  * The generator and parser share no arithmetic: the oracle recomputes
+  * every expected value independently from doc_id, so a parser bug
+  * fails the gate. Inter-frame video (H.264) and perceptual audio
+  * (Opus) remain out of scope — m05's Y4M path is the uncompressed
+  * stand-in with the same plumbing.
   */
 object Multimodal {
 
@@ -283,15 +283,15 @@ object Multimodal {
       .toDF()
   }
 
-  /** Text-payload media table — the VIDEO stub's input (m02): payload
-    * is the utf-8 text standing in for an encoded stream, because
-    * inter-frame video decode needs codec libraries this container
-    * lacks. */
-  def mediaTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).selectExpr(
-      "doc_id AS media_id",
-      "cast(text as binary) AS payload",
-      "'video' AS kind")
+  /** JPEG table: one valid baseline-sequential grayscale JPEG per
+    * document row (real markers, real Huffman entropy coding — see
+    * [[JpegGen]]). */
+  def jpegTable(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d).select("doc_id").as[Long]
+      .map(id => MediaRow(id, JpegGen.jpeg(id), "image_jpeg"))
+      .toDF()
+  }
 
   /** m01 — the full image decode pipeline: binary payloads -> batched
     * parse -> typed metadata + pixel checksum. Narrow plan (no
@@ -322,52 +322,45 @@ object Multimodal {
       |    CAST(8 + (doc_id * 3) % 24 AS INT) AS height
       |  FROM documents)""".stripMargin
 
-  /** Frame size for the frame-sampling stub (a video decoder would
-    * yield real frames; chunking the payload keeps the plumbing and
-    * arithmetic identical). */
-  val FrameBytes = 1024
+  /** Video frame-sampling stride (m05 keeps every 4th frame). */
   val SampleEvery = 4
 
   // ---------------------------------------------------------------- m02
-  /** m02 — frame sampling: treat the payload as fixed-size frames,
-    * keep every SampleEvery-th (the standard video-pipeline decimation
-    * shape). Emits frame counts and the portable hash of the first
-    * sampled frame so the oracle can check the actual sampled BYTES,
-    * not just the arithmetic. */
-  /** Per-document frame stats: (n_frames, n_sampled, first_frame_hash).
-    * Counts and slices by CODE POINTS, not UTF-16 units: DuckDB's
-    * length/substr count code points, and slicing on a char index could
-    * split a surrogate pair (different hashed bytes) for supplementary-
-    * plane text even when the counts happen to agree. */
-  private[multimodal] def frameStats(text: String): (Int, Int, Long) = {
-    val nCp = text.codePointCount(0, text.length)
-    val nFrames = (nCp + FrameBytes - 1) / FrameBytes
-    val nSampled = (nFrames + SampleEvery - 1) / SampleEvery
-    val first = text.substring(0,
-      text.offsetByCodePoints(0, math.min(FrameBytes, nCp)))
-    (nFrames, nSampled, PortableHash.h60(first))
-  }
-
+  /** m02 — COMPRESSED-codec decode, the last media family that was a
+    * declared stub: each payload is a real baseline-sequential JPEG
+    * (markers, quantization + Annex K Huffman tables, entropy-coded
+    * data with byte stuffing) and [[JpegDecode.parseJpeg]] runs the
+    * full pipeline — Huffman decode, DC prediction, dequantization,
+    * IDCT, level shift, edge crop — with no codec libraries. Same
+    * batched typed mapPartitions (narrow plan) as the other decodes.
+    * The gate hashes the decoded PIXEL SUM: the oracle recomputes it
+    * from doc_id via the generator's block formula ([[JpegGen.dims]]),
+    * which round-trips exactly because the fixture's blocks are
+    * constant (DC-only, losslessly quantized by construction) — any
+    * Huffman/IDCT/crop bug shifts the sum and fails the hash. */
   def m02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // frames are CHAR windows (not byte windows): DuckDB cannot slice
-    // BLOBs, and a char window hashes to identical UTF-8 bytes on both
-    // engines regardless of content
-    mediaTable(s, d).as[MediaRow]
+    jpegTable(s, d).as[MediaRow]
       .mapPartitions(_.grouped(BatchSize).flatMap(_.map { m =>
-        val text = new String(m.payload, java.nio.charset.StandardCharsets.UTF_8)
-        val (nFrames, nSampled, firstH) = frameStats(text)
-        (m.media_id, nFrames, nSampled, firstH)
+        val img = JpegDecode.parseJpeg(m.payload)
+        (m.media_id, img.width, img.height, img.nBlocks, img.pixSum)
       }))
-      .toDF("media_id", "n_frames", "n_sampled", "first_frame_h")
+      .toDF("media_id", "width", "height", "n_blocks", "pix_sum")
   }
 
   val m02Sql: String =
-    s"""SELECT doc_id AS media_id,
-       |  CAST((length(text) + ${FrameBytes - 1}) // $FrameBytes AS INT) AS n_frames,
-       |  CAST(((length(text) + ${FrameBytes - 1}) // $FrameBytes + ${SampleEvery - 1}) // $SampleEvery AS INT) AS n_sampled,
-       |  ${PortableHash.duckH60(s"substr(text, 1, $FrameBytes)")} AS first_frame_h
-       |FROM documents""".stripMargin
+    """SELECT media_id, width, height, CAST(bw * bh AS INT) AS n_blocks,
+      |  CAST(list_sum(list_transform(range(0, bw * bh), k ->
+      |    ((media_id * 31 + k * 7) % 256) *
+      |    least(8, width - (k % bw) * 8) *
+      |    least(8, height - (k // bw) * 8))) AS BIGINT) AS pix_sum
+      |FROM (
+      |  SELECT doc_id AS media_id,
+      |    CAST(1 + doc_id % 3 AS INT) AS bw,
+      |    CAST(1 + (doc_id * 3) % 3 AS INT) AS bh,
+      |    CAST(8 * (1 + doc_id % 3) - doc_id % 5 AS INT) AS width,
+      |    CAST(8 * (1 + (doc_id * 3) % 3) - (doc_id * 7) % 5 AS INT) AS height
+      |  FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------- m03
   /** m03 — resize: fit decoded dimensions into a 256-box preserving
@@ -469,7 +462,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_decode" -> (m01 _),
-    "m02_frame_sample" -> (m02 _),
+    "m02_jpeg_decode" -> (m02 _),
     "m03_resize" -> (m03 _),
     "m04_audio_features" -> (m04 _),
     "m05_video_decode" -> (m05 _),
@@ -477,7 +470,7 @@ object Multimodal {
 
   val oracleSql: Map[String, String] = Map(
     "m01_media_decode" -> m01Sql,
-    "m02_frame_sample" -> m02Sql,
+    "m02_jpeg_decode" -> m02Sql,
     "m03_resize" -> m03Sql,
     "m04_audio_features" -> m04Sql,
     "m05_video_decode" -> m05Sql,

@@ -5,25 +5,76 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
 
-  test("frameStats counts code points, not UTF-16 units") {
-    // 1500 supplementary-plane code points = 3000 UTF-16 chars. A
-    // UTF-16-based count would see 3 frames; code points give 2.
-    val emoji = "😀" // U+1F600, one code point, two chars
-    val text = emoji * 1500
-    val (nFrames, nSampled, firstH) = Multimodal.frameStats(text)
-    assert(nFrames == 2)
-    assert(nSampled == 1)
-    // the first frame is the first 1024 CODE POINTS — 2048 chars —
-    // never splitting a surrogate pair
-    assert(firstH == PortableHash.h60(emoji * 1024))
+  test("JPEG decoder reads back exactly what the generator encoded") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 128L, 499L)) {
+      val (bw, bh, w, h) = JpegGen.dims(id)
+      val img = JpegDecode.parseJpeg(JpegGen.jpeg(id))
+      assert(img.width == w && img.height == h, s"dims for id=$id")
+      assert(img.nBlocks == bw * bh)
+      // expected pixel sum: per block, its constant value times the
+      // VISIBLE (cropped) pixel count
+      val expected = (0 until bw * bh).map { k =>
+        val bx = k % bw; val by = k / bw
+        JpegGen.blockValue(id, k).toLong *
+          math.min(8, w - 8 * bx) * math.min(8, h - 8 * by)
+      }.sum
+      assert(img.pixSum == expected, s"pixSum for id=$id")
+    }
   }
 
-  test("frameStats on BMP text matches plain length arithmetic") {
-    val text = "a" * 2500
-    val (nFrames, nSampled, firstH) = Multimodal.frameStats(text)
-    assert(nFrames == 3)
-    assert(nSampled == 1)
-    assert(firstH == PortableHash.h60("a" * 1024))
+  test("JPEG decoder handles a non-trivial AC coefficient stream") {
+    // Hand-roll an 8x8 stream with one nonzero AC coefficient: DC cat 0
+    // (diff 0) then AC (run=2, size=1, bit=1) then EOB. Exercises the
+    // run-length skip, EXTEND on a 1-bit positive value, and the
+    // dequant path the constant fixtures never hit. The decoded block
+    // is IDCT(AC at zigzag index 3 = (1,0) vertical frequency).
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, p: Array[Int]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((p.length + 2) >> 8); out.write((p.length + 2) & 0xff)
+      p.foreach(out.write)
+    }
+    out.write(0xff); out.write(0xd8)
+    seg(0xdb, Array(0x00) ++ Array.fill(64)(16))
+    seg(0xc0, Array(8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, Array(0x00) ++ Jpeg.DcBits ++ Jpeg.DcVals)
+    seg(0xc4, Array(0x10) ++ Jpeg.AcBits ++ Jpeg.AcVals)
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+    // entropy, canonical codes from the Annex K tables: DC cat 0 is
+    // the length-2 code 00; AC rs=0x21 is the 9th value -> length-5
+    // code 11100; one magnitude bit (1 = +1); EOB (0x00) is the
+    // length-4 code 1010. Bits: 00 11100 1 1010 = 12 bits -> pad 4
+    // ones: 0011 1001 1010 1111 = 0x39 0xAF
+    out.write(0x39); out.write(0xaf)
+    out.write(0xff); out.write(0xd9)
+    val img = JpegDecode.parseJpeg(out.toByteArray)
+    assert(img.width == 8 && img.height == 8 && img.nBlocks == 1)
+    // run=2 skips to zigzag index 3 = natural (v=2, u=0): dequantized
+    // coefficient 1*16, IDCT'd, +128, rounded, clamped
+    val expected = (0 until 8).flatMap { y =>
+      (0 until 8).map { x =>
+        val s = 16.0 * (1.0 / math.sqrt(2.0)) *
+          math.cos((2 * y + 1) * 2 * math.Pi / 16.0) / 4.0
+        math.max(0L, math.min(255L, Math.round(s + 128.0)))
+      }
+    }.sum
+    assert(img.pixSum == expected)
+  }
+
+  test("JPEG decoder rejects malformed and unsupported input") {
+    intercept[IllegalArgumentException] { // not a JPEG
+      JpegDecode.parseJpeg("not a jpeg at all".getBytes("US-ASCII"))
+    }
+    val good = JpegGen.jpeg(3L)
+    intercept[IllegalArgumentException] { // truncated entropy segment
+      JpegDecode.parseJpeg(good.dropRight(6))
+    }
+    // progressive SOF2 must be rejected, not mis-decoded
+    val prog = good.clone()
+    val sofAt = good.indices.find(i =>
+      (good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    intercept[IllegalArgumentException] { JpegDecode.parseJpeg(prog) }
   }
 
   test("PPM parser reads back exactly what the generator wrote") {
