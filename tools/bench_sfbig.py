@@ -63,6 +63,9 @@ QUERIES = [
     # an equi-join; the curve should be near-flat in corpus size
     "x12_ann_ivf", "x70_ann_pq", "x14_asof_join", "x47_cluster_sizes",
     "x55_leakage_split",
+    # round-10: the deep BPE chain (fixed-cost vocab-dict rounds) and
+    # the streaming funnel over the genuinely-10x events table
+    "x71_bpe_deep", "s18_stream_funnel",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
