@@ -337,10 +337,11 @@ object Similarity {
     * by ADC ([[graft.functions.PqAdcScore]]): the query's unit vector
     * against each candidate's RECONSTRUCTED codewords — the corpus
     * floats are never read again after indexing. */
-  def annIvfPq(emb: DataFrame, queryIds: Seq[Long],
-      lloydIters: Int = LloydIters): DataFrame = {
+  /** The trained IVF-PQ search core shared by x70 and x72: ADC-scored
+    * candidates (qid, vec_id, score) from the probe equi-join. */
+  private def pqAdcCandidates(e: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int): DataFrame = {
     import graft.functions.{PqAdcScore, PqEncode}
-    val e = vecsOf(emb)
     val coarse = trainCentroids(e, lloydIters)
     val un = e.select(col("vec_id"), col("v"), col("nrm"),
       expr("transform(v, x -> x / nrm)").as("u"))
@@ -355,23 +356,58 @@ object Similarity {
           col("v"), col("nrm"), coarse, NProbe)).as("cid"))
     broadcast(probes).join(index, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("score", PqAdcScore(col("qu"), col("codes"), pq))
+      .select(col("qid"), col("vec_id"),
+        PqAdcScore(col("qu"), col("codes"), pq).as("score"))
+  }
+
+  def annIvfPq(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters): DataFrame =
+    pqAdcCandidates(vecsOf(emb), queryIds, lloydIters)
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
       .filter(col("rn") <= TopK)
       .select(col("qid"), col("vec_id"), col("score"), col("rn"))
-  }
 
   def x70(s: SparkSession, d: String): DataFrame =
     annIvfPq(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
-  /** Oracle: replays coarse training (shared prefix), per-subspace PQ
-    * training (seed ranks → Lloyd micro-unit means), encoding (argmin
-    * L2, tie → smaller code), and the per-subspace-quantized ADC sum.
-    * `usub`/`pe`/`enc` are MATERIALIZED — each is referenced more than
-    * once and default CTE inlining would re-derive the whole chain per
-    * reference (the x71 lesson). */
-  val x70Sql: String = {
+  // ---------------------------------------------------------------- x72
+  /** ADC shortlist size per query before exact re-ranking. */
+  private val PqRerank = 50
+
+  /** IVF-PQ search COMPLETED the production way: ADC ranks a
+    * [[PqRerank]]-deep shortlist from codes alone, then only those
+    * q·R rows are re-scored with exact cosine against the full vectors
+    * — the standard two-tier layout (codes in memory for the scan,
+    * floats fetched per-candidate for the re-rank) that recovers the
+    * ADC quantization loss without ever streaming the float corpus
+    * through the ranking join. The re-rank join broadcasts the
+    * driver-sized shortlist against the vector store keyed by vec_id;
+    * output schema matches the x06/x12 family (exact-cosine scores). */
+  def annIvfPqRerank(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters): DataFrame = {
+    val e = vecsOf(emb)
+    val shortlist = pqAdcCandidates(e, queryIds, lloydIters)
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("prn") <= PqRerank)
+      .select(col("qid"), col("vec_id"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+    rank(broadcast(shortlist).join(e, Seq("vec_id")).join(broadcast(q), Seq("qid")))
+  }
+
+  def x72(s: SparkSession, d: String): DataFrame =
+    annIvfPqRerank(Tables.embeddings(s, d), 0L until NQueries.toLong)
+
+  /** Shared oracle prefix: replays coarse training (ivf prefix),
+    * per-subspace PQ training (seed ranks → Lloyd micro-unit means),
+    * encoding (argmin L2, tie → smaller code), and the
+    * per-subspace-quantized ADC sum, ending in relation `adc`
+    * (qid, vec_id, score). `usub`/`pe`/`enc` are MATERIALIZED — each
+    * is referenced more than once and default CTE inlining would
+    * re-derive the whole chain per reference (the x71 lesson). */
+  private val pqAdcSqlPrefix: String = {
     def lloydPq(prev: String, r: Int): String =
       s"""pe$r AS MATERIALIZED (
          |  SELECT vec_id, m, cid FROM (
@@ -430,12 +466,34 @@ object Similarity {
        |  JOIN enc ON enc.vec_id = c.vec_id
        |  JOIN cb$PqIters cb ON cb.m = enc.m AND cb.cid = enc.code
        |  JOIN usub q ON q.vec_id = c.qid AND q.m = enc.m
-       |  GROUP BY c.qid, c.vec_id)
+       |  GROUP BY c.qid, c.vec_id)""".stripMargin
+  }
+
+  val x70Sql: String =
+    s"""$pqAdcSqlPrefix
        |SELECT qid, vec_id, score,
        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
        |FROM adc
        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
-  }
+
+  /** x72 oracle: the ADC prefix, a [[PqRerank]]-deep shortlist, then
+    * exact cosine over relation `n`'s full vectors — the re-rank twin. */
+  val x72Sql: String =
+    s"""$pqAdcSqlPrefix,
+       |short AS (
+       |  SELECT qid, vec_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $PqRerank),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    CAST(floor(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) * 1000000) AS BIGINT) AS score
+       |  FROM short s
+       |  JOIN n e ON e.vec_id = s.vec_id
+       |  JOIN n q ON q.vec_id = s.qid)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM rr
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
 
   // ---------------------------------------------------------------- x33
   private val SemThresh = 0.3
@@ -667,6 +725,7 @@ object Similarity {
     "x07_ann_lsh" -> (x07 _),
     "x12_ann_ivf" -> (x12 _),
     "x70_ann_pq" -> (x70 _),
+    "x72_ann_pq_rerank" -> (x72 _),
     "x25_embed_quantize" -> (x25 _),
     "x33_semdedup" -> (x33 _),
     "x44_gram_matrix" -> (x44 _),
@@ -678,6 +737,7 @@ object Similarity {
     "x07_ann_lsh" -> x07Sql,
     "x12_ann_ivf" -> x12Sql,
     "x70_ann_pq" -> x70Sql,
+    "x72_ann_pq_rerank" -> x72Sql,
     "x25_embed_quantize" -> x25Sql,
     "x33_semdedup" -> x33Sql,
     "x44_gram_matrix" -> x44Sql,

@@ -113,6 +113,16 @@ class ExactnessSpec extends SparkSpec {
     // a collapse here means the codebooks or the ADC arithmetic broke,
     // not the probe
     assert(rIvf >= 0.5, f"ADC degraded IVF's ranking too far: $rIvf%.3f")
+    // exact re-ranking of the ADC shortlist must recover the ADC loss:
+    // within the shared candidate set, x72 should agree with x12 (the
+    // exact ranking over the same probed cells) strictly better than
+    // raw ADC does
+    val rr = topk(Similarity.annIvfPqRerank(emb, qids))
+    val rrIvf = rr.intersect(ivf).size.toDouble / ivf.size
+    info(f"IVF-PQ+rerank recall@10: vs IVF candidates $rrIvf%.3f")
+    assert(rrIvf >= rIvf, "re-ranking must not lose ADC agreement")
+    assert(rrIvf >= 0.9,
+      f"a 50-deep exact re-rank should nearly recover the IVF ranking: $rrIvf%.3f")
   }
 
   test("x05 banded pairs are a subset of exact pairs; recall reported") {

@@ -66,6 +66,8 @@ QUERIES = [
     # round-10: the deep BPE chain (fixed-cost vocab-dict rounds) and
     # the streaming funnel over the genuinely-10x events table
     "x71_bpe_deep", "s18_stream_funnel",
+    # round-10 second push: IVF-PQ completed with the exact re-rank tier
+    "x72_ann_pq_rerank",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
