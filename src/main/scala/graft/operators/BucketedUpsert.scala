@@ -239,6 +239,25 @@ object BucketedUpsert {
     (n, before, after)
   }
 
+  /** The named buckets' state as of strictly BEFORE `before` — the
+    * read a consumer pairs with [[applyBatch]] when it must classify a
+    * batch against pre-batch state (s19's diff verdicts): using the
+    * same strictly-below-batchId version rule keeps a REPLAYED batch
+    * reading exactly what the first attempt read, so derived outputs
+    * are replay-deterministic like the state itself. O(|buckets|)
+    * leaves read, never the full table. Returns None when none of the
+    * buckets have state. */
+  def bucketState(s: SparkSession, stateBase: Path, numBuckets: Int,
+      buckets: Iterable[Int], before: Long): Option[DataFrame] = {
+    val (fs, key) = fsOf(s, stateBase)
+    val leaves = latestVersions(cachedListing(fs, stateBase, key),
+      buckets, before)
+    if (leaves.isEmpty) None
+    else Some(s.read.parquet(leaves.iterator
+      .map { case (b, vid) => leafPath(stateBase, vid, b).toString }
+      .toSeq: _*))
+  }
+
   /** The table as of the last applied batch: every bucket's newest
     * leaf, one multi-path scan (no bucket column — it lives in the
     * directory names, and the leaves are the read roots). Returns None

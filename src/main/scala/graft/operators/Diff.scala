@@ -49,17 +49,22 @@ object Diff {
     * real ids once a fixture crosses that size — and the 100× rehearsal
     * corpus is within an order of magnitude of it. ONE aggregated row
     * attached by broadcast cross join (the x36/x45 sanctioned idiom). */
-  def x69(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select("doc_id", "text")
+  /** The simulated "next crawl" (shared by x69 and its streaming twin
+    * s19): drops, edits, and re-ingests per the rules above. */
+  private[operators] def nextCrawl(docs: DataFrame): DataFrame = {
     val off = docs.agg((max(col("doc_id")) + 1L).as("off"))
-    val next = docs.filter(col("doc_id") % 7 =!= 0)
+    docs.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(col("text"), lit(" edited")))
           .otherwise(col("text")).as("text"))
       .unionByName(docs.filter(col("doc_id") % 11 === 0)
         .crossJoin(broadcast(off))
         .select((col("doc_id") + col("off")).as("doc_id"), col("text")))
-    corpusDiff(docs, next)
+  }
+
+  def x69(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    corpusDiff(docs, nextCrawl(docs))
   }
 
   val x69Sql: String =

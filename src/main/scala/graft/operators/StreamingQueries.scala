@@ -1383,7 +1383,134 @@ object StreamingQueries {
     }
   }
 
+  /** Replay source for [[s19]]: the simulated next-crawl relation
+    * (Diff.nextCrawl — the same derivation x69 gates) as three one-file
+    * micro-batches pinned to `doc_id % 3`. The diff verdicts are
+    * batching-INDEPENDENT (every classification is against the stored
+    * previous-snapshot hash, never intra-crawl), but a pinned split
+    * keeps replays byte-identical. One dir per (app, sf). */
+  private val diffDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def diffReplayDir(s: SparkSession, d: String): java.io.File = {
+    val key = s.sparkContext.applicationId + "::" + d
+    Option(diffDirCache.get(key)).getOrElse {
+      val dir = graft.TempDirs.deleteOnExit(scratchDir("graft_diff_src_"))
+      val next = Diff.nextCrawl(
+        graft.Tables.documents(s, d).select("doc_id", "text"))
+      (0 until 3).foreach { n =>
+        val stage = new java.io.File(dir, s"stage$n")
+        next.filter(pmod(col("doc_id"), lit(3)) === n)
+          .coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(dir, f"crawl$n%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(System.currentTimeMillis() + n * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      Option(diffDirCache.putIfAbsent(key, dir)).getOrElse(dir)
+    }
+  }
+
+  /** s19 — STREAMING CORPUS DIFF, the CDC twin of x69: the previous
+    * snapshot's content hashes live in a hash-bucketed upsert table
+    * (16-byte rows, never text — x69's hash-first discipline carried
+    * into state), and each arriving micro-batch of the new crawl is
+    * classified against it — `added` (no stored key), `changed` (hash
+    * differs), `unchanged` — touching ONLY the buckets its keys hash
+    * into (O(batch) I/O per batch, not O(snapshot); the s10/s16 sink
+    * contract). Removals are inherently not a stream event (absence
+    * doesn't arrive), so the crawl-close reconciliation pass emits
+    * `removed` for every snapshot key no batch ever marked seen — one
+    * full state scan at END-OF-CRAWL, the shape a real re-crawl audit
+    * runs.
+    *
+    * Exactly-once across replays: verdicts are a pure function of the
+    * batch and of strictly-pre-batch state — the classification read
+    * uses [[BucketedUpsert.bucketState]] with the same
+    * strictly-below-batchId version rule [[BucketedUpsert.applyBatch]]
+    * applies to the seen-marking write, so a replayed batch reads what
+    * the first attempt read and overwrites its verdict file with
+    * identical content; seen-marking itself is idempotent. The oracle
+    * is x69's batch twin over the same fixture. */
+  def s19(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash
+    val dir = diffReplayDir(s, d)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val nBuckets = 16
+    val stateDir = scratchDir("graft_diff_state_")
+    val stateBase = new org.apache.hadoop.fs.Path(stateDir.getAbsolutePath)
+    val outBase = graft.TempDirs.deleteOnExit(scratchDir("graft_diff_out_"))
+    val ckpt = try scratchCkptDir("graft_diff_ckpt_") catch {
+      case t: Throwable => deleteRecursively(stateDir); throw t
+    }
+    withReplayPartitions(s) { try {
+      // version 0 of the state log = the previous snapshot's hash table
+      val snap = graft.Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), PortableHash.h60(col("text")).as("h"),
+          lit(false).as("seen"))
+      BucketedUpsert.applyBatch(s, stateBase, nBuckets, 0L, snap, "doc_id",
+        (_, u) => u)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val vid = batchId + 1 // version 0 is the snapshot load
+          val arrived = batch.filter(col("text").isNotNull)
+            .select(col("doc_id"), PortableHash.h60(col("text")).as("hb"))
+          // touched-bucket set: <= nBuckets small ints, the one driver
+          // materialization (the applyBatch discipline)
+          val touched = arrived
+            .select(BucketedUpsert.bucketExpr(col("doc_id"), nBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val target = BucketedUpsert
+            .bucketState(s, stateBase, nBuckets, touched, vid)
+            .map(_.select(col("doc_id"), col("h")))
+            .getOrElse(arrived
+              .select(col("doc_id"), col("hb").as("h")).limit(0))
+          arrived.join(target, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              when(col("h").isNull, "added")
+                .when(col("h") === col("hb"), "unchanged")
+                .otherwise("changed").as("status"))
+            .write.mode("overwrite")
+            .parquet(new java.io.File(outBase, s"b$vid").getAbsolutePath)
+          // mark arrivals seen; keys with no snapshot row (added docs)
+          // never enter the state — they cannot become removals
+          BucketedUpsert.applyBatch(s, stateBase, nBuckets, vid,
+            arrived.select(col("doc_id")), "doc_id",
+            (t, u) => t.join(
+                u.select(col("doc_id"), lit(true).as("sn")),
+                Seq("doc_id"), "left")
+              .select(col("doc_id"), col("h"),
+                (col("seen") || coalesce(col("sn"), lit(false))).as("seen")))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // crawl-close reconciliation: snapshot keys never seen = removed.
+      // Written next to the verdicts so the returned relation outlives
+      // the state dir this finally block deletes.
+      BucketedUpsert.currentState(s, stateBase, nBuckets).get
+        .filter(!col("seen"))
+        .select(col("doc_id"), lit("removed").as("status"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(outBase, "removed").getAbsolutePath)
+      s.read.parquet(Option(outBase.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("b") || f.getName == "removed")
+        .map(_.getAbsolutePath).toSeq: _*)
+    } finally {
+      deleteRecursively(stateDir)
+      deleteRecursively(ckpt)
+    } }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_stream_diff" -> (s19 _),
     "s18_stream_funnel" -> (s18 _),
     "s17_stream_admission" -> (s17 _),
     "s16_sketch_table" -> (s16 _),
@@ -1406,6 +1533,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s19_stream_diff" -> Diff.x69Sql,
     "s18_stream_funnel" -> Funnel.x67Sql,
     "s17_stream_admission" -> s17Sql,
     "s16_sketch_table" -> s12Sql,

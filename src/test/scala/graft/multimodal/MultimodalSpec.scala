@@ -61,6 +61,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(img.pixSum == expected)
   }
 
+  test("JPEG round-trip holds over arbitrary doc ids (property)") {
+    // raw ScalaCheck, explicit seeds (the scalatest bridge is not on
+    // the offline classpath — the PropertySpec convention)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.chooseNum(0L, 1000000000L)
+    val ids = (1L to 60L).map(s =>
+      gen.apply(Gen.Parameters.default, Seed(s)).get)
+    ids.foreach { id =>
+      val (bw, bh, w, h) = JpegGen.dims(id)
+      val img = JpegDecode.parseJpeg(JpegGen.jpeg(id))
+      val expected = (0 until bw * bh).map { k =>
+        JpegGen.blockValue(id, k).toLong *
+          math.min(8, w - 8 * (k % bw)) * math.min(8, h - 8 * (k / bw))
+      }.sum
+      assert(img.width == w && img.height == h && img.pixSum == expected,
+        s"round-trip broke for doc_id=$id")
+    }
+  }
+
   test("JPEG decoder rejects malformed and unsupported input") {
     intercept[IllegalArgumentException] { // not a JPEG
       JpegDecode.parseJpeg("not a jpeg at all".getBytes("US-ASCII"))

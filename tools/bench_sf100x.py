@@ -116,6 +116,10 @@ QUERIES = [
     # and the 8-round BPE chain (fixed-cost rounds over the vocab dict)
     "x69_corpus_diff", "x64_quality_propagate", "x70_ann_pq",
     "x71_bpe_deep",
+    # round-10 second push: the streaming funnel over the genuinely-100x
+    # events table (s17's sibling - the only other replay whose per-batch
+    # work scales with the data) and the re-rank ANN tier
+    "s18_stream_funnel", "x72_ann_pq_rerank",
 ]
 
 

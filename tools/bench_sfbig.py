@@ -66,8 +66,9 @@ QUERIES = [
     # round-10: the deep BPE chain (fixed-cost vocab-dict rounds) and
     # the streaming funnel over the genuinely-10x events table
     "x71_bpe_deep", "s18_stream_funnel",
-    # round-10 second push: IVF-PQ completed with the exact re-rank tier
-    "x72_ann_pq_rerank",
+    # round-10 second push: IVF-PQ completed with the exact re-rank tier,
+    # and the CDC corpus-diff twin (bucket-local state I/O per batch)
+    "x72_ann_pq_rerank", "s19_stream_diff",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
