@@ -78,14 +78,17 @@ object Bpe {
 
   /** Library entry: run `rounds` BPE merges over any (text) relation;
     * returns (merges, finalDict) — the per-round winning pairs with
-    * their counts, and the re-tokenized word dictionary. */
+    * their counts, and the re-tokenized word dictionary (w, f, a):
+    * the word, its corpus frequency, and its symbol segmentation —
+    * i.e. the TRAINED TOKENIZER, applied to a corpus by an equi-join
+    * on w (x73). */
   def bpeTrain(docs: DataFrame, rounds: Int = Rounds)
       : (Seq[DataFrame], DataFrame) = {
     var dict = docs.filter(col("text").isNotNull)
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .select(col("f"),
+      .select(col("w"), col("f"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("a"))
       .localCheckpoint(eager = false)
@@ -105,7 +108,7 @@ object Bpe {
       // join it replaced.
       dict = dict.join(broadcast(win.select(col("p"), col("q"))),
           lit(true), "left")
-        .select(col("f"), mergeFold("a", "p", "q").as("a"))
+        .select(col("w"), col("f"), mergeFold("a", "p", "q").as("a"))
         .localCheckpoint(eager = false)
       win
     }
@@ -151,6 +154,35 @@ object Bpe {
     * count is a pure loop-stability axis, not a scale axis. */
   def x71(s: SparkSession, d: String): DataFrame = gateDf(s, d, DeepRounds)
 
+  // ---------------------------------------------------------------- x73
+  /** Library entry: APPLY a trained segmentation dict (w, f, a) to a
+    * (doc_id, text) corpus — per-document word and token counts under
+    * the learned merges, the statistic a token-budgeted training
+    * pipeline actually keys on (x10's whitespace/regex count is the
+    * pre-tokenizer approximation). One equi-join of the corpus word
+    * relation against the |vocab|-row dict on the (uniform) word key —
+    * at 100 TB the dict is ~10⁶ rows regardless of corpus size, so the
+    * join broadcasts or hash-shuffles cheaply while the corpus streams
+    * through once; no per-row re-segmentation, because BPE merges are
+    * a pure function of the word. */
+  def bpeEncodeCounts(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val words = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    words.join(dict.select(col("w"), size(col("a")).as("n_tok")), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+  }
+
+  /** x73 — the corpus tokenized by its own [[Rounds]]-merge tokenizer:
+    * (doc_id, n_words, n_tokens). A drifted merge in ANY round changes
+    * some word's segmentation length and fails the hash. */
+  def x73(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (_, dict) = bpeTrain(docs, Rounds)
+    bpeEncodeCounts(docs, dict)
+  }
+
   /** One oracle merge round: pc → win → match positions → islands →
     * even-offset selection → rebuild (see the equivalence note).
     * `pos` and the rebuilt dict are MATERIALIZED: each round references
@@ -187,12 +219,11 @@ object Bpe {
        |  WHERE s2.i IS NULL
        |  GROUP BY p.w, p.f)""".stripMargin
 
-  private def gateSql(nRounds: Int): String = {
+  /** Oracle CTE chain through the trained dict relation `a<nRounds>`
+    * (w, f, a) — shared by the chain gates and the x73 encode. */
+  private def dictSql(nRounds: Int): String = {
     val rounds = (1 to nRounds).map(r => roundSql(s"a${r - 1}", r))
       .mkString(",\n")
-    val mergeSelects = (1 to nRounds).map(r =>
-      s"SELECT 'm$r:' || p || '+' || q AS item, cnt FROM win$r")
-      .mkString("\n  UNION ALL ")
     s"""WITH w0 AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
        |    SELECT unnest(string_split(lower(text), ' ')) AS w
@@ -202,7 +233,14 @@ object Bpe {
        |  SELECT w, f,
        |    list_transform(range(1, len(w) + 1), i -> substring(w, i, 1)) AS a
        |  FROM w0),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  private def gateSql(nRounds: Int): String = {
+    val mergeSelects = (1 to nRounds).map(r =>
+      s"SELECT 'm$r:' || p || '+' || q AS item, cnt FROM win$r")
+      .mkString("\n  UNION ALL ")
+    s"""${dictSql(nRounds)},
        |inv AS (
        |  SELECT 's:' || sym AS item, CAST(sum(f) AS BIGINT) AS cnt FROM (
        |    SELECT f, unnest(a) AS sym FROM a$nRounds)
@@ -215,11 +253,27 @@ object Bpe {
   val x66Sql: String = gateSql(Rounds)
   val x71Sql: String = gateSql(DeepRounds)
 
+  /** x73 oracle: the shared dict chain, then one corpus-word join —
+    * token count per word = its segmentation length. */
+  val x73Sql: String =
+    s"""${dictSql(Rounds)}
+       |SELECT doc_id,
+       |  count(*) AS n_words,
+       |  CAST(sum(len(a)) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |  FROM documents WHERE text IS NOT NULL) dw
+       |JOIN a$Rounds USING (w)
+       |WHERE len(w) > 0
+       |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x66_bpe_merges" -> (x66 _),
-    "x71_bpe_deep" -> (x71 _))
+    "x71_bpe_deep" -> (x71 _),
+    "x73_bpe_encode" -> (x73 _))
 
   val oracleSql: Map[String, String] = Map(
     "x66_bpe_merges" -> x66Sql,
-    "x71_bpe_deep" -> x71Sql)
+    "x71_bpe_deep" -> x71Sql,
+    "x73_bpe_encode" -> x73Sql)
 }

@@ -61,6 +61,35 @@ class BpeSpec extends SparkSpec {
     assert(byWord === Set(Seq("aa"), Seq("z"), Seq("q", "r")))
   }
 
+  test("x73 encode: hand corpus token counts under the trained merges") {
+    // corpus "aa ab" x2 + "b": round-1 winner is (a,a) (cnt 2 beats
+    // (a,b)'s 2? no - both 2, tie-break (p,q) picks (a,a)); after one
+    // merge: aa->[aa] (1 token), ab->[a,b] (2), b->[b] (1)
+    val d = docs("aa ab aa ab b")
+    val (_, dict) = Bpe.bpeTrain(d, rounds = 1)
+    val got = Bpe.bpeEncodeCounts(
+      d, dict).collect().map(r => (r.getLong(1), r.getLong(2))).head
+    // 5 words; tokens: aa(1)+ab(2)+aa(1)+ab(2)+b(1) = 7
+    assert(got === ((5L, 7L)))
+  }
+
+  test("x73 invariants on sf0.001: n_words <= n_tokens, join is total") {
+    import org.apache.spark.sql.functions._
+    val rows = Bpe.x73(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(2) >= r.getLong(1)),
+      "a word is never fewer than one token")
+    // the tokenizer was trained on this corpus, so the encode join is
+    // TOTAL: per-doc word counts must equal the raw word relation's
+    val raw = graft.Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.forall(r => raw(r.getLong(0)) == r.getLong(1)))
+  }
+
   test("x66 gate shape on sf0.001: 3 merge rows + inventory, positive counts") {
     val rows = Bpe.x66(spark, sf).collect()
     val items = rows.map(_.getString(0))

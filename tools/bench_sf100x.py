@@ -120,6 +120,8 @@ QUERIES = [
     # events table (s17's sibling - the only other replay whose per-batch
     # work scales with the data) and the re-rank ANN tier
     "s18_stream_funnel", "x72_ann_pq_rerank",
+    # round-10 third push: tokenizer application at 100x
+    "x73_bpe_encode",
 ]
 
 

@@ -69,6 +69,9 @@ QUERIES = [
     # round-10 second push: IVF-PQ completed with the exact re-rank tier,
     # and the CDC corpus-diff twin (bucket-local state I/O per batch)
     "x72_ann_pq_rerank", "s19_stream_diff",
+    # round-10 third push: tokenizer application (corpus-word join
+    # against the vocab dict)
+    "x73_bpe_encode",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
