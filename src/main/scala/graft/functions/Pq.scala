@@ -85,6 +85,7 @@ final class PqModel(val ds: Int, val cids: Array[Array[Int]],
       val cs = cids(mm)
       var c = 0
       while (c < cs.length && cs(c) != code) c += 1
+      require(c < cs.length, s"unknown PQ code $code in subspace $mm")
       val cw = cws(mm)(c)
       val base = mm * ds
       var s = 0.0

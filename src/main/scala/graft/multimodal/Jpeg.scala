@@ -83,12 +83,14 @@ object JpegGen {
   import Jpeg._
 
   /** Block grid and pixel formula — the contract the DuckDB oracle
-    * replays: bw = 1+id%3 block cols, bh = 1+(id·3)%3 block rows,
-    * width = 8·bw − id%5, height = 8·bh − (id·7)%5, block k (raster
-    * order) is the constant (id·31 + k·7) mod 256. */
+    * replays: bw = 1+id%3 block cols, bh = 1+(id/3)%3 block rows
+    * (integer division, so bh cycles independently of bw and hits 2
+    * and 3 — multi-row decode paths are exercised), width = 8·bw −
+    * id%5, height = 8·bh − (id·7)%5, block k (raster order) is the
+    * constant (id·31 + k·7) mod 256. */
   def dims(docId: Long): (Int, Int, Int, Int) = {
     val bw = (1 + Math.floorMod(docId, 3)).toInt
-    val bh = (1 + Math.floorMod(docId * 3, 3)).toInt
+    val bh = (1 + Math.floorMod(docId / 3, 3)).toInt
     (bw, bh, 8 * bw - Math.floorMod(docId, 5).toInt,
       8 * bh - Math.floorMod(docId * 7, 5).toInt)
   }

@@ -357,9 +357,9 @@ object Multimodal {
       |FROM (
       |  SELECT doc_id AS media_id,
       |    CAST(1 + doc_id % 3 AS INT) AS bw,
-      |    CAST(1 + (doc_id * 3) % 3 AS INT) AS bh,
+      |    CAST(1 + (doc_id // 3) % 3 AS INT) AS bh,
       |    CAST(8 * (1 + doc_id % 3) - doc_id % 5 AS INT) AS width,
-      |    CAST(8 * (1 + (doc_id * 3) % 3) - (doc_id * 7) % 5 AS INT) AS height
+      |    CAST(8 * (1 + (doc_id // 3) % 3) - (doc_id * 7) % 5 AS INT) AS height
       |  FROM documents)""".stripMargin
 
   // ---------------------------------------------------------------- m03

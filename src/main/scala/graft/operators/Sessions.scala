@@ -23,8 +23,14 @@ object Sessions {
     val ss = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
       if (!ss.conf.getOption(k).contains(v)) {
+        // Only a static/non-modifiable conf is skippable (it is already
+        // equal on the clone — same SparkContext). Any other failure is
+        // a genuinely dropped conf and must propagate.
         try ss.conf.set(k, v)
-        catch { case _: Exception => () } // static conf: already equal
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "CANNOT_MODIFY_CONFIG" => ()
+        }
       }
     }
     ss

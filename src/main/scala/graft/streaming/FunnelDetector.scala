@@ -63,8 +63,24 @@ case class FunnelVerdict(
   * window), independent of how long the user has been active. The
   * prune bound subtracts the watermark delay once more, so it stays
   * conservative even at the exact late-row boundary.
+  *
+  * One verdict per user, ever: when the finalize timer fires, the
+  * state is replaced by a FINALIZED sentinel (`minView =
+  * Long.MinValue` — below any epoch-ms event time) instead of being
+  * cleared, and `handleInputRows` drops all further events for a
+  * finalized user without re-arming a timer. Without the marker, a
+  * post-horizon event would rebuild state from scratch and eventually
+  * emit a SECOND row for the same user, diverging from the batch
+  * twin's one-row-per-user contract. The cost is one tombstone row
+  * per finalized user (a 4-field record, candidate lists empty) —
+  * bounded by distinct users, not by events; callers that need
+  * reclamation can layer a processing-time TTL on the store.
   */
 object FunnelDetector {
+
+  /** Sentinel `minView` marking a user whose verdict already fired —
+    * below any epoch-ms event time, so unreachable by real input. */
+  private val Finalized = Long.MinValue
 
   class Processor(horizonMs: Long, delayMs: Long)
       extends StatefulProcessor[Long, FunnelEvent, FunnelVerdict] {
@@ -95,6 +111,10 @@ object FunnelDetector {
         timerValues: TimerValues): Iterator[FunnelVerdict] = {
       val prev = if (state.exists()) state.get()
         else FunnelLife(Long.MaxValue, Nil, Nil, Long.MinValue)
+      if (prev.minView == Finalized) { // verdict already emitted: drop
+        rows.foreach(_ => ())
+        return Iterator.empty
+      }
       var life = prev
       rows.foreach { ev =>
         life = ev.eventType match {
@@ -133,7 +153,10 @@ object FunnelDetector {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelVerdict] = {
       if (!state.exists()) return Iterator.empty
       val p = state.get()
-      state.clear()
+      if (p.minView == Finalized) return Iterator.empty
+      // tombstone, not clear: post-finalize events must not rebuild
+      // state and double-emit (one-row-per-user contract)
+      state.update(FunnelLife(Finalized, Nil, Nil, p.lastSeen))
       if (p.minView == Long.MaxValue) return Iterator.empty
       // exact strictly-after chain over the kept supersets
       val t1 = p.minView

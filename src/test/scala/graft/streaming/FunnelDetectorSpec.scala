@@ -68,6 +68,23 @@ class FunnelDetectorSpec extends SparkSpec {
     assert(out == Seq(FunnelVerdict(1L, T0 + 10, Some(T0 + 30), None, 2L)))
   }
 
+  test("post-finalize events never produce a second verdict for the same user") {
+    // batch 1: user 1 reaches stage 2; the mid-sentinel at +10H pushes
+    // the watermark past the +H finalize timer, so the verdict fires.
+    // THEN a fresh full-funnel epoch for user 1 arrives at +20H (well
+    // above the watermark — not a late row). Without the finalized
+    // tombstone this rebuilds state, registers a +21H timer, and the
+    // run() helper's closing sentinels (+30H/+40H) would fire it —
+    // emitting a SECOND, different (stage-3) verdict for user 1.
+    val late = 20 * Horizon
+    val out = run(Seq(
+      Seq(ev(1, "view", 0), ev(1, "click", 10)),
+      Seq(FunnelEvent(-1L, "sentinel", T0 + 10 * Horizon)),
+      Seq(ev(1, "view", late), ev(1, "click", late + 10),
+        ev(1, "purchase", late + 20))))
+    assert(out == Seq(FunnelVerdict(1L, T0, Some(T0 + 10), None, 2L)))
+  }
+
   test("matches the x67 batch twin on the fixture replayed in many batches") {
     import spark.implicits._
     val fixture = graft.Tables.events(spark, sf)
