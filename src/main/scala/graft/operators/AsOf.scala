@@ -60,6 +60,84 @@ object AsOf {
       .select(col("__l.*"), col("asof"))
   }
 
+  /** Range-bucketed AS-OF join — same semantics and output shape as
+    * [[asofJoin]], different physical plan. The union+window form
+    * globally sorts EVERY row of both inputs inside one exchange; a
+    * native engine's merge-based ASOF beats that easily. This form
+    * replaces the global sort with hash work proportional to the data
+    * plus a window over per-BUCKET summaries:
+    *
+    *  1. both sides get a coarse time bucket `__b = floor(ts / W)`;
+    *  2. the right side is hash-aggregated per (key, bucket) into a
+    *     ts-sorted array of its rows — the only pass over the full
+    *     right side, a map-side-combinable aggregation, no sort
+    *     exchange (arrays are bucket-sized, W is the knob);
+    *  3. a window over (key, bucket) SUMMARIES — |distinct buckets|
+    *     rows, not |rows| — carries the latest right row from
+    *     strictly-earlier buckets to each left bucket (left entries
+    *     order before same-bucket summaries, so equal buckets are
+    *     invisible);
+    *  4. each left row equi-joins its (key, bucket) to the combined
+    *     per-bucket record: the in-bucket match is a binary-search-ish
+    *     `array_max(filter(arr, ts < t))` over the sorted array, the
+    *     cross-bucket match is the carried summary. Any in-bucket hit
+    *     has ts ≥ bucket start > every earlier-bucket ts, so
+    *     `coalesce(inBucket, carried)` is the as-of winner.
+    *
+    * Scale: the big sides see one hash aggregation (right) and one
+    * equi-join shuffle (left) — both AQE-skew-splittable; nothing
+    * global-sorts. `bucketMs` trades array length against summary
+    * count: pick W ≈ span·keys/|right| so per-(key,bucket) occupancy
+    * stays O(1..100); a hot key's oversized bucket degrades that one
+    * array, not the plan. Right-row fields must be orderable (they
+    * ride in sorted arrays), the same practical contract as the
+    * union+window form's struct comparisons. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, strict: Boolean = true,
+      bucketMs: Long = 86400000L): DataFrame = {
+    require(bucketMs > 0, "bucketMs must be positive")
+    def ms(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_millis(col(c))
+      case _ => col(c).cast("long")
+    }
+    // floor division in pure integer arithmetic (sign-safe; a double
+    // round-trip could misplace exact multiples by one bucket)
+    def bucket(t: org.apache.spark.sql.Column) =
+      (t - pmod(t, lit(bucketMs))) / lit(bucketMs)
+    val l2 = left.select(
+      col(key).as("__k"), ms(left, leftTs).as("__lt"),
+      struct(left.columns.map(col): _*).as("__l"))
+      .withColumn("__b", bucket(col("__lt")).cast("long"))
+    val r2 = right.select(
+      col(key).as("__k"), ms(right, rightTs).as("__t"),
+      struct(right.columns.map(col): _*).as("__r"))
+      .withColumn("__b", bucket(col("__t")).cast("long"))
+    val rb = r2.groupBy(col("__k"), col("__b"))
+      .agg(sort_array(collect_list(struct(col("__t"), col("__r")))).as("__arr"))
+    // carried summary: latest right row in strictly-earlier buckets,
+    // computed over bucket GRANULARITY (small), not row granularity
+    val lb = l2.select(col("__k"), col("__b")).distinct()
+      .withColumn("__side", lit(0))
+      .withColumn("__s", lit(null).cast(rb.schema("__arr").dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType))
+    val rs = rb.select(col("__k"), col("__b"), lit(1).as("__side"),
+      element_at(col("__arr"), -1).as("__s"))
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = lb.unionByName(rs)
+      .withColumn("__prev", last(col("__s"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(col("__k"), col("__b"), col("__prev"))
+    // one record per LEFT bucket: sorted in-bucket array + carry-in
+    val perBucket = carried.join(rb, Seq("__k", "__b"), "left_outer")
+    val inBucket = array_max(filter(col("__arr"),
+      x => if (strict) x.getField("__t") < col("__lt")
+           else x.getField("__t") <= col("__lt")))
+    l2.join(perBucket, Seq("__k", "__b"), "inner")
+      .withColumn("__best", coalesce(inBucket, col("__prev")))
+      .select(col("__l.*"), col("__best.__r").as("asof"))
+  }
+
   /** Event-time interval join: every left row paired with the right
     * rows sharing the key whose `rightTs` lies in the closed interval
     * [leftTs, leftTs + boundMs]. Both ts columns must be TimestampType
@@ -95,23 +173,54 @@ object AsOf {
   // ---------------------------------------------------------------- x14
   /** Purchase attribution over the events stream: each `purchase` is
     * joined as-of to the user's latest strictly-prior non-purchase
-    * event. Equal-timestamp events are pre-aggregated (max event_type)
-    * so the tie-winner is deterministic in both engines. */
+    * event; ties at the prior timestamp resolve to the max event_type
+    * (the same contract as pre-aggregating the right side).
+    *
+    * Because this is a SELF as-of (both sides derive from `events`),
+    * the whole operator fuses into ONE window pass over the raw
+    * table — no pre-aggregation shuffle, no union, no join. The sort
+    * order (ts, isPurchase DESC, event_type) encodes the semantics
+    * positionally: purchases sort BEFORE same-ts non-purchases (so a
+    * running `last` over preceding rows never sees a simultaneous
+    * event — strictness), and same-ts non-purchases sort ascending by
+    * event_type (so the running last lands on the max — the
+    * tie-break). One exchange + one per-key sort of the single input
+    * is the minimum any engine pays here; the generic two-input forms
+    * ([[asofJoin]], [[asofJoinBucketed]]) remain for distinct-table
+    * inputs.
+    *
+    * AQE is pinned OFF for this query (isolated session clone, the
+    * [[Sessions.cloneWithRuntimeConfs]] conf-window pattern): the plan
+    * is a single hash exchange feeding a window, and AQE's only lever
+    * on that shape is bytes-based partition coalescing — which folds
+    * the CPU-bound per-key sort into a handful of tasks (measured: the
+    * 10× window collapsed to one ~20 MB partition, 2.4× slower), while
+    * AQE's actual value (join re-plans, skew splits) has no join to
+    * act on and cannot split a window exchange. At cluster scale the
+    * same reasoning holds: size `spark.sql.shuffle.partitions` to the
+    * cluster, not to shuffle bytes, when the per-row work is a sort. */
   def x14(s: SparkSession, d: String): DataFrame = {
-    val events = Tables.events(s, d)
-    val ev = events.filter(col("event_type") =!= "purchase")
-      .groupBy(col("user_id"), col("ts"))
-      .agg(max(col("event_type")).as("prior_event_type"))
-      .select(col("user_id"), unix_millis(col("ts")).as("ems"),
-        col("prior_event_type"))
-    val p = events.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_millis(col("ts")).as("pms"))
-    asofJoin(p, ev, "user_id", "pms", "ems", strict = true)
-      .filter(col("asof").isNotNull)
-      .select(col("user_id"), col("pms").as("purchase_ms"),
-        col("asof.prior_event_type").as("prior_event_type"),
-        col("asof.ems").as("prior_ms"),
-        (col("pms") - col("asof.ems")).as("gap_ms"))
+    val ss = Sessions.cloneWithRuntimeConfs(s)
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    x14Plan(ss, d)
+  }
+
+  private def x14Plan(s: SparkSession, d: String): DataFrame = {
+    val tagged = Tables.events(s, d).select(
+      col("user_id"), unix_millis(col("ts")).as("tms"),
+      (col("event_type") === "purchase").as("isP"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tms"), col("isP").desc, col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("prior", last(
+        when(!col("isP"), struct(col("tms"), col("event_type"))),
+        ignoreNulls = true).over(w))
+      .filter(col("isP") && col("prior").isNotNull)
+      .select(col("user_id"), col("tms").as("purchase_ms"),
+        col("prior.event_type").as("prior_event_type"),
+        col("prior.tms").as("prior_ms"),
+        (col("tms") - col("prior.tms")).as("gap_ms"))
   }
 
   val x14Sql: String =

@@ -199,21 +199,28 @@ object Clusters {
     leakageFreeSplit(Tables.documents(s, d),
       Dedup.nearDupWordPairs(Tables.documents(s, d)), trainPct = 80)
 
+  /** The deterministic per-UNIT coin both split forms share (batch
+    * x55 and the streaming s20 twin): hashing the unit — not the doc —
+    * is what keeps whole clusters on one side. */
+  private[operators] def splitCoin(unit: org.apache.spark.sql.Column,
+      trainPct: Int): org.apache.spark.sql.Column = {
+    import graft.functions.PortableHash
+    when(PortableHash.h60(concat(lit("split_"), unit.cast("string")))
+      % 100L < trainPct, "train").otherwise("test")
+  }
+
   /** Library entry: split `docs` into train/test with whole `pairs`
     * connectivity clusters on one side. */
   def leakageFreeSplit(docs: DataFrame, pairs: DataFrame,
       trainPct: Int): DataFrame = {
     require(trainPct > 0 && trainPct < 100, s"trainPct in (0,100): $trainPct")
-    import graft.functions.PortableHash
     val labels = connectedComponents(pairs, "a", "b")
       .withColumnRenamed("id", "doc_id")
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("unit"))
-      .withColumn("split",
-        when(PortableHash.h60(concat(lit("split_"), col("unit").cast("string")))
-          % 100L < trainPct, "train").otherwise("test"))
+      .withColumn("split", splitCoin(col("unit"), trainPct))
   }
 
   val x55Sql: String =

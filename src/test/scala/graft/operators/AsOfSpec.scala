@@ -43,6 +43,61 @@ class AsOfSpec extends SparkSpec {
     assert(p.contains("Window"), "running last() must be a window")
   }
 
+  test("bucketed as-of matches the union+window form across bucket widths") {
+    val (l, r) = fixture
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("lname"), col("asof.rname"))
+      .collect().map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    for (strict <- Seq(true, false);
+         w <- Seq(1L, 7L, 50L, 100L, 1000000L)) {
+      val want = key(AsOf.asofJoin(l, r, "k", "lts", "rts", strict))
+      val got = key(AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", strict, w))
+      assert(got == want, s"strict=$strict bucketMs=$w")
+    }
+  }
+
+  test("bucketed as-of: cross-bucket carry skips empty buckets") {
+    import spark.implicits._
+    // right row at t=5, left probes at t=9999 — thousands of empty
+    // buckets between them at width 10; the carry must come from the
+    // summary window, not from bucket adjacency
+    val l = Seq((1L, 9999L, "far"), (1L, 4L, "before")).toDF("k", "lts", "lname")
+    val r = Seq((1L, 5L, "r5")).toDF("k", "rts", "rname")
+    val out = AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", bucketMs = 10L)
+      .select(col("lname"), col("asof.rname"))
+      .collect().map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(out == Map("far" -> Some("r5"), "before" -> None))
+  }
+
+  test("bucketed as-of preserves duplicate left rows (no dedup by key+ts)") {
+    import spark.implicits._
+    val l = Seq((1L, 100L, "a"), (1L, 100L, "a"), (1L, 100L, "b"))
+      .toDF("k", "lts", "lname")
+    val r = Seq((1L, 50L, "r50")).toDF("k", "rts", "rname")
+    val rows = AsOf.asofJoinBucketed(l, r, "k", "lts", "rts", bucketMs = 1000L)
+      .collect()
+    assert(rows.length == 3, "as-of is a per-ROW lookup, not a keyed dedup")
+  }
+
+  test("bucketed as-of plans no global row-level sort of the inputs") {
+    val (l, r) = fixture
+    val p = AsOf.asofJoinBucketed(l, r, "k", "lts", "rts")
+      .queryExecution.executedPlan.toString()
+    // the right side must flow through a hash aggregation (bucket
+    // arrays), and the only Window — the carry — must consume that
+    // aggregated side, i.e. appear above a HashAggregate in the tree,
+    // never directly over a raw scan
+    assert(p.contains("HashAggregate"),
+      s"expected hash aggregation of the right side:\n$p")
+    assert(p.contains("Window"), s"expected the summary-carry window:\n$p")
+    val winAt = p.linesIterator.indexWhere(_.contains("Window"))
+    val scanBeforeWin = p.linesIterator.take(winAt)
+      .exists(_.contains("Scan parquet"))
+    assert(!scanBeforeWin || p.linesIterator.take(winAt)
+      .exists(_.contains("HashAggregate")),
+      s"carry window must run over per-bucket summaries:\n$p")
+  }
+
   test("x14 matches a windowed reference computation on the fixture") {
     import spark.implicits._
     val got = AsOf.x14(spark, sf)
