@@ -1509,7 +1509,203 @@ object StreamingQueries {
     } }
   }
 
+  /** s20 — STREAMING LEAKAGE-FREE SPLIT: x55's cluster-level
+    * train/test assignment maintained AT INGEST. Each arriving
+    * micro-batch of documents is LSH-checked against the signature log
+    * of earlier batches (the s17 admission machinery, same x02 family:
+    * word shingles, seed 0, r 2, 8 bands, verified Jaccard ≥ 0.8); the
+    * verified edges merge duplicate clusters INCREMENTALLY in two
+    * hash-bucketed upsert stores — doc→label keyed by doc_id, and
+    * label→members keyed by label — so a batch touches only the
+    * components its edges reach, never the corpus:
+    *
+    *  - the batch's edges are projected to LABEL granularity (each
+    *    prior endpoint contributes its stored cluster label, each
+    *    batch doc its own id) and the tiny label graph is contracted
+    *    with the same star-contraction CC the batch twin uses;
+    *  - merged groups relabel to the min old label (= min member id,
+    *    by induction — exactly the batch x17/x55 label convention),
+    *    and only the merged groups' MEMBERS (from the members store,
+    *    singleton default `[label]` for labels never merged) get
+    *    doc→label rewrites;
+    *  - per-batch state I/O is O(batch + touched clusters): the
+    *    members store is what makes relabeling possible without the
+    *    full-table inverted scan a doc→label-only layout would force.
+    *
+    * Split verdicts are per-UNIT coins ([[Clusters.splitCoin]], the
+    * exact x55 expression), so a doc's side is decided the moment its
+    * unit is — at ingest — and is REVISED only when a later bridge doc
+    * merges two existing units. That revision is not an implementation
+    * concession: under immutable verdicts a leakage-free split is
+    * impossible (two docs with no prior near-dup can coin opposite
+    * sides, then a later bridge connects them), so the maintained
+    * TABLE, not the emission log, is the product. The gate reads the
+    * final table, which equals the batch x55 exactly: the per-batch
+    * verified edge sets union to the full x02 pair relation (each
+    * cross-batch pair is tested when its later endpoint arrives,
+    * each same-batch pair once), and incremental min-merging is
+    * confluent — final components don't depend on arrival order.
+    *
+    * Exactly-once across replays: every read inside the batch — the
+    * signature log (strictly earlier batch dirs), both stores
+    * ([[BucketedUpsert.bucketState]] with `before = batchId`) — is
+    * strictly-pre-batch, so a replayed batch recomputes byte-identical
+    * state versions (member arrays are sort_array'd: collect order
+    * cannot leak in). The oracle is x55's batch twin. */
+  def s20(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayMath
+    val dir = admissionReplayDir(s, d)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val nBuckets = 16
+    val sigBase = scratchDir("graft_split_sig_")
+    val labDir = scratchDir("graft_split_lab_")
+    val memDir = scratchDir("graft_split_mem_")
+    val labBase = new org.apache.hadoop.fs.Path(labDir.getAbsolutePath)
+    val memBase = new org.apache.hadoop.fs.Path(memDir.getAbsolutePath)
+    val outBase = graft.TempDirs.deleteOnExit(scratchDir("graft_split_out_"))
+    val ckpt = try scratchCkptDir("graft_split_ckpt_") catch {
+      case t: Throwable =>
+        deleteRecursively(sigBase); deleteRecursively(labDir)
+        deleteRecursively(memDir); throw t
+    }
+    withReplayPartitions(s) { try {
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sigB = Dedup.admissionSig(batch)
+          val priorDirs = Option(sigBase.listFiles())
+            .getOrElse(Array.empty[java.io.File]).toSeq
+            .filter(_.getName.startsWith("sig_b"))
+            .filter(_.getName.drop(5).toLong < batchId)
+            .map(_.getAbsolutePath)
+          val prior =
+            if (priorDirs.isEmpty) None else Some(s.read.parquet(priorDirs: _*))
+          val bandsB = Dedup.admissionBands(sigB)
+          val sameCand = bandsB.alias("x")
+            .join(bandsB.alias("y"), col("x.bk") === col("y.bk") &&
+              col("y.doc_id") < col("x.doc_id"))
+            .select(col("x.doc_id").as("did"), col("y.doc_id").as("partner"))
+          val cand = prior.fold(sameCand) { p =>
+            sameCand.unionByName(
+              bandsB.alias("x")
+                .join(Dedup.admissionBands(p).alias("y"),
+                  col("x.bk") === col("y.bk"))
+                .select(col("x.doc_id").as("did"),
+                  col("y.doc_id").as("partner")))
+          }.distinct()
+          val partnerHs = prior.fold(sigB)(p => sigB.unionByName(p))
+            .select(col("doc_id").as("partner"), col("hs").as("hsb"))
+          // verified near-dup edges of THIS batch (batch doc `did`
+          // against same-batch smaller id or any earlier doc) — two
+          // downstream consumers, so materialize once
+          val edges = cand
+            .join(sigB.select(col("doc_id").as("did"), col("hs").as("hsa")),
+              "did")
+            .join(partnerHs, "partner")
+            .withColumn("inter",
+              ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+            .withColumn("jac", col("inter") /
+              (size(col("hsa")) + size(col("hsb")) - col("inter"))
+                .cast("double"))
+            .filter(col("jac") >= 0.8)
+            .select(col("did"), col("partner"))
+            .localCheckpoint(eager = true)
+          val batchIds = batch.select(col("doc_id")).distinct()
+          // labels of PRIOR endpoints, read from strictly-pre-batch
+          // doc→label state (same-batch partners fall through the left
+          // join below to their own id)
+          val priorEp = edges.select(col("partner").as("doc_id")).distinct()
+            .join(batchIds, Seq("doc_id"), "left_anti")
+          val epBuckets = priorEp
+            .select(BucketedUpsert.bucketExpr(col("doc_id"), nBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val epLab = (if (epBuckets.isEmpty) None
+            else BucketedUpsert.bucketState(s, labBase, nBuckets,
+              epBuckets, batchId)) match {
+            case None => priorEp.select(col("doc_id").as("partner"),
+              col("doc_id").as("plbl")).limit(0)
+            case Some(st) => priorEp.join(st, Seq("doc_id"), "left")
+              .select(col("doc_id").as("partner"),
+                coalesce(col("lbl"), col("doc_id")).as("plbl"))
+          }
+          // LABEL-granularity merge graph; contracted with the batch
+          // twin's own CC kernel (tiny: touched labels only)
+          val lgE = edges.join(epLab, Seq("partner"), "left")
+            .select(col("did").as("la"),
+              coalesce(col("plbl"), col("partner")).as("lb"))
+            .where(col("la") =!= col("lb"))
+          val cc = Clusters.connectedComponents(lgE, "la", "lb")
+            .localCheckpoint(eager = true)
+          // old-label members (singleton default: labels never merged
+          // have no members row)
+          val memBuckets = cc
+            .select(BucketedUpsert.bucketExpr(col("id"), nBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val oldMem = (if (memBuckets.isEmpty) None
+            else BucketedUpsert.bucketState(s, memBase, nBuckets,
+              memBuckets, batchId)) match {
+            case None => cc.select(col("id"), col("lbl"),
+              array(col("id")).as("members"))
+            case Some(st) => cc.join(st.withColumnRenamed("lbl", "id"),
+                Seq("id"), "left")
+              .select(col("id"), col("lbl"),
+                coalesce(col("members"), array(col("id"))).as("members"))
+          }
+          val newMem = oldMem.groupBy(col("lbl"))
+            .agg(sort_array(flatten(collect_list(col("members"))))
+              .as("members"))
+          val memUpserts = newMem
+            .select(col("lbl"), col("members"), lit(false).as("del"))
+            .unionByName(cc.filter(col("id") =!= col("lbl"))
+              .select(col("id").as("lbl"),
+                lit(null).cast("array<long>").as("members"),
+                lit(true).as("del")))
+          // doc→label rewrites: merged groups' members to the new
+          // label, plus every batch doc (own id unless merged — the
+          // min() collapses the duplicate batch-doc row to the merged
+          // label, which is ≤ its own id by the min-label convention)
+          val labUpserts = oldMem
+            .select(explode(col("members")).as("doc_id"), col("lbl"))
+            .unionByName(batchIds.select(col("doc_id"),
+              col("doc_id").as("lbl")))
+            .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+          BucketedUpsert.applyBatch(s, labBase, nBuckets, batchId,
+            labUpserts, "doc_id",
+            (t, u) => t.join(u.select("doc_id"), Seq("doc_id"), "left_anti")
+              .unionByName(u))
+          BucketedUpsert.applyBatch(s, memBase, nBuckets, batchId,
+            memUpserts, "lbl",
+            // drop("del") on the target too: the first batch's empty
+            // target inherits the REDUCED schema, del included
+            (t, u) => t.drop("del")
+              .join(u.select("lbl"), Seq("lbl"), "left_anti")
+              .unionByName(u.filter(!col("del")).drop("del")))
+          sigB.write.mode("overwrite")
+            .parquet(new java.io.File(sigBase, s"sig_b$batchId")
+              .getAbsolutePath)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      // the maintained table IS the product; written beside the state
+      // so the returned relation outlives the finally-block cleanup
+      BucketedUpsert.currentState(s, labBase, nBuckets).get
+        .select(col("doc_id"), col("lbl").as("unit"))
+        .withColumn("split", Clusters.splitCoin(col("unit"), 80))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(outBase, "split").getAbsolutePath)
+      s.read.parquet(new java.io.File(outBase, "split").getAbsolutePath)
+    } finally {
+      deleteRecursively(sigBase); deleteRecursively(labDir)
+      deleteRecursively(memDir); deleteRecursively(ckpt)
+    } }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_leakage_split" -> (s20 _),
     "s19_stream_diff" -> (s19 _),
     "s18_stream_funnel" -> (s18 _),
     "s17_stream_admission" -> (s17 _),
@@ -1533,6 +1729,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s20_leakage_split" -> Clusters.x55Sql,
     "s19_stream_diff" -> Diff.x69Sql,
     "s18_stream_funnel" -> Funnel.x67Sql,
     "s17_stream_admission" -> s17Sql,

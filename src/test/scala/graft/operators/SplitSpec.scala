@@ -39,4 +39,23 @@ class SplitSpec extends SparkSpec {
   private implicit class Rows3(rs: Array[(Long, Long, String)]) {
     def toMap2: Map[Long, String] = rs.map(r => r._1 -> r._3).toMap
   }
+
+  test("s20 incremental split table equals the batch x55 (bridges included)") {
+    // The fixture's %3 batching puts near-dup cluster members in
+    // different micro-batches, so cross-batch merges (including
+    // bridge-doc revisions of earlier units) are exercised, and the
+    // final maintained table must still equal the one-shot batch
+    // split exactly — unit labels AND coin sides.
+    val got = StreamingQueries.queries("s20_leakage_split")(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    val want = Clusters.x55(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // and the incremental path actually merged something: at least one
+    // unit must own more than one doc, or the fixture stopped covering
+    // cross-doc clusters and this test went vacuous
+    assert(got.groupBy(_._2).exists(_._2.size > 1),
+      "fixture has no multi-doc cluster — s20's merge path untested")
+  }
 }
