@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Dedup.queries ++
+      operators.SimJoin.queries ++
       operators.Similarity.queries ++
       operators.TextOps.queries ++
       operators.Pipeline.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracleSql ++
       operators.Dedup.oracleSql ++
+      operators.SimJoin.oracleSql ++
       operators.Similarity.oracleSql ++
       operators.TextOps.oracleSql ++
       operators.Pipeline.oracleSql ++

@@ -65,6 +65,12 @@ object Bpe {
        |  s -> CASE WHEN s.pend IS NULL THEN s.out
        |            ELSE concat(s.out, array(s.pend)) END)""".stripMargin)
 
+  /** A Scala string as a SQL single-quoted literal fragment (quotes
+    * and backslashes escaped) — symbols fold back into [[mergeFold]]'s
+    * expression text, so they must round-trip any corpus byte. */
+  private def sqlStr(v: String): String =
+    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Adjacent-pair frequency over the current dict (f-weighted). */
   private def pairCounts(dict: DataFrame): DataFrame = dict
     .filter(size(col("a")) >= 2)
@@ -92,25 +98,37 @@ object Bpe {
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("a"))
       .localCheckpoint(eager = false)
+    val s = docs.sparkSession
+    val winSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = true)))
     val merges = (1 to rounds).map { _ =>
-      val win = pairCounts(dict)
+      // The winner is the round's MODEL: ≤1 row under a total order
+      // (cnt desc, p, q), held on the driver and folded back in as
+      // string LITERALS — the x12/x70 driver-held-model discipline.
+      // This replaces the former 1-row broadcast-left-join attach: the
+      // results are identical (BpeSpec pins them), but each round now
+      // costs one TakeOrdered job instead of a broadcast exchange +
+      // join stage, which at 8 rounds (x71) halved the query.
+      val winRows = pairCounts(dict)
         .orderBy(col("cnt").desc, col("p"), col("q")).limit(1)
-        .localCheckpoint(eager = false)
-      // LEFT join (on true), not crossJoin: when a round finds no
-      // adjacent pair at all (rounds > available merges — every word is
-      // a single symbol), the winner relation is EMPTY, and a crossJoin
-      // would silently empty the dict. Under the left join the dict
-      // rows survive with NULL p/q, and mergeFold's `s.pend = p`
-      // comparison is never true on NULL, so the fold passes every
-      // word through unchanged — exactly the oracle's behavior, whose
-      // scalar `(SELECT p FROM win)` subqueries yield NULL matches.
-      // With a non-empty (1-row) winner this IS the broadcast cross
-      // join it replaced.
-      dict = dict.join(broadcast(win.select(col("p"), col("q"))),
-          lit(true), "left")
-        .select(col("w"), col("f"), mergeFold("a", "p", "q").as("a"))
-        .localCheckpoint(eager = false)
-      win
+        .collect()
+      // A round with no adjacent pair anywhere (rounds > available
+      // merges — every word a single symbol) yields an EMPTY winner:
+      // the dict passes through unchanged, exactly the oracle's
+      // NULL-scalar-subquery behavior.
+      winRows.headOption.foreach { r =>
+        dict = dict
+          .select(col("w"), col("f"),
+            mergeFold("a", sqlStr(r.getString(0)), sqlStr(r.getString(1)))
+              .as("a"))
+          .localCheckpoint(eager = false)
+      }
+      s.createDataFrame(java.util.Arrays.asList(winRows: _*), winSchema)
     }
     (merges, dict)
   }

@@ -293,6 +293,79 @@ object Sampling {
        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, score_u
        |FROM r WHERE rk <= $QuotaK""".stripMargin
 
+  // ---------------------------------------------------------------- x75
+  /** WEIGHTED sample without replacement: per-source PRIORITY SAMPLING
+    * (Duffield–Lund–Thorup, JACM 54(6) 2007) — the estimation-grade
+    * weighted sampler x20 (uniform per stratum) and x53 (temperature
+    * mixture RATES) don't cover: keep the k docs with largest priority
+    * q_i = w_i/u_i (u_i uniform from the portable hash), and the
+    * threshold tau = the (k+1)-th priority makes SUM(max(w_i, tau))
+    * over the sample an UNBIASED estimator of the stratum's total
+    * weight — the one-pass "sample now, answer any subset-sum later"
+    * primitive a 100 TB curation pipeline keeps per shard.
+    *
+    * Plan: ONE hash aggregation on the bounded-heap `topk_rows`
+    * ((k+1)-row heap per map partition, |sources|·(k+1) rows through
+    * the exchange — same skew-proof shape as x68; a dominant source
+    * never sorts its full document set anywhere).
+    *
+    * Cross-engine exactness: u_i = (h60+1) cast to double; the priority
+    * is ONE IEEE division — correctly rounded, so bit-identical in
+    * Spark and DuckDB — and ordering ties are impossible in practice
+    * but doc_id-broken anyway. The estimator is emitted as per-row
+    * floor micro-units (max(w, tau) is one max + one multiply + floor:
+    * no order-dependent double summation can reach the gate — see
+    * x09's micro-unit discipline). Docs with n <= k strata get tau = 0:
+    * the estimator degenerates to the exact weight, per the paper. */
+  private val PriK = 8
+
+  /** Library entry: per-group priority sample of k rows weighted by
+    * `wCol`, with the DLT threshold estimator in micro-units. */
+  def prioritySample(df: DataFrame, groupCol: String, idCol: String,
+      wCol: String, k: Int = PriK): DataFrame = {
+    val u = (h60(concat(lit("pri_"), col(idCol).cast("string"))) + 1)
+      .cast("double")
+    val pri = col(wCol).cast("double") / u
+    df.groupBy(groupCol)
+      .agg(graft.functions.TopK.rows(
+        struct((-pri).as("np"), col(idCol).as("id"),
+          col(wCol).cast("long").as("w")), k + 1).as("top"))
+      .withColumn("tau",
+        when(size(col("top")) === k + 1,
+          -element_at(col("top"), k + 1).getField("np")).otherwise(0.0))
+      .select(col(groupCol), col("tau"),
+        posexplode(expr(s"slice(top, 1, $k)")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as("doc_id"), col("col.w").as("w"),
+        floor(greatest(col("col.w").cast("double"), col("tau")) * 1000000)
+          .cast("long").as("est_u"))
+  }
+
+  def x75(s: SparkSession, d: String): DataFrame =
+    prioritySample(Tables.documents(s, d), "source", "doc_id", "n_chars")
+
+  val x75Sql: String = {
+    val u = duckH60("concat('pri_', CAST(doc_id AS VARCHAR))")
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+       |    CAST(n_chars AS DOUBLE) / CAST(($u) + 1 AS DOUBLE) AS pri
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, w, pri,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY pri DESC, doc_id) AS rk
+       |  FROM t),
+       |tau AS (
+       |  SELECT source,
+       |    coalesce(max(CASE WHEN rk = ${PriK + 1} THEN pri END), 0.0) AS tau
+       |  FROM r GROUP BY source)
+       |SELECT r.source, CAST(rk AS BIGINT) AS rk, doc_id, w,
+       |  CAST(floor(greatest(CAST(w AS DOUBLE), tau) * 1000000) AS BIGINT)
+       |    AS est_u
+       |FROM r JOIN tau ON r.source = tau.source
+       |WHERE rk <= $PriK""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x19_vocab_topk" -> (x19 _),
     "x20_stratified_sample" -> (x20 _),
@@ -301,6 +374,7 @@ object Sampling {
     "x34_shard_pack" -> (x34 _),
     "x53_mixture_sample" -> (x53 _),
     "x68_source_quota" -> (x68 _),
+    "x75_priority_sample" -> (x75 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -311,5 +385,6 @@ object Sampling {
     "x34_shard_pack" -> x34Sql,
     "x53_mixture_sample" -> x53Sql,
     "x68_source_quota" -> x68Sql,
+    "x75_priority_sample" -> x75Sql,
   )
 }

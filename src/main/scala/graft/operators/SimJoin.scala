@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.PortableHash
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT similarity self-join via prefix filtering (the AllPairs /
+  * PPJoin candidate bound of Bayardo et al., WWW'07 / Xiao et al.,
+  * WWW'08) — the exact counterpart of [[Dedup]]'s x02 MinHash banding.
+  *
+  * x02 answers "find MOST near-dup pairs cheaply" (banding can miss a
+  * pair whose signature never agrees on a full band); this operator
+  * answers "find EVERY pair with Jaccard >= t" — the contract a
+  * decontamination or eval-split audit needs — still without the
+  * O(n^2) cross product:
+  *
+  *   Under ANY global total order on tokens, if J(A,B) >= t then
+  *   |A∩B| >= ceil(t·|A|) and >= ceil(t·|B|) (since J <= |B|/|A| forces
+  *   |B| >= t·|A|, so i >= t(|A|+|B|)/(1+t) >= t·|A|), and the SMALLEST
+  *   common token (in the global order) must sit within the first
+  *   |X| − ceil(t·|X|) + 1 tokens of BOTH sets — fewer than the
+  *   required overlap can follow it otherwise. So an equi-join of the
+  *   per-doc PREFIXES alone (rare-tokens-first order keeps prefixes
+  *   collision-poor) is a complete candidate generator, and only those
+  *   candidates are exact-verified. SimJoinSpec pins completeness
+  *   against the brute-force join on adversarial corpora; the DuckDB
+  *   oracle IS the brute-force join, so the gate re-proves it on every
+  *   fixture.
+  *
+  * Tokens are the x02 word-3-gram shingle 60-bit hashes (one shared
+  * representation across the exact and approximate paths — reference
+  * dedup semantics per SURVEY §2F). Global order = (document frequency
+  * asc, hash asc): rarest shingles first, the order that minimizes
+  * prefix collisions (a boilerplate shingle shared by every doc sits at
+  * the END of every prefix-eligible list and almost never enters one).
+  *
+  * 100 TB posture: four linear-size shuffles (distinct, df count,
+  * per-doc rank, prefix equi-join) — the quadratic term is confined to
+  * genuine near-dup pairs plus prefix collisions, both output-scale,
+  * never corpus-scale². The per-doc rank window partitions by doc_id
+  * (high-cardinality, skew-free; ~|doc| rows per partition). Verify
+  * joins carry sorted hash arrays only to CANDIDATE rows.
+  */
+object SimJoin {
+
+  /** Jaccard threshold t = TN/TD as an exact rational: prefix lengths
+    * and the >= t verification both run in integer arithmetic, so the
+    * two engines can never disagree on a boundary pair. */
+  private val TN = 4
+  private val TD = 5
+
+  /** Exact Jaccard-threshold pairs (a < b, jac_u floor micro-units)
+    * over any (doc_id, text) relation. Output schema matches x02. */
+  def exactPairs(docs: DataFrame): DataFrame = {
+    // verification relation: sorted distinct hash set per doc — ONE
+    // shuffle on doc_id; the per-(doc, hash) set rows and the per-doc
+    // sizes both derive from it narrowly (no separate distinct shuffle)
+    // persist: the relation feeds four consumers (prefix build + both
+    // verify lookups) — unmaterialized, the merge-side agg replays per
+    // consumer (x02's materializeSig finding); CacheManager dedups
+    // repeat invocations of the same plan across a session
+    val sig = Dedup.wordShingleHashes(docs).groupBy("doc_id")
+      .agg(sort_array(collect_set(col("hf"))).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hv = sig.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+      explode(col("hs")).as("hf"))
+    // global token order = (document frequency asc, hash asc)
+    val dfc = hv.groupBy("hf").agg(count(lit(1)).as("dfc"))
+    val ranked = hv.join(dfc, "hf")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("dfc").asc, col("hf").asc)))
+    // prefix length |X| - ceil(t|X|) + 1; ceil(TN*n/TD) = (TN*n+TD-1) div TD
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - expr(s"($TN * n + ${TD - 1}) DIV $TD") + 1)
+      .select(col("doc_id"), col("hf"))
+      .hint("shuffle_hash")
+    val cand = prefix.alias("x")
+      .join(prefix.alias("y"),
+        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a"), col("hs").as("hsa"))
+    val sb = sig.select(col("doc_id").as("b"), col("hs").as("hsb"))
+    import graft.functions.ArrayMath
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("inter", ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+      .withColumn("uni",
+        (size(col("hsa")) + size(col("hsb")) - col("inter")).cast("long"))
+      // integer threshold test: inter/uni >= TN/TD <=> TD*inter >= TN*uni
+      .filter(col("inter") * TD >= col("uni") * TN)
+      .select(col("a"), col("b"),
+        floor(col("inter") / col("uni").cast("double") * 1000000)
+          .cast("long").as("jac_u"))
+  }
+
+  def x74(s: SparkSession, d: String): DataFrame =
+    exactPairs(Tables.documents(s, d))
+
+  /** Oracle: the brute-force token join — the natural single-machine
+    * formulation (every pair sharing >= 1 shingle, then the exact
+    * Jaccard filter). The Spark side must produce the IDENTICAL pair
+    * set from prefix collisions alone. */
+  val x74Sql: String = {
+    val hvHash = PortableHash.duckH60("s")
+    s"""WITH base AS (SELECT doc_id, ${Dedup.admissionShinglesSql} AS sg FROM documents),
+       |hv AS (SELECT DISTINCT doc_id, $hvHash AS hf
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM base)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM hv x JOIN hv y ON x.hf = y.hf AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b,
+       |  CAST(floor(inter / CAST(sa.n + sb.n - inter AS DOUBLE) * 1000000)
+       |       AS BIGINT) AS jac_u
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = a
+       |JOIN sz sb ON sb.doc_id = b
+       |WHERE $TD * inter >= $TN * (sa.n + sb.n - inter)""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x74_exact_simjoin" -> (x74 _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x74_exact_simjoin" -> x74Sql,
+  )
+}

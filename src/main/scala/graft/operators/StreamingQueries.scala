@@ -1704,7 +1704,71 @@ object StreamingQueries {
     } }
   }
 
+  // ---------------------------------------------------------------- s21
+  private val quantDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** documents (doc_id, lang, n_chars) split into 3 replay files by
+    * doc_id % 3 — the quantile stream's micro-batch source (cached per
+    * (session, sfDir) like [[admissionReplayDir]]). */
+  private def quantReplayDir(s: SparkSession, d: String): java.io.File = {
+    val key = s.sparkContext.applicationId + "::quant::" + d
+    Option(quantDirCache.get(key)).getOrElse {
+      val dir = graft.TempDirs.deleteOnExit(scratchDir("graft_quant_src_"))
+      val docs = graft.Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+      (0 until 3).foreach { n =>
+        val stage = new java.io.File(dir, s"stage$n")
+        docs.filter(pmod(col("doc_id"), lit(3)) === n)
+          .coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(dir, f"gen$n%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(System.currentTimeMillis() + n * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      Option(quantDirCache.putIfAbsent(key, dir)).getOrElse(dir)
+    }
+  }
+
+  /** s21 — STREAMING quantiles: the x59 bottom-k sample sketch
+    * maintained by a streaming aggregation, completing the streaming
+    * sketch-table family (s12/s13/s14 cardinality, s16 stored HLL —
+    * this is the QUANTILE column: "p50/p95 doc length per language so
+    * far" over an unbounded ingest stream, in ≤16·k bytes of state per
+    * group).
+    *
+    * Bottom-k is the ONLY quantile sketch here that can face a batch
+    * oracle at all: GK/KLL compact lazily and are arrival-order
+    * sensitive, while a bottom-k set under the (hash, value) total
+    * order is a pure function of the input MULTISET — so three
+    * micro-batches through real state-store serialize/merge round
+    * trips must reproduce the batch x59 sketch BIT-FOR-BIT, and the
+    * oracle is x59's own SQL. What the gate proves beyond x59: the
+    * [[graft.functions.BottomK]] aggregate's merge path (partial heap
+    * ⊕ deserialized state heap) is order-independent under arbitrary
+    * batch splits — the property the rollup family (x62) asserts via
+    * union associativity, here exercised by the streaming engine's own
+    * state machinery instead of a hand-built fold.
+    *
+    * Output mode: complete (unwatermarked all-time aggregation), same
+    * rationale as s12 — at production cardinality the sink policy is
+    * update mode; the aggregation operator and its state are identical. */
+  def s21(s: SparkSession, d: String): DataFrame = {
+    val dir = quantReplayDir(s, d)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    // 2 files/trigger over the 3-way split = 2 micro-batches: the
+    // second batch still forces the cross-batch state merge the gate
+    // exists for; a third batch re-proves nothing (s19's finding)
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "2").parquet(dir.getAbsolutePath)
+    runToSink(s,
+      Sketches.sampleQuantiles(stream, groupCol = "lang",
+        idCol = "doc_id", valueCol = "n_chars"), "complete")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_stream_quantiles" -> (s21 _),
     "s20_leakage_split" -> (s20 _),
     "s19_stream_diff" -> (s19 _),
     "s18_stream_funnel" -> (s18 _),
@@ -1729,6 +1793,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s21_stream_quantiles" -> Sketches.x59Sql,
     "s20_leakage_split" -> Clusters.x55Sql,
     "s19_stream_diff" -> Diff.x69Sql,
     "s18_stream_funnel" -> Funnel.x67Sql,
