@@ -39,12 +39,11 @@ object PlanAudit {
       "inherits x49's 1-row stats attach plus the x06 idiom: the ONE-row query vector broadcast onto the streaming corpus",
     "x65_sketch_jaccard" ->
       "all-pairs compare of the |sources|-row SKETCH table (16·k-byte rows): both sides driver-sized by construction, the x06 broadcast idiom",
-    "x66_bpe_merges" ->
-      "per-round winning-pair attach: broadcast cross join of ONE aggregated row onto the |vocab|-row dict (the x36/x45 idiom, once per merge round)",
-    "x71_bpe_deep" ->
-      "x66's winning-pair attach at 8 rounds — same ONE-row broadcast per round",
     "x69_corpus_diff" ->
       "max(doc_id)+1 addition offset: ONE aggregated row broadcast onto the re-ingested slice",
+    // x66/x71 left this list in round 11: the per-round winning-pair
+    // attach became a driver-held literal fold (the x12 model
+    // discipline), so no join of any kind remains in their plans.
   )
 
   /** Plan features counted over the TREE (not the rendered string,

@@ -74,11 +74,26 @@ object SimJoin {
     // prefix length |X| - ceil(t|X|) + 1; ceil(TN*n/TD) = (TN*n+TD-1) div TD
     val prefix = ranked
       .filter(col("rn") <= col("n") - expr(s"($TN * n + ${TD - 1}) DIV $TD") + 1)
-      .select(col("doc_id"), col("hf"))
+      .select(col("doc_id"), col("hf"), col("n"), col("rn"))
       .hint("shuffle_hash")
+    // PPJoin pruning inside the join condition — both filters keep
+    // completeness (SimJoinSpec re-proves vs brute force):
+    //  * LENGTH: J>=t forces t|A| <= |B| <= |A|/t (integer cross-mult);
+    //  * POSITIONAL: overlap <= 1 + min(|A|-i, |B|-j) at a collision's
+    //    prefix positions (i,j) — every common token sits at or after
+    //    the FIRST one, where the bound >= the true overlap >= o, so a
+    //    qualifying pair always survives via that first collision while
+    //    later redundant collisions (and hopeless ones) are dropped
+    //    before the distinct. Required overlap o = ceil(t/(1+t)(na+nb))
+    //    = ceil(TN(na+nb)/(TN+TD)).
+    val o = expr(s"($TN * (x.n + y.n) + ${TN + TD - 1}) DIV ${TN + TD}")
     val cand = prefix.alias("x")
       .join(prefix.alias("y"),
-        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id"))
+        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id")
+          && col("y.n") * TD >= col("x.n") * TN
+          && col("x.n") * TD >= col("y.n") * TN
+          && lit(1) + least(col("x.n") - col("x.rn"),
+                            col("y.n") - col("y.rn")) >= o)
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     val sa = sig.select(col("doc_id").as("a"), col("hs").as("hsa"))

@@ -72,6 +72,11 @@ QUERIES = [
     # round-10 third push: tokenizer application (corpus-word join
     # against the vocab dict)
     "x73_bpe_encode",
+    # round-11: exact prefix-filter similarity join (output-bound — the
+    # replica fixture makes TRUE pairs quadratic, so this row measures
+    # the output-scale claim, like x47), priority sampling (one
+    # bounded-heap pass), and the streaming quantile sketch
+    "x74_exact_simjoin", "x75_priority_sample", "s21_stream_quantiles",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
