@@ -122,6 +122,13 @@ QUERIES = [
     "s18_stream_funnel", "x72_ann_pq_rerank",
     # round-10 third push: tokenizer application at 100x
     "x73_bpe_encode",
+    # round-11: priority sampling (bounded-heap, |sources|·(k+1)-row
+    # shuffle — flat) and the streaming quantile sketch (state
+    # cardinality-independent). x74 stays excluded with the other
+    # output-quadratic pair-relation rows: at 100 replicas its ANSWER
+    # is ~25M true pairs (C(100,2) per replica group) — no engine
+    # shrinks the output; its scale row lives in BENCH_sfbig.json.
+    "x75_priority_sample", "s21_stream_quantiles",
 ]
 
 
