@@ -53,7 +53,10 @@ object SimJoin {
 
   /** Exact Jaccard-threshold pairs (a < b, jac_u floor micro-units)
     * over any (doc_id, text) relation. Output schema matches x02. */
-  def exactPairs(docs: DataFrame): DataFrame = {
+  /** Shared core: the persisted per-doc sorted hash-set relation and
+    * the df-rank-annotated token relation (doc_id, hf, n, rn) under the
+    * global (document frequency asc, hash asc) token order. */
+  private def rankedOf(docs: DataFrame): (DataFrame, DataFrame) = {
     // verification relation: sorted distinct hash set per doc — ONE
     // shuffle on doc_id; the per-(doc, hash) set rows and the per-doc
     // sizes both derive from it narrowly (no separate distinct shuffle)
@@ -66,15 +69,19 @@ object SimJoin {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hv = sig.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
       explode(col("hs")).as("hf"))
-    // global token order = (document frequency asc, hash asc)
     val dfc = hv.groupBy("hf").agg(count(lit(1)).as("dfc"))
     val ranked = hv.join(dfc, "hf")
       .withColumn("rn", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("dfc").asc, col("hf").asc)))
+      .select(col("doc_id"), col("hf"), col("n"), col("rn"))
+    (sig, ranked)
+  }
+
+  def exactPairs(docs: DataFrame): DataFrame = {
+    val (sig, ranked) = rankedOf(docs)
     // prefix length |X| - ceil(t|X|) + 1; ceil(TN*n/TD) = (TN*n+TD-1) div TD
     val prefix = ranked
       .filter(col("rn") <= col("n") - expr(s"($TN * n + ${TD - 1}) DIV $TD") + 1)
-      .select(col("doc_id"), col("hf"), col("n"), col("rn"))
       .hint("shuffle_hash")
     // PPJoin pruning inside the join condition — both filters keep
     // completeness (SimJoinSpec re-proves vs brute force):
@@ -136,11 +143,89 @@ object SimJoin {
        |WHERE $TD * inter >= $TN * (sa.n + sb.n - inter)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x76
+  /** EXACT containment-threshold join — the exact variant x30's
+    * scaladoc wishes for: every pair with C = |A∩B| / min(|A|,|B|)
+    * >= t (partial-duplicate detection: a small doc quoted inside a
+    * larger one scores C ≈ 1 while its Jaccard — and therefore x74 and
+    * x02's recall guarantee — collapses with the size ratio; x30's
+    * single-row banding catches such pairs only probabilistically).
+    *
+    * Prefix filtering is ASYMMETRIC for containment (the standard
+    * set-containment-join shape): the required overlap o >= ceil(t·nA)
+    * is known only on the SMALLER side A, and a tiny contained set
+    * forces the larger side's full set into play. So candidates come
+    * from prefix(SMALLER side) equi-joined against the FULL ranked
+    * token relation: the first common token c1 (global order) sits in
+    * A's prefix — fewer than o common tokens can follow it — and
+    * trivially somewhere in B. The positional filter carries over with
+    * o = ceil(t·nA): overlap <= 1 + min(nA−i, nB−j). Candidate volume
+    * = Σ_{prefix tokens} df(token): rare-first ordering keeps prefix
+    * tokens low-df, so the full-index side costs collisions, not a
+    * cross product. Output (a < b by id, cont_u floor micro-units)
+    * matches x30's shape. */
+  def exactContainment(docs: DataFrame): DataFrame = {
+    val (sig, ranked) = rankedOf(docs)
+    val prefix = ranked
+      .filter(col("rn") <= col("n") - expr(s"($TN * n + ${TD - 1}) DIV $TD") + 1)
+      .hint("shuffle_hash")
+    // x = the min-size side (prefix-restricted); y = the full index.
+    // Equal sizes take the smaller id as x: c1 lies in BOTH prefixes
+    // then, so one orientation suffices.
+    val o = expr(s"($TN * x.n + ${TD - 1}) DIV $TD")
+    val cand = prefix.alias("x")
+      .join(ranked.alias("y"),
+        col("x.hf") === col("y.hf")
+          && (col("x.n") < col("y.n")
+            || (col("x.n") === col("y.n")
+              && col("x.doc_id") < col("y.doc_id")))
+          && lit(1) + least(col("x.n") - col("x.rn"),
+                            col("y.n") - col("y.rn")) >= o)
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a"), col("hs").as("hsa"))
+    val sb = sig.select(col("doc_id").as("b"), col("hs").as("hsb"))
+    import graft.functions.ArrayMath
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("inter", ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+      .withColumn("mn",
+        least(size(col("hsa")), size(col("hsb"))).cast("long"))
+      .filter(col("inter") * TD >= col("mn") * TN)
+      .select(col("a"), col("b"),
+        floor(col("inter") / col("mn").cast("double") * 1000000)
+          .cast("long").as("cont_u"))
+  }
+
+  def x76(s: SparkSession, d: String): DataFrame =
+    exactContainment(Tables.documents(s, d))
+
+  val x76Sql: String = {
+    val hvHash = PortableHash.duckH60("s")
+    s"""WITH base AS (SELECT doc_id, ${Dedup.admissionShinglesSql} AS sg FROM documents),
+       |hv AS (SELECT DISTINCT doc_id, $hvHash AS hf
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM base)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM hv x JOIN hv y ON x.hf = y.hf AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b,
+       |  CAST(floor(inter / CAST(least(sa.n, sb.n) AS DOUBLE) * 1000000)
+       |       AS BIGINT) AS cont_u
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = a
+       |JOIN sz sb ON sb.doc_id = b
+       |WHERE $TD * inter >= $TN * least(sa.n, sb.n)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x74_exact_simjoin" -> (x74 _),
+    "x76_exact_containment" -> (x76 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x74_exact_simjoin" -> x74Sql,
+    "x76_exact_containment" -> x76Sql,
   )
 }

@@ -1716,7 +1716,7 @@ object StreamingQueries {
     Option(quantDirCache.get(key)).getOrElse {
       val dir = graft.TempDirs.deleteOnExit(scratchDir("graft_quant_src_"))
       val docs = graft.Tables.documents(s, d)
-        .select("doc_id", "lang", "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
       (0 until 3).foreach { n =>
         val stage = new java.io.File(dir, s"stage$n")
         docs.filter(pmod(col("doc_id"), lit(3)) === n)
@@ -1767,7 +1767,30 @@ object StreamingQueries {
         idCol = "doc_id", valueCol = "n_chars"), "complete")
   }
 
+  /** s22 — STREAMING weighted sampling: the x75 priority sample
+    * maintained at ingest. The per-source (k+1)-row priority heap
+    * ([[graft.functions.TopK]] rows under the (−q, id) total order) is
+    * a mergeable sketch exactly like s21's bottom-k — a pure function
+    * of the input multiset — so the streaming aggregation's state
+    * round trips must reproduce the batch sample AND its threshold
+    * estimator bit-for-bit (τ rides the same heap: it is the
+    * (k+1)-th element). This closes the "sample the stream as it
+    * arrives, answer subset-sums later" loop: a 100 TB ingest keeps
+    * |sources|·(k+1) rows of state forever, and any later batch query
+    * (x75) over the stored table gets the identical answer. Oracle =
+    * x75's own SQL; complete mode, s12's rationale. */
+  def s22(s: SparkSession, d: String): DataFrame = {
+    val dir = quantReplayDir(s, d)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "2").parquet(dir.getAbsolutePath)
+    runToSink(s,
+      Sampling.prioritySample(stream, "source", "doc_id", "n_chars"),
+      "complete")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_stream_sample" -> (s22 _),
     "s21_stream_quantiles" -> (s21 _),
     "s20_leakage_split" -> (s20 _),
     "s19_stream_diff" -> (s19 _),
@@ -1793,6 +1816,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s22_stream_sample" -> Sampling.x75Sql,
     "s21_stream_quantiles" -> Sketches.x59Sql,
     "s20_leakage_split" -> Clusters.x55Sql,
     "s19_stream_diff" -> Diff.x69Sql,

@@ -63,6 +63,61 @@ class SimJoinSpec extends SparkSpec {
     assert(got.size == 12 * 11 / 2, "all pairs are true near-dups here")
   }
 
+  /** Brute-force exact containment pairs (a < b, cont_u). */
+  private def bruteCont(docs: DataFrame): Set[(Long, Long, Long)] = {
+    val hv = Dedup.wordShingleHashes(docs).distinct()
+    val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    hv.alias("x").join(hv.alias("y"),
+        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(col("inter") * 5 >= least(col("na"), col("nb")) * 4)
+      .select(col("a"), col("b"),
+        floor(col("inter") / least(col("na"), col("nb")).cast("double")
+          * 1000000).cast("long").as("cont_u"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private def runCont(docs: DataFrame): Set[(Long, Long, Long)] =
+    SimJoin.exactContainment(docs).as[(Long, Long, Long)].collect().toSet
+
+  test("containment: subset-shaped pairs that Jaccard misses are found") {
+    // doc 2 is doc 1's first quarter: containment 1.0, Jaccard ~0.25 —
+    // invisible to exactPairs at t=0.8, MUST be found by containment
+    val big = (1 to 80).map(i => s"w$i").mkString(" ")
+    val small = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, big), (2L, small),
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8"),          // disjoint filler
+      (4L, (30 to 55).map(i => s"w$i").mkString(" "))  // interior slice of 1
+    ).toDF("doc_id", "text")
+    val got = runCont(docs)
+    assert(got == bruteCont(docs))
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1000000L),
+      "fully-contained subset must appear with cont_u = 1e6")
+    assert(got.exists(p => p._1 == 1L && p._2 == 4L),
+      "interior slice must appear")
+    assert(SimJoin.exactPairs(docs).as[(Long, Long, Long)].collect()
+      .forall(p => !(p._1 == 1L && p._2 == 2L)),
+      "the same pair is below the Jaccard threshold (sanity)")
+  }
+
+  test("containment equals brute force on the fixture") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(runCont(docs) == bruteCont(docs))
+  }
+
+  test("containment: equal-size docs resolve via the smaller id") {
+    val common = (1 to 19).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, common + " a1"), (9L, common + " b1"))
+      .toDF("doc_id", "text")
+    val got = runCont(docs)
+    assert(got == bruteCont(docs))
+    assert(got.exists(p => p._1 == 7L && p._2 == 9L))
+  }
+
   test("single-shingle docs and disjoint docs") {
     val docs = Seq(
       (1L, "only"), (2L, "only"),        // identical 1-shingle sets: J=1

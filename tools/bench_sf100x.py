@@ -129,6 +129,10 @@ QUERIES = [
     # is ~25M true pairs (C(100,2) per replica group) — no engine
     # shrinks the output; its scale row lives in BENCH_sfbig.json.
     "x75_priority_sample", "s21_stream_quantiles",
+    # round-11 second push: streaming priority sample — state is
+    # |sources|·(k+1) rows regardless of stream length. x76 stays off
+    # with x74 (output-quadratic pair relation on the replica fixture).
+    "s22_stream_sample",
 ]
 
 

@@ -77,6 +77,9 @@ QUERIES = [
     # the output-scale claim, like x47), priority sampling (one
     # bounded-heap pass), and the streaming quantile sketch
     "x74_exact_simjoin", "x75_priority_sample", "s21_stream_quantiles",
+    # round-11 second push: exact containment join (same output-bound
+    # profile as x74) and the streaming priority sample
+    "x76_exact_containment", "s22_stream_sample",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
