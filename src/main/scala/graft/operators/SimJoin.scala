@@ -219,13 +219,91 @@ object SimJoin {
        |WHERE $TD * inter >= $TN * least(sa.n, sb.n)""".stripMargin
   }
 
+  // ---------------------------------------------------------------- x77
+  /** EXACT cosine-threshold join over the binary shingle sets —
+    * cos = |A∩B| / √(|A|·|B|) ≥ t — completing the exact-join trilogy
+    * (x74 Jaccard, x76 containment): cosine sits between them
+    * (size-ratio-tolerant like containment, symmetric like Jaccard) and
+    * is the form text-similarity systems usually threshold.
+    *
+    * The prefix bound needs t² (not t): cos ≥ t forces max ≤ min/t²
+    * (length filter) and therefore overlap ≥ t·√(na·nb) ≥ t²·|X| for
+    * BOTH sides — so prefixes of length |X| − ⌈t²|X|⌉ + 1 are complete
+    * by the same first-common-token lemma. With t = 4/5, t² = 16/25
+    * stays an exact rational, and every threshold test is pure integer:
+    * the verify is 25·inter² ≥ 16·na·nb, the positional filter is
+    * 25·b² ≥ 16·na·nb on the remaining-overlap bound b (no √ ever
+    * enters a comparison; the emitted cos_u pays one IEEE sqrt + one
+    * division, deterministic cross-engine). Prefixes are ~2.6× longer
+    * than x74's (1−t² vs 1−t of each set) — the price of tolerating
+    * size skew exactly. */
+  def exactCosine(docs: DataFrame): DataFrame = {
+    val (sig, ranked) = rankedOf(docs)
+    // t² = TN²/TD²: prefix length |X| − ⌈t²|X|⌉ + 1
+    val (tn2, td2) = (TN * TN, TD * TD)
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("n") - expr(s"($tn2 * n + ${td2 - 1}) DIV $td2") + 1)
+      .hint("shuffle_hash")
+    val cand = prefix.alias("x")
+      .join(prefix.alias("y"),
+        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id")
+          // length filter: max ≤ min/t² (both orientations)
+          && col("y.n") * td2 >= col("x.n") * tn2
+          && col("x.n") * td2 >= col("y.n") * tn2
+          // positional: remaining-overlap bound b must reach t·√(na·nb)
+          && lit(td2) * pow2(lit(1) + least(col("x.n") - col("x.rn"),
+               col("y.n") - col("y.rn"))) >= lit(tn2) * col("x.n") * col("y.n"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a"), col("hs").as("hsa"))
+    val sb = sig.select(col("doc_id").as("b"), col("hs").as("hsb"))
+    import graft.functions.ArrayMath
+    cand.join(sa, "a").join(sb, "b")
+      .withColumn("inter", ArrayMath.sortedIntersectSize(col("hsa"), col("hsb")))
+      .withColumn("na", size(col("hsa")).cast("long"))
+      .withColumn("nb", size(col("hsb")).cast("long"))
+      .filter(lit(td2) * col("inter") * col("inter") >=
+        lit(tn2) * col("na") * col("nb"))
+      .select(col("a"), col("b"),
+        floor(col("inter") / sqrt((col("na") * col("nb")).cast("double"))
+          * 1000000).cast("long").as("cos_u"))
+  }
+
+  private def pow2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c * c
+
+  def x77(s: SparkSession, d: String): DataFrame =
+    exactCosine(Tables.documents(s, d))
+
+  val x77Sql: String = {
+    val hvHash = PortableHash.duckH60("s")
+    s"""WITH base AS (SELECT doc_id, ${Dedup.admissionShinglesSql} AS sg FROM documents),
+       |hv AS (SELECT DISTINCT doc_id, $hvHash AS hf
+       |  FROM (SELECT doc_id, unnest(sg) AS s FROM base)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM hv GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM hv x JOIN hv y ON x.hf = y.hf AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a, b,
+       |  CAST(floor(inter / sqrt(CAST(sa.n * sb.n AS DOUBLE)) * 1000000)
+       |       AS BIGINT) AS cos_u
+       |FROM pairs
+       |JOIN sz sa ON sa.doc_id = a
+       |JOIN sz sb ON sb.doc_id = b
+       |WHERE ${TD * TD} * inter * inter >= ${TN * TN} * sa.n * sb.n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x74_exact_simjoin" -> (x74 _),
     "x76_exact_containment" -> (x76 _),
+    "x77_exact_cosine" -> (x77 _),
   )
 
   val oracleSql: Map[String, String] = Map(
     "x74_exact_simjoin" -> x74Sql,
     "x76_exact_containment" -> x76Sql,
+    "x77_exact_cosine" -> x77Sql,
   )
 }

@@ -1789,7 +1789,35 @@ object StreamingQueries {
       "complete")
   }
 
+  /** s23 — HOPPING-window streaming counts: s02's aggregation with
+    * duration 1 h > slide 30 min, the one event-time window semantics
+    * the set lacked (s02 tumbling, s07 session, s13 windowed sketch).
+    * Each event feeds exactly duration/slide = 2 overlapping windows
+    * and every window must emit ONCE with its complete count when the
+    * watermark passes its end (append mode) — double-assignment,
+    * per-window eviction, and the overlap-bounded state multiplier all
+    * gated at once. Oracle: the batch twin assigns each event its two
+    * aligned window starts explicitly (k ∈ {0,1}). */
+  def s23(s: SparkSession, d: String): DataFrame = {
+    val stream = eventsStream(s, d)
+      .unionByName(sentinelStream(s, cachedSentinelDir(s)))
+    runToSink(s,
+      WindowedCounts.byCarrierHopping(stream, "1 hour", "30 minutes",
+        "2 minutes"), "append")
+      .filter(col("carrier") =!= "none")
+  }
+
+  val s23Sql: String =
+    s"""SELECT make_timestamp((epoch_ms(ts) // 1000 // 1800 - k) * 1800 * 1000000)
+       |    AS win_start,
+       |  $carrierSql AS carrier,
+       |  CASE WHEN event_type = 'purchase' THEN 'delivered' ELSE 'sent' END AS status,
+       |  count(*) AS cnt
+       |FROM events, (SELECT unnest(range(0, 2)) AS k) t
+       |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_hopping_window" -> (s23 _),
     "s22_stream_sample" -> (s22 _),
     "s21_stream_quantiles" -> (s21 _),
     "s20_leakage_split" -> (s20 _),
@@ -1816,6 +1844,7 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "s23_hopping_window" -> s23Sql,
     "s22_stream_sample" -> Sampling.x75Sql,
     "s21_stream_quantiles" -> Sketches.x59Sql,
     "s20_leakage_split" -> Clusters.x55Sql,

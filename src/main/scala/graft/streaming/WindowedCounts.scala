@@ -21,4 +21,23 @@ object WindowedCounts {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("carrier"),
         col("status"), col("cnt"))
+
+  /** status × carrier counts per HOPPING (sliding) window: duration >
+    * slide, so each event lands in duration/slide overlapping windows
+    * — the "last hour, refreshed every 30 minutes" monitoring shape
+    * tumbling windows can't express (a tumbling hour answers stale by
+    * up to an hour). State per open (window, carrier, status) key is
+    * still watermark-bounded: a window's state is evicted once the
+    * watermark passes its END, so overlap multiplies live state by
+    * duration/slide, not by history. */
+  def byCarrierHopping(ds: Dataset[MessageStatus],
+      duration: String = "1 hour", slide: String = "30 minutes",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    ds.withColumn("eventTime", timestamp_millis(col("timestamp")))
+      .withWatermark("eventTime", watermarkDelay)
+      .groupBy(window(col("eventTime"), duration, slide), col("carrier"),
+        col("status"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("win_start"), col("carrier"),
+        col("status"), col("cnt"))
 }

@@ -67,7 +67,21 @@ class SimJoinPropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
   }
 
-  test("x74/x76 equal brute force on 12 random adversarial corpora") {
+  private def bruteCos(docs: org.apache.spark.sql.DataFrame) = {
+    val hv = Dedup.wordShingleHashes(docs).distinct()
+    val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    hv.alias("x").join(hv.alias("y"),
+        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(lit(25) * col("inter") * col("inter") >=
+        lit(16) * col("na") * col("nb"))
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+  }
+
+  test("x74/x76/x77 equal brute force on 12 random adversarial corpora") {
     (1 to 12).foreach { i =>
       val corpus = sample(corpusGen, 7000L + i)
       val docs = corpus.toDF("doc_id", "text")
@@ -75,10 +89,14 @@ class SimJoinPropertySpec extends SparkSpec {
         .select($"a", $"b").as[(Long, Long)].collect().toSet
       val gotC = SimJoin.exactContainment(docs)
         .select($"a", $"b").as[(Long, Long)].collect().toSet
+      val gotS = SimJoin.exactCosine(docs)
+        .select($"a", $"b").as[(Long, Long)].collect().toSet
       assert(gotJ == brute(docs, containment = false),
         s"jaccard mismatch on seed ${7000 + i}: corpus $corpus")
       assert(gotC == brute(docs, containment = true),
         s"containment mismatch on seed ${7000 + i}: corpus $corpus")
+      assert(gotS == bruteCos(docs),
+        s"cosine mismatch on seed ${7000 + i}: corpus $corpus")
     }
   }
 }

@@ -127,4 +127,45 @@ class SimJoinSpec extends SparkSpec {
     assert(got == brute(docs))
     assert(got.contains((1L, 2L, 1000000L)))
   }
+
+  /** Brute-force exact cosine pairs (a < b). */
+  private def bruteCos(docs: DataFrame): Set[(Long, Long)] = {
+    val hv = Dedup.wordShingleHashes(docs).distinct()
+    val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    hv.alias("x").join(hv.alias("y"),
+        col("x.hf") === col("y.hf") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .filter(lit(25) * col("inter") * col("inter") >=
+        lit(16) * col("na") * col("nb"))
+      .select(col("a"), col("b")).as[(Long, Long)].collect().toSet
+  }
+
+  test("cosine: size-skewed pairs between Jaccard's reach and containment's") {
+    // doc 2 = first 60 of doc 1's 80 words: shingles 58/78,
+    // J = 58/98 ≈ 0.59 (x74 misses), cos = 58/√(78·58) ≈ 0.862 (x77
+    // finds), cont = 1.0 (x76 finds) — the three thresholds genuinely
+    // order the same pair differently.
+    val docs = Seq(
+      (1L, (1 to 80).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")),
+      (3L, "z1 z2 z3 z4 z5 z6")
+    ).toDF("doc_id", "text")
+    val cos = SimJoin.exactCosine(docs)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(cos == bruteCos(docs))
+    assert(cos.contains((1L, 2L)), "cosine must catch the 0.86 pair")
+    assert(!run(docs).exists(p => p._1 == 1L && p._2 == 2L),
+      "the same pair is below the Jaccard threshold (sanity)")
+  }
+
+  test("cosine equals brute force on the fixture") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cos = SimJoin.exactCosine(docs)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(cos == bruteCos(docs))
+    assert(cos.nonEmpty)
+  }
 }

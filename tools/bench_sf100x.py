@@ -133,6 +133,10 @@ QUERIES = [
     # |sources|·(k+1) rows regardless of stream length. x76 stays off
     # with x74 (output-quadratic pair relation on the replica fixture).
     "s22_stream_sample",
+    # round-11 third push: hopping windows over the genuinely-100x
+    # events table (state bounded by open windows x carriers). x77
+    # stays off with x74/x76 (output-quadratic pair relations).
+    "s23_hopping_window",
 ]
 
 

@@ -80,6 +80,10 @@ QUERIES = [
     # round-11 second push: exact containment join (same output-bound
     # profile as x74) and the streaming priority sample
     "x76_exact_containment", "s22_stream_sample",
+    # round-11 third push: the cosine member of the exact-join trilogy
+    # (output-bound like x74/x76) and the hopping-window replay over
+    # the genuinely-10x events table
+    "x77_exact_cosine", "s23_hopping_window",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
