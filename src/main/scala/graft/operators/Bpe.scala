@@ -47,29 +47,27 @@ object Bpe {
     * fold (no UDF): the accumulator carries the emitted prefix and a
     * pending symbol; a (pend=p, next=q) hit emits the merged symbol
     * and clears the pending slot so an overlapping occurrence cannot
-    * double-consume. */
-  private def mergeFold(a: String, p: String, q: String): Column = expr(
-    s"""aggregate(
-       |  $a,
-       |  named_struct('out', cast(array() as array<string>),
-       |               'pend', cast(null as string)),
-       |  (s, x) -> CASE
-       |    WHEN s.pend IS NULL THEN
-       |      named_struct('out', s.out, 'pend', x)
-       |    WHEN s.pend = $p AND x = $q THEN
-       |      named_struct('out', concat(s.out, array(concat($p, $q))),
-       |                   'pend', cast(null as string))
-       |    ELSE
-       |      named_struct('out', concat(s.out, array(s.pend)), 'pend', x)
-       |  END,
-       |  s -> CASE WHEN s.pend IS NULL THEN s.out
-       |            ELSE concat(s.out, array(s.pend)) END)""".stripMargin)
-
-  /** A Scala string as a SQL single-quoted literal fragment (quotes
-    * and backslashes escaped) — symbols fold back into [[mergeFold]]'s
-    * expression text, so they must round-trip any corpus byte. */
-  private def sqlStr(v: String): String =
-    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    * double-consume. Built in the Column DSL with the winner pair as
+    * `lit` values — no SQL-text interpolation, so any corpus byte
+    * (quotes, backslashes) round-trips regardless of the session's
+    * parser/escaping configuration. */
+  private def mergeFold(a: Column, p: Column, q: Column): Column = {
+    val nullStr = lit(null).cast("string")
+    def st(out: Column, pend: Column) =
+      struct(out.as("out"), pend.as("pend"))
+    aggregate(
+      a,
+      st(array().cast("array<string>"), nullStr),
+      (s, x) =>
+        when(s.getField("pend").isNull, st(s.getField("out"), x))
+          .when(s.getField("pend") === p && x === q,
+            st(concat(s.getField("out"), array(concat(p, q))), nullStr))
+          .otherwise(
+            st(concat(s.getField("out"), array(s.getField("pend"))), x)),
+      s =>
+        when(s.getField("pend").isNull, s.getField("out"))
+          .otherwise(concat(s.getField("out"), array(s.getField("pend")))))
+  }
 
   /** Adjacent-pair frequency over the current dict (f-weighted). */
   private def pairCounts(dict: DataFrame): DataFrame = dict
@@ -124,7 +122,7 @@ object Bpe {
       winRows.headOption.foreach { r =>
         dict = dict
           .select(col("w"), col("f"),
-            mergeFold("a", sqlStr(r.getString(0)), sqlStr(r.getString(1)))
+            mergeFold(col("a"), lit(r.getString(0)), lit(r.getString(1)))
               .as("a"))
           .localCheckpoint(eager = false)
       }

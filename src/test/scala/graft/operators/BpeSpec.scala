@@ -54,6 +54,22 @@ class BpeSpec extends SparkSpec {
     assert(arrays === Set(Seq("abab")))
   }
 
+  test("winner symbols containing quotes/backslashes fold correctly") {
+    // the winner pair is ((', ') from the word ''''' — symbols that
+    // would corrupt any SQL-text interpolation of the fold; the DSL
+    // lit() path must round-trip them (same for backslash)
+    val (m1, dict1) = Bpe.bpeTrain(docs("'' '' \\z"), rounds = 1)
+    val w1 = m1.head.collect().head
+    assert((w1.getString(0), w1.getString(1)) === (("'", "'")))
+    val a1 = dict1.select(col("a")).collect().map(_.getSeq[String](0)).toSet
+    assert(a1 === Set(Seq("''"), Seq("\\", "z")))
+    val (m2, dict2) = Bpe.bpeTrain(docs("\\\\ \\\\"), rounds = 1)
+    val w2 = m2.head.collect().head
+    assert((w2.getString(0), w2.getString(1)) === (("\\", "\\")))
+    assert(dict2.select(col("a")).collect().map(_.getSeq[String](0)).toSet
+      === Set(Seq("\\\\")))
+  }
+
   test("single-char and non-matching words pass through untouched") {
     val (_, dict) = Bpe.bpeTrain(docs("aa z qr"), rounds = 1)
     val byWord = dict.select(col("a")).collect().map(_.getSeq[String](0)).toSet
