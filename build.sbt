@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap sized for the single-JVM local[32] harness on this
+  // 128 GiB box: the 141-query bench session holds cached fixtures,
+  // state-store providers, and per-query sort/hash working sets
+  // simultaneously — at 8g the late-session explode-heavy rows
+  // (x18) paid spill+GC thrash that a fresh JVM never showed (the
+  // round-11 driver-session 28s outlier vs 1.7s solo).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

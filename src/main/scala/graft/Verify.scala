@@ -21,6 +21,13 @@ object Verify {
       .config("spark.sql.maxPlanStringLength", "65536")
       .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.ui.retainedExecutions", "4")
+      // See Bench: keep high-cardinality object aggregations (every
+      // collect_set / TypedImperativeAggregate) hash-based instead of
+      // the default fall-back-to-sort at 128 keys. Execution strategy
+      // only — results are identical either way.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -85,7 +85,13 @@ object Bpe {
     * their counts, and the re-tokenized word dictionary (w, f, a):
     * the word, its corpus frequency, and its symbol segmentation —
     * i.e. the TRAINED TOKENIZER, applied to a corpus by an equi-join
-    * on w (x73). */
+    * on w (x73).
+    *
+    * EAGER-EXECUTION CONTRACT: each round collect()s its ≤1-row winner
+    * (the driver-held-model discipline), so CALLING this method runs
+    * `rounds` Spark jobs immediately — it does not return a lazy plan
+    * to construct speculatively. Build it only when you intend to
+    * train; the returned relations are then lazy as usual. */
   def bpeTrain(docs: DataFrame, rounds: Int = Rounds)
       : (Seq[DataFrame], DataFrame) = {
     var dict = docs.filter(col("text").isNotNull)

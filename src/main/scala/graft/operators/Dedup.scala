@@ -95,9 +95,7 @@ object Dedup {
     // arrays.) For heavy shingle volumes, materializeSig caches the
     // merged relation instead.
     val sigPlan = sigOf(hv, seed, r, nBands)
-    val sig = if (materializeSig)
-      sigPlan.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else sigPlan
+    val sig = if (materializeSig) persistShared(sigPlan) else sigPlan
     lshPairsFromSig(sig, r, nBands, thresh)
   }
 
@@ -284,7 +282,24 @@ object Dedup {
     // bucketed rather than linear-probed so LRU eviction releases a
     // whole hash class at once and can never orphan a collided entry
     // behind a removed probe-chain head.
-    val ss = persistedSigs.synchronized {
+    val ss = persistShared(sel)
+    ss.select(col("doc_id") +: col("ss.hs").as("hs") +:
+      (0 until nSlots).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
+  }
+
+  /** Persist `sel` MEMORY_AND_DISK through the session-lifecycle
+    * registry: repeated calls with a semantically identical plan in the
+    * same session return the one already-cached relation (no duplicate
+    * pins), the LRU bounds total cached relations at
+    * [[MaxPersistedSigs]], and [[unpersistSignatures]] releases
+    * everything at once. Shared by the near-dup signature paths here
+    * and [[SimJoin]]'s ranked-token relation — any multi-consumer
+    * relation a query persists for within-plan sharing must go through
+    * this registry, or a multi-SF bench/verify sweep accumulates one
+    * leaked cache entry per (plan, scale-factor) for the session
+    * lifetime (the round-11 ADVICE finding on SimJoin.rankedOf). */
+  private[operators] def persistShared(sel: DataFrame): DataFrame =
+    persistedSigs.synchronized {
       val key = sel.semanticHash()
       val bucket = Option(persistedSigs.get(key)).getOrElse(Nil)
       // the session is part of the identity, not just the plan: in a
@@ -306,9 +321,6 @@ object Dedup {
           p
         }
     }
-    ss.select(col("doc_id") +: col("ss.hs").as("hs") +:
-      (0 until nSlots).map(j => col("ss.sig").getItem(j).as(s"m$j")): _*)
-  }
 
   /** Bound on distinct (corpus, signature-config) relations kept cached
     * at once; beyond it the least-recently-used relation is released

@@ -62,11 +62,14 @@ object SimJoin {
     // sizes both derive from it narrowly (no separate distinct shuffle)
     // persist: the relation feeds four consumers (prefix build + both
     // verify lookups) — unmaterialized, the merge-side agg replays per
-    // consumer (x02's materializeSig finding); CacheManager dedups
-    // repeat invocations of the same plan across a session
-    val sig = Dedup.wordShingleHashes(docs).groupBy("doc_id")
-      .agg(sort_array(collect_set(col("hf"))).as("hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // consumer (x02's materializeSig finding). Routed through Dedup's
+    // session-lifecycle registry: repeat invocations share one cached
+    // copy, the LRU bounds the total, and Graft.unpersistSignatures
+    // releases it — a bare persist here leaked one cached relation per
+    // (plan, scale factor) for the session lifetime (round-11 ADVICE).
+    val sig = Dedup.persistShared(
+      Dedup.wordShingleHashes(docs).groupBy("doc_id")
+        .agg(sort_array(collect_set(col("hf"))).as("hs")))
     val hv = sig.select(col("doc_id"), size(col("hs")).cast("long").as("n"),
       explode(col("hs")).as("hf"))
     val dfc = hv.groupBy("hf").agg(count(lit(1)).as("dfc"))

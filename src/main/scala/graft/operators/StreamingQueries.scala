@@ -1741,7 +1741,7 @@ object StreamingQueries {
     * Bottom-k is the ONLY quantile sketch here that can face a batch
     * oracle at all: GK/KLL compact lazily and are arrival-order
     * sensitive, while a bottom-k set under the (hash, value) total
-    * order is a pure function of the input MULTISET — so three
+    * order is a pure function of the input MULTISET — so two
     * micro-batches through real state-store serialize/merge round
     * trips must reproduce the batch x59 sketch BIT-FOR-BIT, and the
     * oracle is x59's own SQL. What the gate proves beyond x59: the

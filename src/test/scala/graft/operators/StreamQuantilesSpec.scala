@@ -14,7 +14,7 @@ class StreamQuantilesSpec extends SparkSpec {
       .select(cols.head, cols.tail: _*).collect()
       .map(_.toSeq).sortBy(_.toString)
     assert(got.toSeq == want.toSeq,
-      "three micro-batches through state-store round trips must equal the batch sketch")
+      "two micro-batches through state-store round trips must equal the batch sketch")
     assert(got.nonEmpty)
   }
 }
