@@ -189,23 +189,52 @@ object AsOf {
     * ([[asofJoin]], [[asofJoinBucketed]]) remain for distinct-table
     * inputs.
     *
-    * AQE is pinned OFF for this query (isolated session clone, the
-    * [[Sessions.cloneWithRuntimeConfs]] conf-window pattern): the plan
-    * is a single hash exchange feeding a window, and AQE's only lever
-    * on that shape is bytes-based partition coalescing — which folds
-    * the CPU-bound per-key sort into a handful of tasks (measured: the
-    * 10× window collapsed to one ~20 MB partition, 2.4× slower), while
-    * AQE's actual value (join re-plans, skew splits) has no join to
-    * act on and cannot split a window exchange. At cluster scale the
-    * same reasoning holds: size `spark.sql.shuffle.partitions` to the
-    * cluster, not to shuffle bytes, when the per-row work is a sort. */
+    * GATED PLAN: the range-bucketed form ([[asofJoinBucketed]]) over
+    * purchases vs the per-(user, ts) pre-aggregated non-purchase side.
+    * The fused single-window form below ([[x14WindowPlan]]) is the
+    * fewest-exchanges formulation, but its one exchange ends in a
+    * per-KEY sort — with few keys (150·SF users) the sort is long and
+    * single-threaded per key, which is exactly where a native merge
+    * ASOF wins. The bucketed plan replaces the global per-key sort
+    * with a hash aggregation into per-(key, day-bucket) sorted arrays
+    * + a window over bucket SUMMARIES (|key·buckets| rows, not |rows|)
+    * + one equi-join — every stage hash-parallel and AQE-splittable,
+    * no long per-key sorts anywhere. Both plans are hash-gated against
+    * DuckDB's native ASOF; AsOfSpec pins them equal to each other. */
   def x14(s: SparkSession, d: String): DataFrame = {
-    val ss = Sessions.cloneWithRuntimeConfs(s)
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    x14Plan(ss, d)
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("tms"), col("event_type"))
+    val right = ev.filter(col("event_type") =!= "purchase")
+      .groupBy(col("user_id"), col("tms"))
+      .agg(max(col("event_type")).as("event_type"))
+    val left = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tms"))
+    asofJoinBucketed(left, right, "user_id", "tms", "tms", strict = true)
+      .filter(col("asof").isNotNull)
+      .select(col("user_id"), col("tms").as("purchase_ms"),
+        col("asof.event_type").as("prior_event_type"),
+        col("asof.tms").as("prior_ms"),
+        (col("tms") - col("asof.tms")).as("gap_ms"))
   }
 
-  private def x14Plan(s: SparkSession, d: String): DataFrame = {
+  /** The fused single-window self-ASOF form (the previous gated plan;
+    * kept as the minimum-exchange formulation and pinned equal to the
+    * bucketed plan in AsOfSpec). AQE is pinned OFF (isolated session
+    * clone, the [[Sessions.cloneWithRuntimeConfs]] conf-window
+    * pattern): the plan is a single hash exchange feeding a window,
+    * and AQE's only lever on that shape is bytes-based partition
+    * coalescing — which folds the CPU-bound per-key sort into a
+    * handful of tasks (measured: the 10× window collapsed to one
+    * ~20 MB partition, 2.4× slower), while AQE's actual value (join
+    * re-plans, skew splits) has no join to act on and cannot split a
+    * window exchange. */
+  def x14Window(s: SparkSession, d: String): DataFrame = {
+    val ss = Sessions.cloneWithRuntimeConfs(s)
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    x14WindowPlan(ss, d)
+  }
+
+  private def x14WindowPlan(s: SparkSession, d: String): DataFrame = {
     val tagged = Tables.events(s, d).select(
       col("user_id"), unix_millis(col("ts")).as("tms"),
       (col("event_type") === "purchase").as("isP"), col("event_type"))

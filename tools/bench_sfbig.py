@@ -84,6 +84,13 @@ QUERIES = [
     # (output-bound like x74/x76) and the hopping-window replay over
     # the genuinely-10x events table
     "x77_exact_cosine", "s23_hopping_window",
+    # round-12: the streaming leakage-free split — the suite's heaviest
+    # replay row, previously unrehearsed at any scale: 3 micro-batches
+    # each 10x bigger, per-batch cost must track O(batch + touched
+    # clusters), not O(corpus). (Off the 100x list: its per-batch
+    # verified-edge relation is output-quadratic on the replica fixture,
+    # like x74/x76/x77.) Plus the OPQ-permuted IVF-PQ re-rank gate.
+    "s20_leakage_split", "x78_ann_opq",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
