@@ -166,8 +166,22 @@ object StreamingQueries {
     * result. */
   private def withReplayPartitionsN[T](s: SparkSession, n: Int)(f: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = s.conf.get(aqeKey)
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // AQE off for the replay window (results never depend on it): under
+    // AQE every exchange materializes as its OWN Spark job, and the
+    // foreachBatch replays (s19/s20/s24: LSH pipelines + bucket-store
+    // reads + upsert writes per micro-batch) were measured at 13-34
+    // jobs per batch — per-stage job overhead on tiny per-batch data,
+    // with nothing for AQE to re-plan at the fixed replay partition
+    // count. GRAFT_REPLAY_AQE=1 restores the session default for A/B.
+    if (sys.env.getOrElse("GRAFT_REPLAY_AQE", "0") != "1")
+      s.conf.set(aqeKey, "false")
+    try f finally {
+      s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.conf.set(aqeKey, prevAqe)
+    }
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and
