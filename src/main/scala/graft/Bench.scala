@@ -51,7 +51,7 @@ object Bench {
       // aggregate state ≈ 400 MB/task worst case bounds memory; past
       // it the sort fallback still protects (the 100× rehearsal path).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4194304")
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "4194304"))
       // Replays stop their queries and unload state stores explicitly;
       // a short maintenance interval is a second line of defense so a
       // terminated replay's providers never sit loaded for the default

@@ -189,19 +189,24 @@ object AsOf {
     * ([[asofJoin]], [[asofJoinBucketed]]) remain for distinct-table
     * inputs.
     *
-    * GATED PLAN: the range-bucketed form ([[asofJoinBucketed]]) over
-    * purchases vs the per-(user, ts) pre-aggregated non-purchase side.
-    * The fused single-window form below ([[x14WindowPlan]]) is the
-    * fewest-exchanges formulation, but its one exchange ends in a
-    * per-KEY sort — with few keys (150·SF users) the sort is long and
-    * single-threaded per key, which is exactly where a native merge
-    * ASOF wins. The bucketed plan replaces the global per-key sort
-    * with a hash aggregation into per-(key, day-bucket) sorted arrays
-    * + a window over bucket SUMMARIES (|key·buckets| rows, not |rows|)
-    * + one equi-join — every stage hash-parallel and AQE-splittable,
-    * no long per-key sorts anywhere. Both plans are hash-gated against
-    * DuckDB's native ASOF; AsOfSpec pins them equal to each other. */
-  def x14(s: SparkSession, d: String): DataFrame = {
+    * GATED PLAN: the fused single-window form ([[x14Window]]). The
+    * range-bucketed form ([[asofJoinBucketed]], via [[x14Bucketed]])
+    * was TRIED as the gated plan this round on the bucket-probe-
+    * beats-per-key-sort hypothesis and measured WORSE on this
+    * fixture's shape at both scales — 2.0 vs ~1.4 s at sf0.1 and
+    * 7.4 vs ~1.4 s at 10× (vs DuckDB's native ASOF at 0.35 s): with
+    * few keys (150·SF users) and long per-key history, the fixture is
+    * sort-friendly — one exchange + per-key merge beats three hash
+    * stages whose per-(key, day) array aggregation re-materializes
+    * the whole right side as structs. The bucketed form remains the
+    * library's many-keys/short-history option, pinned equal on
+    * adversarial inputs in AsOfSpec; both forms hash-gate identically
+    * against DuckDB's native ASOF. */
+  def x14(s: SparkSession, d: String): DataFrame = x14Window(s, d)
+
+  /** The bucketed-plan variant of x14 (kept callable for measurement;
+    * see the gated-plan note above). */
+  def x14Bucketed(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d).select(col("user_id"),
       unix_millis(col("ts")).as("tms"), col("event_type"))
     val right = ev.filter(col("event_type") =!= "purchase")
@@ -217,17 +222,16 @@ object AsOf {
         (col("tms") - col("asof.tms")).as("gap_ms"))
   }
 
-  /** The fused single-window self-ASOF form (the previous gated plan;
-    * kept as the minimum-exchange formulation and pinned equal to the
-    * bucketed plan in AsOfSpec). AQE is pinned OFF (isolated session
-    * clone, the [[Sessions.cloneWithRuntimeConfs]] conf-window
-    * pattern): the plan is a single hash exchange feeding a window,
-    * and AQE's only lever on that shape is bytes-based partition
-    * coalescing — which folds the CPU-bound per-key sort into a
-    * handful of tasks (measured: the 10× window collapsed to one
-    * ~20 MB partition, 2.4× slower), while AQE's actual value (join
-    * re-plans, skew splits) has no join to act on and cannot split a
-    * window exchange. */
+  /** The fused single-window self-ASOF form (the gated plan). AQE is
+    * pinned OFF (isolated session clone, the
+    * [[Sessions.cloneWithRuntimeConfs]] conf-window pattern): the
+    * plan is a single hash exchange feeding a window, and AQE's only
+    * lever on that shape is bytes-based partition coalescing — which
+    * folds the CPU-bound per-key sort into a handful of tasks
+    * (measured: the 10× window collapsed to one ~20 MB partition,
+    * 2.4× slower), while AQE's actual value (join re-plans, skew
+    * splits) has no join to act on and cannot split a window
+    * exchange. */
   def x14Window(s: SparkSession, d: String): DataFrame = {
     val ss = Sessions.cloneWithRuntimeConfs(s)
     ss.conf.set("spark.sql.adaptive.enabled", "false")

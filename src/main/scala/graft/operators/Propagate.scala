@@ -90,6 +90,16 @@ object Propagate {
           .otherwise(expr("(15 * s0 + 85 * (sum_s div deg)) div 100"))
           .as("s"))
       .localCheckpoint(eager = false)
+    if (sys.env.getOrElse("GRAFT_X64_FRONTIER", "1") == "0") {
+      // full-recompute loop (A/B reference): one edge join per round
+      var cur = base.select(col("id"), col("s0"), col("s0").as("s"))
+      for (_ <- 1 to iters) {
+        val nb = edges.join(cur.select(col("id").as("u"), col("s")), Seq("u"))
+          .groupBy("v").agg(sum(col("s")).as("sum_s"))
+        cur = scoreOf(nb)
+      }
+      return cur
+    }
     var cur = base.select(col("id"), col("s0"), col("s0").as("s"))
       .localCheckpoint(eager = false)
     var sums = edges.join(cur.select(col("id").as("u"), col("s")), Seq("u"))

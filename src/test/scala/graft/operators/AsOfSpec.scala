@@ -119,11 +119,11 @@ class AsOfSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
-  test("x14 gated (bucketed) plan equals the fused-window form row-for-row") {
+  test("x14 bucketed form equals the gated fused-window form row-for-row") {
     def key(df: org.apache.spark.sql.DataFrame) = df
       .select("user_id", "purchase_ms", "prior_event_type", "prior_ms",
         "gap_ms")
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
-    assert(key(AsOf.x14(spark, sf)) == key(AsOf.x14Window(spark, sf)))
+    assert(key(AsOf.x14Bucketed(spark, sf)) == key(AsOf.x14Window(spark, sf)))
   }
 }

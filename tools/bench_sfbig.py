@@ -91,6 +91,9 @@ QUERIES = [
     # verified-edge relation is output-quadratic on the replica fixture,
     # like x74/x76/x77.) Plus the OPQ-permuted IVF-PQ re-rank gate.
     "s20_leakage_split", "x78_ann_opq",
+    # round-12: the re-arrival-tolerant CDC diff (s19's sibling — same
+    # bucket-local state I/O claim under duplicate arrivals)
+    "s24_diff_rearrive",
 ]
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
