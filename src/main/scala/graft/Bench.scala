@@ -47,11 +47,16 @@ object Bench {
       // groups) always sorted its full input, and that sort's external
       // sorter spills to disk exactly when the session heap is crowded
       // — the mechanism behind the 17× same-code swing on x18 between
-      // a fresh JVM and a late-session run. 4M keys × ~100 B of
-      // aggregate state ≈ 400 MB/task worst case bounds memory; past
-      // it the sort fallback still protects (the 100× rehearsal path).
+      // a fresh JVM and a late-session run. The threshold is KEY-COUNT
+      // based, not memory-based, and up to 32 tasks aggregate
+      // concurrently at local[32]: 1M keys × ~100 B of state ≈
+      // 100 MB/task, ~3.2 GB worst-case concurrent against the 16 GB
+      // heap (the earlier 4M setting allowed ~12.8 GB — an OOM risk,
+      // not a spill). 1M still keeps x18's per-partition shingle-hash
+      // group counts (~150 K/partition at sf0.1) hash-based; past the
+      // threshold the sort fallback protects (the 100× rehearsal path).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "4194304"))
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "1048576"))
       // Replays stop their queries and unload state stores explicitly;
       // a short maintenance interval is a second line of defense so a
       // terminated replay's providers never sit loaded for the default
@@ -306,10 +311,12 @@ object Bench {
     // regimes (with/without the between-sample System.gc) stay
     // distinguishable after the fact.
     val gcNudge = if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "1") != "0") 1 else 0
+    val x64Frontier = if (operators.Propagate.envFrontier) 1 else 0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""duckdb":$duckQs,"duckdb_total":$duckTotal,"spark_total":$total,""" +
       s""""gc_nudge":$gcNudge,"fixture_cache":$fixtureCache,""" +
+      s""""x64_frontier":$x64Frontier,""" +
       s""""canary":{"sec":$canarySec,"attempts":$canaryAttempts,"sla":$canarySla},""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     // File mirror first, then stdout last line, then flush: the driver can

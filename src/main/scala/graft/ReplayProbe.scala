@@ -30,9 +30,11 @@ object ReplayProbe {
         progress.add(f"batch${p.batchId} total=${dm.getOrDefault("triggerExecution", -1L)} addBatch=${dm.getOrDefault("addBatch", -1L)} getBatch=${dm.getOrDefault("getBatch", -1L)} latestOffset=${dm.getOrDefault("latestOffset", -1L)} planning=${dm.getOrDefault("queryPlanning", -1L)} walCommit=${dm.getOrDefault("walCommit", -1L)} commitOffsets=${dm.getOrDefault("commitOffsets", -1L)}")
       }
     })
-    val d = "/root/testdata/sf0.1"
-    val names = Seq("s15_late_drop", "s01_undelivered_stream",
-      "s24_diff_rearrive", "s19_stream_diff", "s20_leakage_split")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq("s15_late_drop", "s01_undelivered_stream",
+        "s24_diff_rearrive", "s19_stream_diff", "s20_leakage_split"))
     for (n <- names) {
       val fn = SparkEntry.queries(n)
       fn(spark, d).count() // warm (builds replay dirs)

@@ -26,7 +26,7 @@ object Verify {
       // the default fall-back-to-sort at 128 keys. Execution strategy
       // only — results are identical either way.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "4194304"))
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "1048576"))
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

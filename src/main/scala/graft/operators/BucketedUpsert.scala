@@ -128,9 +128,12 @@ object BucketedUpsert {
   }
 
   /** Apply one micro-batch. `reduced` must already be the batch's
-    * per-key reduction (unique on `keyCol`); `merge` is the caller's
-    * upsert semantics (target, updates) => new target — it sees only
-    * the touched buckets' rows and must carry target-only rows through
+    * per-key reduction — unique on `keyCol`, or, for multi-row-per-key
+    * relations (s20's (label, member) members store), the batch's rows
+    * for a key must be that key's COMPLETE new row set and `merge`
+    * must treat them as a replacement; `merge` is the caller's upsert
+    * semantics (target, updates) => new target — it sees only the
+    * touched buckets' rows and must carry target-only rows through
     * (e.g. [[Merge.merge]]). Idempotent per the contract above. */
   def applyBatch(s: SparkSession, stateBase: Path, numBuckets: Int,
       batchId: Long, reduced: DataFrame, keyCol: String,

@@ -51,7 +51,7 @@ object Propagate {
     * (which would otherwise surface as a NULL score and let NULL
     * ordering decide the top-N). PropagateSpec pins both properties. */
   def qualityPropagate(scores: DataFrame, pairs: DataFrame,
-      iters: Int = Iters): DataFrame = {
+      iters: Int = Iters, frontier: Boolean = true): DataFrame = {
     val base = scores
       .select(col("id").cast("long").as("id"), col("s0").cast("long").as("s0"))
       .localCheckpoint(eager = false)
@@ -90,7 +90,7 @@ object Propagate {
           .otherwise(expr("(15 * s0 + 85 * (sum_s div deg)) div 100"))
           .as("s"))
       .localCheckpoint(eager = false)
-    if (sys.env.getOrElse("GRAFT_X64_FRONTIER", "1") == "0") {
+    if (!frontier) {
       // full-recompute loop (A/B reference): one edge join per round
       var cur = base.select(col("id"), col("s0"), col("s0").as("s"))
       for (_ <- 1 to iters) {
@@ -131,11 +131,21 @@ object Propagate {
     * near-dup graph (shared relations: the score formula and the LSH
     * pair derivation are the gated x09/x02 code and SQL verbatim, so
     * the three gates cannot drift). */
+  /** The frontier/full-join A/B switch for the HARNESS entry below —
+    * the library operator takes it as an explicit parameter (default
+    * frontier); only the benchmark entry point consults the ambient
+    * environment, and graft.Bench records the value in the artifact
+    * line ("x64_frontier") so two artifacts measured under different
+    * settings stay distinguishable after the fact. */
+  def envFrontier: Boolean =
+    sys.env.getOrElse("GRAFT_X64_FRONTIER", "1") != "0"
+
   def x64(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val scores = TextOps.x09(s, d)
       .select(col("doc_id").as("id"), col("score_u").as("s0"))
-    qualityPropagate(scores, Dedup.nearDupWordPairs(docs))
+    qualityPropagate(scores, Dedup.nearDupWordPairs(docs),
+        frontier = envFrontier)
       .select(col("id").as("doc_id"), col("s0").as("s0_u"), col("s").as("s_u"))
       .orderBy(col("s_u").desc, col("doc_id"))
       .limit(TopN)

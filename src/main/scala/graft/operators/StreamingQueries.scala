@@ -1725,11 +1725,21 @@ object StreamingQueries {
     *  - merged groups relabel to the min old label (= min member id,
     *    by induction — exactly the batch x17/x55 label convention),
     *    and only the merged groups' MEMBERS (from the members store,
-    *    singleton default `[label]` for labels never merged) get
-    *    doc→label rewrites;
+    *    singleton default for labels never merged) get doc→label
+    *    rewrites;
     *  - per-batch state I/O is O(batch + touched clusters): the
     *    members store is what makes relabeling possible without the
     *    full-table inverted scan a doc→label-only layout would force.
+    *    Members are stored as (label, member) ROWS, not one array row
+    *    per label, so a mega-cluster spreads across tasks and parquet
+    *    files like any relation (an array layout concentrates the
+    *    whole cluster into a single row — a driver/row-size wall at
+    *    100 TB boilerplate scale);
+    *  - the per-batch edge relation is output-quadratic on dup-heavy
+    *    input, so its driver materialization is CAPPED (limit-probe
+    *    collect); a dup-storm batch overflows to a distributed
+    *    star-contraction CC that collects only the O(batch + touched)
+    *    vertex mapping.
     *
     * Split verdicts are per-UNIT coins ([[Clusters.splitCoin]], the
     * exact x55 expression), so a doc's side is decided the moment its
@@ -1748,9 +1758,12 @@ object StreamingQueries {
     * Exactly-once across replays: every read inside the batch — the
     * signature log (strictly earlier batch dirs), both stores
     * ([[BucketedUpsert.bucketState]] with `before = batchId`) — is
-    * strictly-pre-batch, so a replayed batch recomputes byte-identical
-    * state versions (member arrays are sort_array'd: collect order
-    * cannot leak in). The oracle is x55's batch twin. */
+    * strictly-pre-batch, so a replayed batch recomputes the SAME state
+    * relations (row order within a version's files may vary between
+    * attempts, but every consumer — bucketState joins, groupBy, the
+    * final table read — is set-semantic, so no ordering can leak into
+    * state content or the gated answer). The oracle is x55's batch
+    * twin. */
   def s20(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ArrayMath
     val dir = admissionReplayDir(s, d)
@@ -1798,18 +1811,10 @@ object StreamingQueries {
           val partnerHs = prior.fold(sigB)(p => sigB.unionByName(p))
             .select(col("doc_id").as("partner"), col("hs").as("hsb"))
           // verified near-dup edges of THIS batch (batch doc `did`
-          // against same-batch smaller id or any earlier doc).
-          // ONE driver materialization of the edge rows — each carries
-          // its endpoints' store buckets, computed by the SAME
-          // bucketExpr the stores use — replaces what used to be an
-          // eager localCheckpoint, two separate bucket-id collect
-          // jobs, and a distributed star-contraction CC (several jobs
-          // per pass) on the touched-label graph. Driver footprint is
-          // O(batch near-dup edges) at 24 B/row — the same per-batch
-          // bound the s17 admission path already grants the candidate
-          // relation, and far below the batch itself; the members
-          // arrays (O(corpus)) never leave the cluster.
-          val eRows = cand
+          // against same-batch smaller id or any earlier doc), each
+          // carrying its endpoints' store buckets (the SAME bucketExpr
+          // the stores use).
+          val edgeDf = cand
             .join(sigB.select(col("doc_id").as("did"), col("hs").as("hsa")),
               "did")
             .join(partnerHs, "partner")
@@ -1822,94 +1827,157 @@ object StreamingQueries {
             .select(col("did"), col("partner"),
               BucketedUpsert.bucketExpr(col("did"), nBuckets).as("db"),
               BucketedUpsert.bucketExpr(col("partner"), nBuckets).as("pb"))
-            .collect()
+          // GUARDED driver materialization of the edge rows: the edge
+          // relation is output-quadratic on dup-heavy input (a batch of
+          // N mutual near-dups is N²/2 edges), so the collect is capped
+          // — limit(cap+1) returns the complete set iff it fits, and an
+          // overflow falls back to the distributed star-contraction CC
+          // below, which never puts edges on the driver. Under the cap
+          // the driver union-find replaces a multi-job distributed CC
+          // per batch; driver footprint is ≤ cap rows (~tens of MB), on
+          // top of the O(batch) bound the s17 admission path already
+          // grants the candidate relation. The edge relation is
+          // checkpointed FIRST (one job) because limit+collect compiles
+          // to executeTake, whose partition-escalation rounds (1 → 4 →
+          // all) would otherwise re-run the candidate join up to 3×
+          // per batch (measured 15.7 → 40.6 s on the 10× rehearsal);
+          // the take then reads materialized blocks, and the overflow
+          // branch reuses the same materialization for the CC passes.
+          val edgeCap = sys.props.getOrElse("graft.s20.edgeCap",
+            (1 << 17).toString).toInt
+          val edges0 = edgeDf.localCheckpoint()
+          val eRows = edges0.limit(edgeCap + 1).collect()
           val bidRows = batch.select(col("doc_id")).distinct().collect()
             .map(_.getLong(0))
           val batchIdSet = bidRows.toSet
           import s.implicits._
           val bidDf = bidRows.toSeq.toDF("doc_id")
-          // labels of PRIOR endpoints, read from strictly-pre-batch
-          // doc→label state (same-batch partners keep their own id)
-          val priorEp = eRows.iterator
-            .filterNot(r => batchIdSet(r.getLong(1)))
-            .map(r => r.getLong(1) -> r.getInt(3)).toMap
-          val epBuckets = priorEp.values.toSeq.distinct
-          val epLabRows = (if (epBuckets.isEmpty) None
-            else BucketedUpsert.bucketState(s, labBase, nBuckets,
-              epBuckets, batchId)) match {
-            case None => Array.empty[org.apache.spark.sql.Row]
-            case Some(st) => priorEp.keys.toSeq.sorted.toDF("doc_id")
-              .join(st, Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                coalesce(col("lbl"), col("doc_id")).as("plbl"),
-                BucketedUpsert.bucketExpr(
-                  coalesce(col("lbl"), col("doc_id")), nBuckets).as("plb"))
-              .collect()
-          }
-          val plbl = epLabRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
-          // bucket of every possible merge-graph vertex, keyed by the
-          // vertex id (did / same-batch partner / prior label)
-          val vBucket = collection.mutable.Map[Long, Int]()
-          eRows.foreach { r =>
-            vBucket(r.getLong(0)) = r.getInt(2)
-            vBucket(r.getLong(1)) = r.getInt(3)
-          }
-          epLabRows.foreach(r => vBucket(r.getLong(1)) = r.getInt(2))
-          // LABEL-granularity merge graph, contracted by a driver
-          // union-find with the min-label convention — the same answer
-          // the distributed star contraction gave (min of each
-          // component), order-independent, on a graph that is tiny BY
-          // DESIGN (touched labels only)
-          val lgEdges = eRows.iterator.map { r =>
-            val did = r.getLong(0); val partner = r.getLong(1)
-            (did, plbl.getOrElse(partner, partner))
-          }.filter { case (la, lb) => la != lb }.toArray
-          val parent = collection.mutable.Map[Long, Long]()
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x
-            while (parent.getOrElse(c, c) != c) {
-              val n = parent(c); parent(c) = r; c = n
+          // Both branches produce the contracted merge mapping:
+          // ccPairs = (vertex → component-min label) over the LABEL-
+          // granularity merge graph (vertices: batch dids, same-batch
+          // partners, prior labels), plus each vertex's store bucket.
+          // Min-label = min member id by induction — the batch x17/x55
+          // label convention — and is order-independent (confluent), so
+          // the two branches agree exactly wherever both apply.
+          val (ccPairs, memBuckets): (Seq[(Long, Long)], Seq[Int]) =
+          if (eRows.length <= edgeCap) {
+            // labels of PRIOR endpoints, read from strictly-pre-batch
+            // doc→label state (same-batch partners keep their own id)
+            val priorEp = eRows.iterator
+              .filterNot(r => batchIdSet(r.getLong(1)))
+              .map(r => r.getLong(1) -> r.getInt(3)).toMap
+            val epBuckets = priorEp.values.toSeq.distinct
+            val epLabRows = (if (epBuckets.isEmpty) None
+              else BucketedUpsert.bucketState(s, labBase, nBuckets,
+                epBuckets, batchId)) match {
+              case None => Array.empty[org.apache.spark.sql.Row]
+              case Some(st) => priorEp.keys.toSeq.sorted.toDF("doc_id")
+                .join(st, Seq("doc_id"), "left")
+                .select(col("doc_id"),
+                  coalesce(col("lbl"), col("doc_id")).as("plbl"),
+                  BucketedUpsert.bucketExpr(
+                    coalesce(col("lbl"), col("doc_id")), nBuckets).as("plb"))
+                .collect()
             }
-            r
+            val plbl = epLabRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+            // bucket of every possible merge-graph vertex, keyed by the
+            // vertex id (did / same-batch partner / prior label)
+            val vBucket = collection.mutable.Map[Long, Int]()
+            eRows.foreach { r =>
+              vBucket(r.getLong(0)) = r.getInt(2)
+              vBucket(r.getLong(1)) = r.getInt(3)
+            }
+            epLabRows.foreach(r => vBucket(r.getLong(1)) = r.getInt(2))
+            // LABEL-granularity merge graph, contracted by a driver
+            // union-find with the min-label convention — the same answer
+            // the distributed star contraction gives (min of each
+            // component) on a graph that is tiny by design
+            val lgEdges = eRows.iterator.map { r =>
+              val did = r.getLong(0); val partner = r.getLong(1)
+              (did, plbl.getOrElse(partner, partner))
+            }.filter { case (la, lb) => la != lb }.toArray
+            val parent = collection.mutable.Map[Long, Long]()
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val n = parent(c); parent(c) = r; c = n
+              }
+              r
+            }
+            lgEdges.foreach { case (a, b) =>
+              val (ra, rb) = (find(a), find(b))
+              if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+            }
+            val verts = lgEdges.iterator
+              .flatMap { case (a, b) => Iterator(a, b) }.toSet
+            val pairs = verts.toSeq.sorted.map(v => (v, find(v)))
+            (pairs, pairs.map(p => vBucket(p._1)).distinct)
+          } else {
+            // OVERFLOW: contract on the cluster. Resolve prior
+            // endpoints to labels with a join against the touched
+            // buckets' pre-batch state (≤ nBuckets bucket ids to the
+            // driver, never edges), run the O(log n) star-contraction
+            // CC, and collect only the VERTEX mapping — O(batch +
+            // touched labels) rows, linear in batch size no matter how
+            // quadratic the edge relation is. Costs the CC's passes —
+            // paid only on dup-storm batches the capped branch cannot
+            // hold.
+            val edges2 = edges0
+            val epB = edges2
+              .join(bidDf.withColumnRenamed("doc_id", "partner"),
+                Seq("partner"), "left_anti")
+              .select(col("pb")).distinct().collect().map(_.getInt(0)).toSeq
+            val resolved = (if (epB.isEmpty) None
+              else BucketedUpsert.bucketState(s, labBase, nBuckets,
+                epB, batchId)) match {
+              case None => edges2.select(col("did"), col("partner").as("plbl"))
+              case Some(st) => edges2
+                .join(st.select(col("doc_id").as("partner"),
+                  col("lbl").as("plbl0")), Seq("partner"), "left")
+                .select(col("did"),
+                  coalesce(col("plbl0"), col("partner")).as("plbl"))
+            }
+            val lg = resolved.where(col("did") =!= col("plbl"))
+            val ccRows = Clusters.connectedComponents(lg, "did", "plbl")
+              .select(col("id"), col("lbl"),
+                BucketedUpsert.bucketExpr(col("id"), nBuckets).as("vb"))
+              .collect()
+            (ccRows.toSeq.map(r => (r.getLong(0), r.getLong(1))),
+              ccRows.map(_.getInt(2)).distinct.toSeq)
           }
-          lgEdges.foreach { case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          }
-          val verts = lgEdges.iterator
-            .flatMap { case (a, b) => Iterator(a, b) }.toSet
-          val ccPairs = verts.toSeq.sorted.map(v => (v, find(v)))
           val ccDf = ccPairs.toDF("id", "lbl")
-          // old-label members (singleton default: labels never merged
-          // have no members row)
-          val memBuckets = ccPairs.map(p => vBucket(p._1)).distinct
+          // old-label members as (label, member) ROWS — one row per
+          // member, so a mega-cluster (common boilerplate at 100 TB)
+          // spreads across tasks/files like any other relation instead
+          // of concentrating into one giant array row. Labels never
+          // merged have no members rows (singleton default).
           val oldMem = (if (memBuckets.isEmpty) None
             else BucketedUpsert.bucketState(s, memBase, nBuckets,
               memBuckets, batchId)) match {
             case None => ccDf.select(col("id"), col("lbl"),
-              array(col("id")).as("members"))
+              col("id").as("member"))
             case Some(st) => ccDf.join(st.withColumnRenamed("lbl", "id"),
                 Seq("id"), "left")
               .select(col("id"), col("lbl"),
-                coalesce(col("members"), array(col("id"))).as("members"))
+                coalesce(col("member"), col("id")).as("member"))
           }
-          val newMem = oldMem.groupBy(col("lbl"))
-            .agg(sort_array(flatten(collect_list(col("members"))))
-              .as("members"))
-          val memUpserts = newMem
-            .select(col("lbl"), col("members"), lit(false).as("del"))
+          // merged groups' member rows re-keyed to the new label (old
+          // labels' member sets are disjoint, so no dedup needed);
+          // merged-away labels emit a delete marker
+          val memUpserts = oldMem
+            .select(col("lbl"), col("member"), lit(false).as("del"))
             .unionByName(ccDf.filter(col("id") =!= col("lbl"))
               .select(col("id").as("lbl"),
-                lit(null).cast("array<long>").as("members"),
+                lit(null).cast("long").as("member"),
                 lit(true).as("del")))
           // doc→label rewrites: merged groups' members to the new
           // label, plus every batch doc (own id unless merged — the
           // min() collapses the duplicate batch-doc row to the merged
           // label, which is ≤ its own id by the min-label convention)
           val labUpserts = oldMem
-            .select(explode(col("members")).as("doc_id"), col("lbl"))
+            .select(col("member").as("doc_id"), col("lbl"))
             .unionByName(bidDf.select(col("doc_id"),
               col("doc_id").as("lbl")))
             .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))

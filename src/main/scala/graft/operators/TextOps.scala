@@ -152,30 +152,30 @@ object TextOps {
   /** Repetition metrics (Gopher-style quality signal): per document,
     * the fraction of word 2-grams that are duplicates of an earlier one
     * and the fraction covered by the single most-frequent 2-gram. High
-    * values mark boilerplate/spam for corpus filtering. Shape: explode
-    * bigrams → (doc, bigram) count → per-doc aggregate — two partial-
-    * aggregated shuffles keyed by doc, no join; ratios emitted as
-    * floor(x*1e6) micro-units (IEEE multiply+floor, engine-portable).
-    * Documents with fewer than two words have no 2-grams and are absent
-    * by construction (both engines drop them identically). */
-  def repetitionStats(docs: DataFrame): DataFrame = x21Impl(withWordsOf(docs))
-  def x21(s: SparkSession, d: String): DataFrame = x21Impl(withWords(s, d))
-  private def x21Impl(ww: DataFrame): DataFrame =
-    ww
-      .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(w) >= 2
-          |  THEN transform(sequence(1, size(w)-1),
-          |         i -> concat(element_at(w, i), ' ', element_at(w, i+1)))
-          |  ELSE CAST(array() AS array<string>) END""".stripMargin)).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(
-        sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct"),
-        max(col("c")).as("top_cnt"))
-      .select(col("doc_id"), col("n_bigrams"), col("n_distinct"),
-        floor((lit(1.0) - col("n_distinct") / col("n_bigrams").cast("double"))
+    * values mark boilerplate/spam for corpus filtering. Shape: ONE
+    * narrow pass — the compiled [[graft.functions.BigramStats]] kernel
+    * computes (n_bigrams, n_distinct, top_cnt) per row, so the query
+    * has ZERO shuffles (the earlier explode-every-bigram → two-exchange
+    * form shipped a corpus-sized (doc, bigram-string) relation — larger
+    * than the corpus itself — through the cluster; see the kernel's
+    * scaladoc). Ratios emitted as floor(x*1e6) micro-units (IEEE
+    * multiply+floor, engine-portable). Documents with fewer than two
+    * words have no 2-grams and are absent by construction (the kernel
+    * yields NULL, filtered here; both engines drop them identically). */
+  def repetitionStats(docs: DataFrame): DataFrame = x21Impl(docs)
+  def x21(s: SparkSession, d: String): DataFrame =
+    x21Impl(Tables.documents(s, d))
+  private def x21Impl(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.functions.BigramStats(col("text")).as("st"))
+      .filter(col("st").isNotNull)
+      .select(col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        floor((lit(1.0) - col("st.n_distinct") / col("st.n_bigrams").cast("double"))
           * 1000000).cast("long").as("dup_frac_u"),
-        floor(col("top_cnt") / col("n_bigrams").cast("double") * 1000000)
+        floor(col("st.top_cnt") / col("st.n_bigrams").cast("double") * 1000000)
           .cast("long").as("top_frac_u"))
 
   val x21Sql: String = x21SqlOn("documents")

@@ -58,4 +58,24 @@ class SplitSpec extends SparkSpec {
     assert(got.groupBy(_._2).exists(_._2.size > 1),
       "fixture has no multi-doc cluster — s20's merge path untested")
   }
+
+  test("s20 overflow branch (distributed CC) equals the batch x55") {
+    // Force every batch over the edge-collect cap so the guarded
+    // driver union-find is bypassed and the distributed
+    // star-contraction fallback computes every merge — the dup-storm
+    // code path a quadratic edge batch would take in production.
+    val prev = sys.props.get("graft.s20.edgeCap")
+    sys.props("graft.s20.edgeCap") = "0"
+    try {
+      val got = StreamingQueries.queries("s20_leakage_split")(spark, sf)
+        .as[(Long, Long, String)].collect().toSet
+      val want = Clusters.x55(spark, sf)
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == want)
+      assert(got.nonEmpty)
+    } finally prev match {
+      case Some(v) => sys.props("graft.s20.edgeCap") = v
+      case None => sys.props.remove("graft.s20.edgeCap")
+    }
+  }
 }

@@ -114,4 +114,60 @@ class UpsertCompactionSpec extends SparkSpec {
       assert(state(root).find(_._1 == keys.head).get._3 == "read")
     } finally graft.TempDirs.deleteRecursively(root)
   }
+
+  // ---- skewed-cluster fixture: s20's (label, member) members store ----
+
+  /** s20's members-store merge: the batch's rows for a touched label
+    * REPLACE that label's row set; del markers clear merged-away
+    * labels. Mirrors StreamingQueries.s20's memUpserts lambda. */
+  private val memMerge: (DataFrame, DataFrame) => DataFrame =
+    (t, u) => t.drop("del")
+      .join(u.select("lbl"), Seq("lbl"), "left_anti")
+      .unionByName(u.filter(!col("del")).drop("del"))
+
+  private def memDf(rows: Seq[(Long, java.lang.Long, Boolean)],
+      parts: Int): DataFrame = {
+    import spark.implicits._
+    rows.toDF("lbl", "member", "del").repartition(parts)
+  }
+
+  private def memState(root: File): Set[(Long, Long)] =
+    BucketedUpsert.currentState(spark, hp(root), B).get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("skewed multi-row-per-key store: mega-cluster merge, compaction, replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cp_").toFile
+    try {
+      // batch 0: one mega-cluster (label 0, 10k members — the common-
+      // boilerplate shape at scale) plus 50 singletons. Row layout
+      // means the mega-cluster spreads over partitions/files like any
+      // relation — the array-per-label layout this replaced would have
+      // concentrated it into one row.
+      val mega = (0L until 10000L).map(m => (0L, java.lang.Long.valueOf(m), false))
+      val singles = (20000L until 20050L)
+        .map(l => (l, java.lang.Long.valueOf(l), false))
+      BucketedUpsert.applyBatch(spark, hp(root), B, 0,
+        memDf(mega ++ singles, 16), "lbl", memMerge)
+      assert(memState(root).size == 10050)
+      // batch 1: singleton 20007 merges INTO the mega-cluster (rewrite
+      // label 0's complete row set + delete marker for 20007)
+      val merged = (0L until 10000L).map(m => (0L, java.lang.Long.valueOf(m), false)) ++
+        Seq((0L, java.lang.Long.valueOf(20007L), false),
+          (20007L, null.asInstanceOf[java.lang.Long], true))
+      BucketedUpsert.applyBatch(spark, hp(root), B, 1,
+        memDf(merged, 16), "lbl", memMerge)
+      val expected = memState(root)
+      assert(expected.count(_._1 == 0L) == 10001)
+      assert(!expected.exists(_._1 == 20007L))
+      assert(expected.size == 10050) // 10001 mega + 49 singletons
+      // compaction over the skewed layout preserves every row
+      BucketedUpsert.compact(spark, hp(root), B, maxFiles = 1)
+      assert(memState(root) == expected)
+      // crash-replay of the merge batch through the compacted state
+      BucketedUpsert.applyBatch(spark, hp(root), B, 1,
+        memDf(merged, 16), "lbl", memMerge)
+      assert(memState(root) == expected,
+        "replayed mega-cluster merge must be a no-op")
+    } finally graft.TempDirs.deleteRecursively(root)
+  }
 }

@@ -13,11 +13,22 @@ import duckdb
 
 def main(sf_dir, oracle_json, runs=3, json_out=None):
     con = duckdb.connect()
+    # CREATE TABLE (not VIEW): load each fixture into DuckDB's in-memory
+    # storage once, outside the timed loop. graft.Bench pre-materializes
+    # the same ten scans into Spark's columnar cache (fixture_cache=1),
+    # so both sides of the 2x gate measure warm-data steady state —
+    # views here would re-decode parquet on every timed run and the
+    # comparison would no longer be like-for-like (round-13 protocol
+    # change; GRAFT_ORACLE_VIEWS=1 restores the old cold-scan regime
+    # for A/B against pre-r13 artifacts).
+    rel = "VIEW" if os.environ.get("GRAFT_ORACLE_VIEWS") == "1" else "TABLE"
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            con.sql(f"CREATE {rel} {t} AS SELECT * FROM read_parquet('{p}')"
+                    if rel == "TABLE" else
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(oracle_json))
     res = {}
     # Guard rails mirroring tools/bench_sfbig.duck_bench: a per-run wall
