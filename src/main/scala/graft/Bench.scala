@@ -57,6 +57,38 @@ object Bench {
       // threshold the sort fallback protects (the 100× rehearsal path).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "1048576"))
+      // Janino-compiled class cache (STATIC conf, default 100 entries).
+      // A 143-query session cycles 100 entries constantly, so even
+      // byte-identical generated sources recompile on every run — and
+      // streaming replays generate per-batch sources (watermark values
+      // are literal-embedded in stateful operators' predicates), which
+      // a warm cache turns into once-per-session compiles because the
+      // fixture's watermark sequence is deterministic. Probe measured
+      // 12–20 compiles per WARM replay with the default cache; tasks
+      // of a stage serialize behind the compile (run≈900ms/task,
+      // cpu≈30ms/task on one-row sentinel batches).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Stable executor classloader across streaming query runs: with
+      // artifact isolation ON (the Spark 4 default) every streaming
+      // query RUN gets its own ExecutorClassLoader, and the codegen
+      // cache keys on (classloader, source) — so every replay recompiled
+      // every generated class (probe: 12-35 Janino compiles, 0.4-1.9 s,
+      // per WARM replay; identical sources, different loader). The
+      // harness loads no session artifacts, so isolation buys nothing.
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      // Raw (un-checksummed) local fs for the Hadoop FileContext API —
+      // what Spark's CheckpointFileManager uses for streaming WAL /
+      // offset / state-delta writes: the default LocalFs is checksum-
+      // wrapped and writes a .crc sidecar per file per micro-batch,
+      // which nothing here ever reads back (scratch checkpoints are
+      // deleted at stop). Probe A/B (min-of-5): s15 1.96→1.60 s,
+      // s11 3.57→3.22 s, others ≤ noise. The FileSystem-API default
+      // (LocalFileSystem) must stay: RocksDBFileManager hard-casts
+      // FileSystem.getLocal to LocalFileSystem (zip/copyFromLocalFile).
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_AFS",
+          "org.apache.hadoop.fs.local.RawLocalFs"))
       // Replays stop their queries and unload state stores explicitly;
       // a short maintenance interval is a second line of defense so a
       // terminated replay's providers never sit loaded for the default

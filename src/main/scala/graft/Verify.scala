@@ -27,6 +27,23 @@ object Verify {
       // only — results are identical either way.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "1048576"))
+      // See Bench: generated-class cache sized for a 143-query session
+      // (static conf; the 100-entry default thrashes and recompiles).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
+      // Stable executor classloader across streaming query runs: with
+      // artifact isolation ON (the Spark 4 default) every streaming
+      // query RUN gets its own ExecutorClassLoader, and the codegen
+      // cache keys on (classloader, source) — so every replay recompiled
+      // every generated class (probe: 12-35 Janino compiles, 0.4-1.9 s,
+      // per WARM replay; identical sources, different loader). The
+      // harness loads no session artifacts, so isolation buys nothing.
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      // See Bench: raw local fs (no .crc sidecars) for the FileContext
+      // API only (RocksDBFileManager needs the FileSystem-API default).
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_AFS",
+          "org.apache.hadoop.fs.local.RawLocalFs"))
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

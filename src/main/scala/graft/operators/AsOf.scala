@@ -201,7 +201,14 @@ object AsOf {
     * the whole right side as structs. The bucketed form remains the
     * library's many-keys/short-history option, pinned equal on
     * adversarial inputs in AsOfSpec; both forms hash-gate identically
-    * against DuckDB's native ASOF. */
+    * against DuckDB's native ASOF.
+    *
+    * RETIRED AS DOCUMENTED FLOOR (round 13): with both formulations
+    * measured and committed, the residual gap vs DuckDB is the cost
+    * of expressing as-of through a window versus a NATIVE merge-ASOF
+    * operator — a formulation floor, not a plan defect (BASELINE.md
+    * "Per-query floor notes"). Absolute cost ~2 s at sf0.1, linear
+    * growth; not carried as an open perf item. */
   def x14(s: SparkSession, d: String): DataFrame = x14Window(s, d)
 
   /** The bucketed-plan variant of x14 (kept callable for measurement;
@@ -233,7 +240,7 @@ object AsOf {
     * splits) has no join to act on and cannot split a window
     * exchange. */
   def x14Window(s: SparkSession, d: String): DataFrame = {
-    val ss = Sessions.cloneWithRuntimeConfs(s)
+    val ss = Sessions.cachedCloneWithRuntimeConfs(s, "x14-window")
     ss.conf.set("spark.sql.adaptive.enabled", "false")
     x14WindowPlan(ss, d)
   }

@@ -269,7 +269,7 @@ object Bucketed {
     // clone carries the parent's RUNTIME conf deltas too (a bare
     // newSession inherits only builder-time SparkConf settings — a
     // harness-applied runtime override would silently vanish here)
-    val ss = Sessions.cloneWithRuntimeConfs(s)
+    val ss = Sessions.cachedCloneWithRuntimeConfs(s, "runtime-bloom")
     val pins = Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",

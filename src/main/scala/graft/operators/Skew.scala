@@ -148,7 +148,7 @@ object Skew {
   private[graft] def withAqeSkewConfs[T](s: SparkSession)(f: SparkSession => T): T = {
     // runtime conf deltas carried onto the clone — see
     // [[Sessions.cloneWithRuntimeConfs]]
-    val ss = Sessions.cloneWithRuntimeConfs(s)
+    val ss = Sessions.cachedCloneWithRuntimeConfs(s, "aqe-skew")
     val pins = Seq(
       "spark.sql.adaptive.enabled" -> "true",
       "spark.sql.adaptive.skewJoin.enabled" -> "true",

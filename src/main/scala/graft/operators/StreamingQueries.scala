@@ -178,9 +178,32 @@ object StreamingQueries {
     // count. GRAFT_REPLAY_AQE=1 restores the session default for A/B.
     if (sys.env.getOrElse("GRAFT_REPLAY_AQE", "0") != "1")
       s.conf.set(aqeKey, "false")
+    // (Whole-stage codegen stays ON: streaming plans do generate
+    // per-run-novel fused sources — probe measured 12–35 Janino
+    // compiles per WARM replay, codegen-cache size irrelevant — but a
+    // min-of-5 same-session A/B showed fusion WINS anyway: 1.30/1.60/
+    // 2.73/3.62 s with WSCG vs 1.46/1.85/3.26/4.05 s without, on
+    // s01/s15/s19/s24. The un-fused fallback trades one big compile
+    // for many small ones plus slower per-operator execution.)
+    // Checkpoint-file checksums off for the replay window (Spark 4's
+    // ChecksumCheckpointFileManager funnels every offset/commit/state
+    // delta file through a checksum executor and close() AWAITS the
+    // future — jstack sampling showed replay tasks parked in
+    // ChecksumCancellableFSDataOutputStream.close more than anywhere
+    // else). The replays write scratch checkpoints on tmpfs that are
+    // deleted at stop; integrity re-verification buys nothing there.
+    // Durable production checkpoints choose their own setting.
+    val ckKey = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prevCk = s.conf.getOption(ckKey)
+    if (sys.env.getOrElse("GRAFT_REPLAY_CKSUM", "0") != "1")
+      s.conf.set(ckKey, "false")
     try f finally {
       s.conf.set("spark.sql.shuffle.partitions", prev)
       s.conf.set(aqeKey, prevAqe)
+      prevCk match {
+        case Some(v) => s.conf.set(ckKey, v)
+        case None => s.conf.unset(ckKey)
+      }
     }
   }
 
@@ -946,7 +969,10 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
+          // RuntimeLongLit, not lit: an inlined batch-id literal makes every
+          // batch's generated source novel -> a fresh Janino compile per
+          // micro-batch (see the expression's scaladoc)
+          batch.withColumn("batch_id", graft.functions.RuntimeLongLit.col(batchId))
             .write.mode("append").parquet(emitPath)
         }
         .start()
@@ -1069,7 +1095,10 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt.getAbsolutePath)
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          batch.withColumn("batch_id", lit(batchId))
+          // RuntimeLongLit, not lit: an inlined batch-id literal makes every
+          // batch's generated source novel -> a fresh Janino compile per
+          // micro-batch (see the expression's scaladoc)
+          batch.withColumn("batch_id", graft.functions.RuntimeLongLit.col(batchId))
             .write.mode("append").parquet(emitPath)
         }
         .start()
@@ -1308,7 +1337,7 @@ object StreamingQueries {
             .groupBy("doc_id").agg(count(lit(1)).as("n_prior"))
           batch.select("doc_id").distinct()
             .join(verified, Seq("doc_id"), "left")
-            .select(col("doc_id"), lit(batchId).as("batch_id"),
+            .select(col("doc_id"), graft.functions.RuntimeLongLit.col(batchId).as("batch_id"),
               (coalesce(col("n_prior"), lit(0L)) === 0).as("admitted"),
               coalesce(col("n_prior"), lit(0L)).as("n_prior"))
             .write.mode("overwrite")

@@ -10,6 +10,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stable executor classloader -> codegen cache hits across the
+    // suite's many streaming query runs (see Bench's conf comment)
+    .config("spark.sql.artifact.isolation.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
