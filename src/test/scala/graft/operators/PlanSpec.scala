@@ -95,10 +95,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "exact-dup keep must be a semi-join")
   }
 
-  test("x21/x22 aggregate partially before their shuffles") {
-    // both must map-side combine the exploded token stream, never ship
-    // raw occurrences to the exchange
-    assert(plan(TextOps.x21(spark, sf)).contains("partial_count"))
+  test("x21 is a zero-shuffle compiled map; x22 aggregates partially") {
+    // x21 (round 13): the BigramStats kernel computes the per-doc
+    // stats in one narrow pass — NO exchange of any kind may appear
+    val p21 = plan(TextOps.x21(spark, sf))
+    assert(!p21.contains("Exchange"),
+      s"x21 must be shuffle-free (compiled per-doc kernel):\n$p21")
+    assert(p21.contains("bigramstats"),
+      "x21 must go through the BigramStats expression")
+    // x22 must map-side combine the tf rows, never ship raw occurrences
     assert(plan(TextOps.x22(spark, sf)).contains("partial_count"))
   }
 

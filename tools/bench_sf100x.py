@@ -105,16 +105,25 @@ QUERIES = [
     # round-9 linear-answer rows: KMV cross-source Jaccard (one corpus
     # pass + sketch-table compare), BPE merge rounds (corpus pass +
     # vocab-row dict rounds), ordered funnel (user-keyed joins over the
-    # genuinely-100x events table). x64 stays excluded with the other
-    # output-quadratic pair-relation rows.
+    # genuinely-100x events table).
     "x65_sketch_jaccard", "x66_bpe_merges", "x67_funnel",
     # round-10: snapshot diff at 100x (verdict-r9 item - linear,
-    # hash-first), the Pregel propagation step (Spark's curve is the
-    # point; the oracle's recursive CTE is output-quadratic and is
-    # expected to time out, as s17/x45/x66's oracles already do), the
-    # new IVF-PQ gate (broadcast-model narrow maps + equi-join search),
-    # and the 8-round BPE chain (fixed-cost rounds over the vocab dict)
-    "x69_corpus_diff", "x64_quality_propagate", "x70_ann_pq",
+    # hash-first), the IVF-PQ gate (broadcast-model narrow maps +
+    # equi-join search), and the 8-round BPE chain (fixed-cost rounds
+    # over the vocab dict).
+    # x64_quality_propagate REMOVED round 13 (was added round 10): on
+    # this near-dup replica fixture its input edge relation is
+    # output-quadratic BY FIXTURE CONSTRUCTION — every replica is a
+    # deliberate near-dup of its original, so each source doc sits in a
+    # ~replicas-clique and |E| grows ~replicas^2 (measured by
+    # graft.tools.EdgeCount: 256 -> 13,206 -> 1,195,136 pairs at
+    # 1x/10x/100x, i.e. 4,668x edges for 100x docs). That puts x64 in
+    # the same class as the x74/x76/x77 exemptions (pair-relation
+    # rows). Its genuine 100x scaling is rehearsed instead on the
+    # LINEAR-edge fixture (build_sfbig.py mode=distinct, replicas are
+    # not near-dups of each other) — see BENCH_x64_linear.json and
+    # graft.tools.X64Linear.
+    "x69_corpus_diff", "x70_ann_pq",
     "x71_bpe_deep",
     # round-10 second push: the streaming funnel over the genuinely-100x
     # events table (s17's sibling - the only other replay whose per-batch

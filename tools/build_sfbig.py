@@ -26,7 +26,8 @@ import duckdb
 ID_STRIDE = 10_000_000
 
 
-def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
+def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10,
+         mode="neardup"):
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     docs = os.path.join(src, "documents.parquet")
@@ -39,17 +40,29 @@ def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
                 f"SELECT doc_id, text, lang, source, n_chars "
                 f"FROM read_parquet('{docs}')")
         else:
-            # suffix every 13th word with the replica number: jaccard
-            # vs the original ~ 12/13, safely above the 0.8 word-LSH
-            # verify threshold -> each replica IS a near-dup. Mutation
+            # mode=neardup (default): suffix every 13th word with the
+            # replica number -> jaccard vs the original ~ 12/13, safely
+            # above the 0.8 word-LSH verify threshold, so each replica
+            # IS a near-dup and cross-replica cliques make the pair
+            # relation quadratic in replicas (what the capped-recall
+            # dedup rehearsals want). mode=distinct: suffix every 3rd
+            # word -> jaccard vs the original ~ 0.67 and ~ 0.5 between
+            # two mutated replicas, both below 0.8, so replicas are NOT
+            # near-dups of each other; each replica keeps ITS OWN copy
+            # of the source corpus's internal dup structure, and the
+            # pair relation grows LINEARLY in replicas (measured:
+            # neardup pairs 256 -> 13,206 -> 1,195,136 at 1x/10x/100x —
+            # 4,668x for 100x docs — which made x64's 100x row
+            # output-quadratic by fixture construction). Mutation
             # computed once in the inner select; n_chars reads it.
+            step = 13 if mode == "neardup" else 3
             doc_parts.append(f"""
                 SELECT doc_id, text, lang, source,
                   CAST(len(text) AS BIGINT) AS n_chars
                 FROM (
                   SELECT doc_id + {r * ID_STRIDE} AS doc_id,
                     array_to_string(list_transform(string_split(text, ' '),
-                      (w, i) -> CASE WHEN i % 13 = 0
+                      (w, i) -> CASE WHEN i % {step} = 0
                                 THEN concat(w, '{r}') ELSE w END), ' ') AS text,
                     lang, source
                   FROM read_parquet('{docs}'))""")
@@ -95,11 +108,13 @@ def main(src="/root/testdata/sf0.1", out="/tmp/sfbig", replicas=10):
     nd = con.sql(f"SELECT count(*) FROM read_parquet('{out}/documents.parquet')").fetchone()[0]
     ne = con.sql(f"SELECT count(*) FROM read_parquet('{out}/embeddings.parquet')").fetchone()[0]
     nv = con.sql(f"SELECT count(*) FROM read_parquet('{ev_link}')").fetchone()[0]
-    print(f"built {out}: {nd} documents, {ne} embeddings, {nv} events ({replicas}x {src})")
+    print(f"built {out}: {nd} documents, {ne} embeddings, {nv} events "
+          f"({replicas}x {src}, mode={mode})")
 
 
 if __name__ == "__main__":
     a = sys.argv[1:]
     main(a[0] if len(a) > 0 else "/root/testdata/sf0.1",
          a[1] if len(a) > 1 else "/tmp/sfbig",
-         int(a[2]) if len(a) > 2 else 10)
+         int(a[2]) if len(a) > 2 else 10,
+         a[3] if len(a) > 3 else "neardup")
