@@ -1,15 +1,24 @@
 package graft
 
-import graft.functions.{CmsSketch, DotProduct, HllSketch, Md5Prefix60, SortedIntersectSize}
+import graft.functions.{BigramStats, CmsSketch, DotProduct, HllSketch, Md5Prefix60, SortedIntersectSize, TermCounts}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session extension registering graft's custom Catalyst expressions as
-  * SQL functions, so the full surface is reachable from `spark.sql(...)`
-  * as well as the Column API:
+  * SQL functions, so the full SQL-expressible surface is reachable from
+  * `spark.sql(...)` as well as the Column API:
   *
   *   spark.sql("SELECT dot_product(a.embedding, b.embedding) ...")
+  *
+  * Registered (15): dot_product, sorted_intersect_size, md5_prefix60,
+  * bigram_stats, term_counts, hll_sketch, hll_registers, hll_union,
+  * cms_sketch, cms_union, topk_rows, bottomk_sample, bottomk_pairs,
+  * bottomk_union, bounded_set. Deliberately NOT registered: the
+  * model-parameterized expressions (PqEncode, PqAdcScore,
+  * CentroidTopCids, BloomMightContainLong, QueryTf, ShingleSig) — each
+  * closes over a driver-built model/config object that has no SQL
+  * literal form; they stay Column-API-only by design.
   *
   * Enable with
   *   .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -42,6 +51,18 @@ object GraftExtensions {
       info("md5_prefix60",
         "md5_prefix60(bin) - first 60 bits of md5 as bigint (the engine's portable hash)"),
       (es: Seq[Expression]) => Md5Prefix60(es(0))),
+    ("bigram_stats",
+      info("bigram_stats",
+        "bigram_stats(str) - struct(n_bigrams, n_distinct, top_cnt) of " +
+          "adjacent lowercase word pairs in one compiled pass (NULL for " +
+          "<2-word documents)"),
+      (es: Seq[Expression]) => BigramStats(es(0))),
+    ("term_counts",
+      info("term_counts",
+        "term_counts(str) - array<struct(term, tf, th)> per-document " +
+          "term frequencies with md5-prefix60 term hashes in one " +
+          "compiled pass"),
+      (es: Seq[Expression]) => TermCounts(es(0))),
     ("hll_sketch",
       info("hll_sketch",
         "hll_sketch(str) - aggregate: portable 64-register HyperLogLog state " +

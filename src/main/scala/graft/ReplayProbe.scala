@@ -33,9 +33,13 @@ object ReplayProbe {
         jobStart.put(j.jobId, System.nanoTime())
       }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        val t0 = Option(jobStart.get(e.jobId)).getOrElse(0L)
-        val ms = (System.nanoTime() - t0) / 1000000
-        jobLog.add(f"job${e.jobId} ${ms}ms")
+        // remove() both bounds the map and keeps the null (missed start
+        // event) distinguishable — get() on the Long-valued map would
+        // unbox null to 0L and log a garbage multi-hour elapsed time
+        Option(jobStart.remove(e.jobId): java.lang.Long).foreach { t0 =>
+          val ms = (System.nanoTime() - t0.longValue) / 1000000
+          jobLog.add(f"job${e.jobId} ${ms}ms")
+        }
       }
       override def onStageCompleted(st: SparkListenerStageCompleted): Unit = {
         stages += 1

@@ -127,10 +127,6 @@ object Propagate {
   }
 
   // ---------------------------------------------------------------- x64
-  /** x64 — top-N docs after propagating x09's quality score over x02's
-    * near-dup graph (shared relations: the score formula and the LSH
-    * pair derivation are the gated x09/x02 code and SQL verbatim, so
-    * the three gates cannot drift). */
   /** The frontier/full-join A/B switch for the HARNESS entry below —
     * the library operator takes it as an explicit parameter (default
     * frontier); only the benchmark entry point consults the ambient
@@ -140,6 +136,10 @@ object Propagate {
   def envFrontier: Boolean =
     sys.env.getOrElse("GRAFT_X64_FRONTIER", "1") != "0"
 
+  /** x64 — top-N docs after propagating x09's quality score over x02's
+    * near-dup graph (shared relations: the score formula and the LSH
+    * pair derivation are the gated x09/x02 code and SQL verbatim, so
+    * the three gates cannot drift). */
   def x64(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val scores = TextOps.x09(s, d)

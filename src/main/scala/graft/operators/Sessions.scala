@@ -25,13 +25,28 @@ object Sessions {
     ss
   }
 
-  /** Copy the parent's runtime conf deltas onto the clone. */
-  private def syncConfs(s: SparkSession, ss: SparkSession): Unit =
-    s.conf.getAll.foreach { case (k, v) =>
+  /** Copy the parent's runtime conf deltas onto the clone, and CLEAR
+    * any key set on the clone that the parent does not carry — a
+    * reused cached clone must not inherit pins from its previous use
+    * (a caller that pins conditionally, or two purposes sharing a
+    * string, would otherwise silently see stale pins). Keys present
+    * in both maps with equal values (builder-time confs, statics) are
+    * untouched. */
+  private def syncConfs(s: SparkSession, ss: SparkSession): Unit = {
+    val parent = s.conf.getAll
+    // Only a static/non-modifiable conf is skippable in either
+    // direction (it is already equal on the clone — same SparkContext).
+    // Any other failure is a genuinely dropped conf and must propagate.
+    ss.conf.getAll.keysIterator
+      .filterNot(parent.contains).foreach { k =>
+        try ss.conf.unset(k)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getCondition == "CANNOT_MODIFY_CONFIG" => ()
+        }
+      }
+    parent.foreach { case (k, v) =>
       if (!ss.conf.getOption(k).contains(v)) {
-        // Only a static/non-modifiable conf is skippable (it is already
-        // equal on the clone — same SparkContext). Any other failure is
-        // a genuinely dropped conf and must propagate.
         try ss.conf.set(k, v)
         catch {
           case e: org.apache.spark.sql.AnalysisException
@@ -39,6 +54,7 @@ object Sessions {
         }
       }
     }
+  }
 
   /** CACHED conf-window clone, keyed by (parent session, purpose).
     *

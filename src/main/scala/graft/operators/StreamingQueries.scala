@@ -1793,7 +1793,16 @@ object StreamingQueries {
     * final table read — is set-semantic, so no ordering can leak into
     * state content or the gated answer). The oracle is x55's batch
     * twin. */
-  def s20(s: SparkSession, d: String): DataFrame = {
+  def s20(s: SparkSession, d: String): DataFrame =
+    s20(s, d, sys.props.getOrElse("graft.s20.edgeCap",
+      (1 << 17).toString).toInt)
+
+  /** `edgeCap` is explicit so tests can force the overflow branch
+    * per CALL instead of mutating the global `graft.s20.edgeCap`
+    * property (suites run in parallel in one forked JVM — a global
+    * flip would silently re-route a concurrent suite's s20 run). The
+    * harness entry above reads the property once as its default. */
+  def s20(s: SparkSession, d: String, edgeCap: Int): DataFrame = {
     import graft.functions.ArrayMath
     val dir = admissionReplayDir(s, d)
     val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
@@ -1872,8 +1881,6 @@ object StreamingQueries {
           // per batch (measured 15.7 → 40.6 s on the 10× rehearsal);
           // the take then reads materialized blocks, and the overflow
           // branch reuses the same materialization for the CC passes.
-          val edgeCap = sys.props.getOrElse("graft.s20.edgeCap",
-            (1 << 17).toString).toInt
           val edges0 = edgeDf.localCheckpoint()
           val eRows = edges0.limit(edgeCap + 1).collect()
           val bidRows = batch.select(col("doc_id")).distinct().collect()
@@ -2158,7 +2165,7 @@ object StreamingQueries {
     "s23_hopping_window" -> (s23 _),
     "s22_stream_sample" -> (s22 _),
     "s21_stream_quantiles" -> (s21 _),
-    "s20_leakage_split" -> (s20 _),
+    "s20_leakage_split" -> ((s: SparkSession, d: String) => s20(s, d)),
     "s19_stream_diff" -> (s19 _),
     "s24_diff_rearrive" -> (s24 _),
     "s18_stream_funnel" -> (s18 _),

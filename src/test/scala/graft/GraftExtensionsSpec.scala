@@ -27,6 +27,23 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(cms == 3L * functions.Cms.Depth)
   }
 
+  test("compiled text kernels are callable from SQL (round-13 gap)") {
+    GraftExtensions.register(spark)
+    val bg = spark.sql("SELECT bigram_stats('A b a b a') AS s")
+      .selectExpr("s.n_bigrams", "s.n_distinct", "s.top_cnt").head
+    // bigrams of [a b a b a]: "a b"×2, "b a"×2 -> 4 total, 2 distinct
+    assert((bg.getLong(0), bg.getLong(1), bg.getLong(2)) == (4L, 2L, 2L))
+    assert(spark.sql("SELECT bigram_stats('one')").head.isNullAt(0),
+      "<2-word doc must yield NULL")
+    val tc = spark.sql(
+      "SELECT inline(term_counts('b a b')) ORDER BY term").collect()
+    assert(tc.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    // th carries the engine's portable hash
+    assert(tc.find(_.getString(0) == "a").get.getLong(2) ==
+      functions.PortableHash.h60("a"))
+  }
+
   test("extensions class wires into a fresh session") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[1]")

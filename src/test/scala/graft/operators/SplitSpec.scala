@@ -64,18 +64,14 @@ class SplitSpec extends SparkSpec {
     // driver union-find is bypassed and the distributed
     // star-contraction fallback computes every merge — the dup-storm
     // code path a quadratic edge batch would take in production.
-    val prev = sys.props.get("graft.s20.edgeCap")
-    sys.props("graft.s20.edgeCap") = "0"
-    try {
-      val got = StreamingQueries.queries("s20_leakage_split")(spark, sf)
-        .as[(Long, Long, String)].collect().toSet
-      val want = Clusters.x55(spark, sf)
-        .as[(Long, Long, String)].collect().toSet
-      assert(got == want)
-      assert(got.nonEmpty)
-    } finally prev match {
-      case Some(v) => sys.props("graft.s20.edgeCap") = v
-      case None => sys.props.remove("graft.s20.edgeCap")
-    }
+    // edgeCap is an explicit per-call parameter (not the global
+    // graft.s20.edgeCap property) so concurrent suites exercising
+    // s20 keep their own branch.
+    val got = StreamingQueries.s20(spark, sf, edgeCap = 0)
+      .as[(Long, Long, String)].collect().toSet
+    val want = Clusters.x55(spark, sf)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
   }
 }

@@ -69,12 +69,20 @@ class GeneratorSpec extends SparkSpec {
       .format("memory").queryName(qn).start()
     try {
       // wait on the observable condition, not wall clock: a loaded host
-      // stretches micro-batch cadence and a fixed sleep would flake
+      // stretches micro-batch cadence and a fixed sleep would flake.
+      // The condition must include BOTH observables asserted below:
+      // waiting on delivered alone races the heartbeat timers — under
+      // load every observed key can deliver before any heartbeat fires
+      // (B8 flake, round-13 verdict)
       val deadline = System.currentTimeMillis() + 60000
       def done(): Boolean = {
         val st = spark.table(qn).groupBy("status").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        st.getOrElse("delivered", 0L) >= 3L
+        val heartbeatSeen = spark.table(qn)
+          .filter(col("status") === "sent")
+          .groupBy("messageId").count()
+          .filter(col("count") >= 2).limit(1).count() > 0
+        st.getOrElse("delivered", 0L) >= 3L && heartbeatSeen
       }
       while (!done() && q.exception.isEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(300)
