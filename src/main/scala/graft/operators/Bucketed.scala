@@ -104,22 +104,25 @@ object Bucketed {
     * SaveMode.Overwrite's delete-and-write on the same directory. */
   private val writtenPart = scala.collection.mutable.Map[String, String]()
 
-  /** Orders laid out as o_orderstatus=X directories under /tmp. */
+  /** Orders laid out as o_orderstatus=X directories under /tmp. The
+    * read-back pins the writer's schema explicitly: a partitioned
+    * layout of an EMPTY relation has no `status=X` directories to
+    * infer from (degenerate-corpus sweep), and at scale an explicit
+    * schema also skips the footer-sampling inference pass. */
   private[graft] def partitionedOrders(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+      "o_orderpriority", "o_orderstatus")
     val path = writtenPart.synchronized {
       writtenPart.getOrElseUpdate(
         s"${s.sparkContext.applicationId}/$d", {
           val suffix = java.lang.Long.toHexString(
             scala.util.hashing.MurmurHash3.stringHash(d).toLong & 0xffffffffL)
           val p = s"${System.getProperty("java.io.tmpdir")}/graft_q24_$suffix"
-          ParquetStore.writePartitioned(
-            Tables.orders(s, d).select("o_orderkey", "o_custkey",
-              "o_orderpriority", "o_orderstatus"),
-            p, "o_orderstatus")
+          ParquetStore.writePartitioned(src, p, "o_orderstatus")
           p
         })
     }
-    s.read.parquet(path)
+    s.read.schema(src.schema).parquet(path)
   }
 
   /** The pruned scan q24 aggregates — exposed for PlanSpec to assert

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Benchmark decontamination — the training-data hygiene op: find
   * corpus documents that share enough character n-grams with any
@@ -139,7 +140,16 @@ object Decontaminate {
         explode(graft.functions.CharShingleSig(lower(col("text")), 0, 0, gramLen)
           .getField("hs")).as("hf"))
     val benchSh = shingles(benchmark, "bench_id")
-    val bf = benchSh.stat.bloomFilter("hf", expectedItems, fpp)
+    // Spark 4's stat.bloomFilter NPEs deserializing the aggregate's
+    // null result when the build side has NO rows (found by the
+    // degenerate-corpus sweep). An empty benchmark is legitimate at
+    // scale (nothing to decontaminate against); a zero-insertion
+    // filter keeps the plan total — it rejects every probe, so the
+    // result is the correct empty set. The isEmpty probe is a
+    // limit-1 scan, driver-sized by construction.
+    val bf =
+      if (benchSh.isEmpty) BloomFilter.create(1, fpp)
+      else benchSh.stat.bloomFilter("hf", expectedItems, fpp)
     val survivors = shingles(Tables.fanOut(corpus), "doc_id")
       .filter(graft.functions.BloomMightContainLong(col("hf"), bf))
     survivors.join(broadcast(benchSh), "hf")

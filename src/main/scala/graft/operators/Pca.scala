@@ -202,7 +202,13 @@ object Pca {
   def x48(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val dim = 64
-    val model = fit(Tables.embeddings(s, d), dim)
+    val embs = Tables.embeddings(s, d)
+    // empty corpus: no model, no per-dimension rows — exactly the
+    // oracle's zero GROUP BY groups (degenerate sweep); fit() itself
+    // stays strict because a mean/basis from nothing is undefined
+    if (embs.isEmpty)
+      return Seq.empty[(Int, Long, Long)].toDF("i", "mean_e4", "var_e4")
+    val model = fit(embs, dim)
     val rows = (0 until dim).map { i =>
       var v = 0.0
       var c = 0

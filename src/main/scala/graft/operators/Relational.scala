@@ -207,11 +207,22 @@ object Relational {
         col("t.o_totalprice").as("o_totalprice"),
         (col("pos") + 1).cast("int").as("rn"))
 
-  /** Q18 — ROLLUP aggregation (subtotals + grand total in one pass). */
-  def q18(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .rollup("o_orderstatus", "o_orderpriority")
+  /** Q18 — ROLLUP aggregation (subtotals + grand total in one pass).
+    *
+    * Empty-input fallback: Spark's Expand-based ROLLUP emits ZERO rows
+    * over an empty relation, but ANSI (and DuckDB) require the global
+    * grouping set to behave like an ungrouped aggregate — one all-NULL
+    * row with cnt 0 (found by the degenerate-corpus sweep). The isEmpty
+    * probe is a limit-1 scan; the fallback is exactly that global row. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    if (o.isEmpty)
+      o.agg(count(lit(1)).as("cnt"))
+        .select(lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("string").as("o_orderpriority"), col("cnt"))
+    else o.rollup("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Q19 — set difference: high-balance customers who have no pending
     * ('P') order. EXCEPT compiles to a left-anti join on all columns. */
@@ -326,11 +337,20 @@ object Relational {
     * carries at most tasks × total-group-count rows regardless of
     * corpus size. Revenue is summed in per-row integer cents, exact
     * across engines. */
-  def q28(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d)
-      .cube("o_orderstatus", "o_orderpriority")
+  def q28(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    // empty-input ANSI fallback — see q18: the () grouping set must
+    // yield one row (cnt 0, NULL sum) even over an empty relation
+    if (o.isEmpty)
+      o.agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_c"))
+        .select(lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("string").as("o_orderpriority"),
+          col("cnt"), col("revenue_c"))
+    else o.cube("o_orderstatus", "o_orderpriority")
       .agg(count(lit(1)).as("cnt"),
         sum(round(col("o_totalprice") * 100, 0).cast("long")).as("revenue_c"))
+  }
 
   /** Q29 — semi join as a first-class gated operator (EXISTS): customers
     * with at least one very-high-value order. The left_semi join probes
@@ -516,9 +536,13 @@ object Relational {
       "SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type",
     "q01_scan_project" ->
       "SELECT c_custkey, c_mktsegment FROM customer",
+    // NULLS FIRST pins DuckDB to Spark's asc default (NULLS LAST is
+    // DuckDB's): identical on the NULL-free driver fixtures, and keeps
+    // the selected row SET identical when the fuzz gate injects NULL
+    // order dates (only set membership matters — the compare sorts rows)
     "q02_topk" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
-        |ORDER BY o_orderdate, o_orderkey LIMIT 100""".stripMargin,
+        |ORDER BY o_orderdate NULLS FIRST, o_orderkey LIMIT 100""".stripMargin,
     "q03_filter_neq" ->
       "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus <> 'F'",
     "q04_filter_eq" ->
@@ -552,9 +576,13 @@ object Relational {
         |  floor(avg(l_discount) * 1000000) / 1000000.0 AS avg_disc,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // ts IS NOT NULL pins the declared windowing semantic: an event with
+    // no event time has no window (Spark's window() drops it, exactly as
+    // the streaming twin s02 would at watermarking) — found by the fuzz
+    // gate (seeds with NULL ts produced a NULL date_trunc group here)
     "q13_window_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS cnt
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin,
     "q14_key_latency" ->
       """SELECT user_id,
         |  epoch_ms(min(ts)) AS first_ms,

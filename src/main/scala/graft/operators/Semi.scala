@@ -34,11 +34,17 @@ object Semi {
   def x31(s: SparkSession, d: String): DataFrame =
     jsonFieldStats(Tables.events(s, d), "props", "event_type")
 
+  // json_valid guard pins DuckDB to the declared malformed-payload
+  // semantic: Spark's from_json yields NULL for a payload that doesn't
+  // parse, DuckDB's json_extract RAISES — found by the fuzz/degenerate
+  // gate injecting empty and non-JSON props values
   val x31Sql: String =
     """SELECT event_type, count(*) AS n,
       |  CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type,
-      |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |        CAST(json_extract(
+      |          CASE WHEN json_valid(props) THEN props END, '$.k')
+      |          AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type""".stripMargin
 

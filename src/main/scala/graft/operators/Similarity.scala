@@ -454,8 +454,12 @@ object Similarity {
 
   private def dimEnergiesOf(un: DataFrame): Array[Long] = {
     val aggs = (0 until Dim).map { d =>
-      sum(floor(element_at(col("u"), d + 1) * element_at(col("u"), d + 1)
-        * 1000000).cast("long")).as(s"e$d")
+      // coalesce: SUM over an empty corpus is NULL (degenerate sweep) —
+      // zero energy ranks the permutation by dimension index, and the
+      // downstream pipeline yields the correct empty result
+      coalesce(sum(floor(element_at(col("u"), d + 1)
+        * element_at(col("u"), d + 1) * 1000000).cast("long")), lit(0L))
+        .as(s"e$d")
     }
     val r = un.agg(aggs.head, aggs.tail: _*).collect()(0)
     Array.tabulate(Dim)(r.getLong)
@@ -803,9 +807,16 @@ object Similarity {
     val partials = embs.select(col("embedding").cast("array<float>"))
       .as[Array[Float]]
       .mapPartitions { it =>
-        val acc = new Array[Double](dim * dim)
-        while (it.hasNext) accumulateMoments(it.next(), dim, null, acc)
-        Iterator.single(acc)
+        // empty partitions contribute NOTHING (not a zero matrix):
+        // less shuffle on sparse layouts, and an empty corpus folds to
+        // the empty relation — the oracle's zero GROUP BY groups —
+        // instead of 2080 structural-zero rows (degenerate sweep)
+        if (!it.hasNext) Iterator.empty
+        else {
+          val acc = new Array[Double](dim * dim)
+          while (it.hasNext) accumulateMoments(it.next(), dim, null, acc)
+          Iterator.single(acc)
+        }
       }
     partials.toDF("acc")
       .select(posexplode(col("acc")).as(Seq("idx", "p")))

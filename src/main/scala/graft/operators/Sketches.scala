@@ -113,7 +113,10 @@ object Sketches {
     val aggs: Seq[org.apache.spark.sql.Column] =
       Cms.sketch(col("t")).as("cms") +:
         probes.zipWithIndex.map { case (p, i) =>
-          sum(when(col("t") === p, 1L).otherwise(0L)).as(s"exact$i")
+          // coalesce: a probe over an EMPTY token stream counts 0, not
+          // SQL's NULL-sum (degenerate sweep; matches the CMS estimate)
+          coalesce(sum(when(col("t") === p, 1L).otherwise(0L)), lit(0L))
+            .as(s"exact$i")
         }
     val one = tokens.agg(aggs.head, aggs.tail: _*)
     val stack = probes.zipWithIndex.map { case (p, i) =>
@@ -126,10 +129,13 @@ object Sketches {
     val hv = PortableHash.duckH60("t")
     // Per-probe conditional cell counts replaying the JVM cell
     // arithmetic with literal cells, plus the exact count, in ONE pass.
+    // coalesce: SUM over an empty token stream is NULL in SQL, but the
+    // CMS estimate (and the exact count) of any probe over no data is 0
+    // — the sketch semantic, pinned for the degenerate sweep
     val sums = ProbeTerms.zipWithIndex.flatMap { case (p, i) =>
       Cms.cells(p).zipWithIndex.map { case (c, row) =>
-        s"CAST(sum(CASE WHEN ${Cms.cellDuck("hv", row)} = $c THEN 1 ELSE 0 END) AS BIGINT) AS cell${i}_$row"
-      } :+ s"CAST(sum(CASE WHEN t = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS exact$i"
+        s"CAST(coalesce(sum(CASE WHEN ${Cms.cellDuck("hv", row)} = $c THEN 1 ELSE 0 END), 0) AS BIGINT) AS cell${i}_$row"
+      } :+ s"CAST(coalesce(sum(CASE WHEN t = '$p' THEN 1 ELSE 0 END), 0) AS BIGINT) AS exact$i"
     }.mkString(",\n    ")
     val rows = ProbeTerms.zipWithIndex.map { case (p, i) =>
       val est = (0 until Cms.Depth).map(r => s"cell${i}_$r").mkString("least(", ", ", ")")
@@ -297,9 +303,10 @@ object Sketches {
 
   val x61Sql: String = {
     val hv = PortableHash.duckH60("t")
+    // coalesce: see x52Sql — 0, not NULL, over an empty stream
     val sums = ProbeTerms.zipWithIndex.flatMap { case (p, i) =>
       Cms.cells(p).zipWithIndex.map { case (c, row) =>
-        s"CAST(sum(CASE WHEN ${Cms.cellDuck("hv", row)} = $c THEN 1 ELSE 0 END) AS BIGINT) AS cell${i}_$row"
+        s"CAST(coalesce(sum(CASE WHEN ${Cms.cellDuck("hv", row)} = $c THEN 1 ELSE 0 END), 0) AS BIGINT) AS cell${i}_$row"
       }
     }.mkString(",\n    ")
     val rows = ProbeTerms.zipWithIndex.map { case (p, i) =>

@@ -245,6 +245,14 @@ object StreamingQueries {
   private def deleteRecursively(f: java.io.File): Unit =
     graft.TempDirs.deleteRecursively(f)
 
+  /** Typed empty relation — the correct stand-in for an upsert table no
+    * batch ever wrote (empty corpus in the degenerate sweep). */
+  private def emptyRelation(s: SparkSession,
+      fields: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
   /** s01 — the E1 detector replayed over the fixture. Timeout = 24h
     * (same knob as Q15). */
   def s01(s: SparkSession, d: String): DataFrame = {
@@ -668,8 +676,14 @@ object StreamingQueries {
         .start()
       q.processAllAvailable()
       q.stop()
+      // empty corpus: zero data batches wrote zero buckets — the
+      // correct table is the EMPTY relation typed like a populated one
+      // (degenerate-corpus sweep), not an error
       val state = BucketedUpsert.currentState(s, statePath, numBuckets)
-        .getOrElse(sys.error("upsert stream produced no state"))
+        .getOrElse(emptyRelation(s,
+          ("messageId", org.apache.spark.sql.types.StringType),
+          ("timestamp", org.apache.spark.sql.types.LongType),
+          ("status", org.apache.spark.sql.types.StringType)))
       // Persist the final table past the scratch cleanup and return a
       // SCAN over it (JVM-exit cleanup, like the other fixture caches):
       // the harness stays driver-bounded at any |keys| — no collect.
@@ -1036,7 +1050,10 @@ object StreamingQueries {
         scratchDir("graft_late_"))
       val ms = messageStatusOf(
         s.read.parquet(graft.Tables.eventsPath(s, d)))
-      val minTs = ms.toDF().agg(min(col("timestamp"))).head().getLong(0)
+      // empty-fixture guard (degenerate sweep): no events -> probe at
+      // epoch 0, which every sentinel-advanced watermark closes
+      val minTs = Option(ms.toDF().agg(min(col("timestamp"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       def writeOne(n: Int, df: org.apache.spark.sql.Dataset[MessageStatus]): Unit = {
         val stage = new java.io.File(dir, s"stage$n")
         df.coalesce(1).write.parquet(stage.getAbsolutePath)
@@ -1049,9 +1066,20 @@ object StreamingQueries {
       writeOne(0, ms)
       writeOne(1, Seq(MessageStatus("sentinel", "delivered", 0L, "none",
         Sentinel1Ms)).toDS())
+      // Spark filters LATE EVENTS with the PREVIOUS batch's watermark
+      // and evicts state with the current one (the SPARK-24634
+      // two-watermark model for chained stateful operators) — so one
+      // sentinel batch is not enough for the drop contract: the batch
+      // after the sentinel still late-filters against the PRE-sentinel
+      // watermark (observed leaking on a 1-row corpus whose fixture
+      // span < the 1-minute delay; on the driver fixtures the span
+      // hides the lag). A second sentinel batch lets the closing
+      // watermark fully propagate before the probe arrives.
+      writeOne(2, Seq(MessageStatus("sentinel2", "delivered", 0L, "none",
+        Sentinel2Ms)).toDS())
       // late probe: event time at the very START of the fixture range —
-      // its window closed when the sentinel advanced the watermark
-      writeOne(2, Seq(MessageStatus("late_probe", "sent", 1L, "verizon",
+      // its window closed when the sentinels advanced the watermark
+      writeOne(3, Seq(MessageStatus("late_probe", "sent", 1L, "verizon",
         minTs)).toDS())
       Option(lateDirCache.putIfAbsent(key, dir)).getOrElse(dir)
     }
@@ -1181,8 +1209,12 @@ object StreamingQueries {
         .start()
       q.processAllAvailable()
       q.stop()
+      // empty corpus: no batches -> typed empty table (see s10)
       val state = BucketedUpsert.currentState(s, statePath, numBuckets)
-        .getOrElse(sys.error("sketch-table stream produced no state"))
+        .getOrElse(emptyRelation(s,
+          ("carrier", org.apache.spark.sql.types.StringType),
+          ("regs", org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = false))))
       val resultDir = graft.TempDirs.deleteOnExit(
         scratchDir("graft_sktab_out_"))
       val resultPath =
@@ -1537,7 +1569,8 @@ object StreamingQueries {
       // crawl-close reconciliation: snapshot keys never seen = removed.
       // Written next to the verdicts so the returned relation outlives
       // the state dir this finally block deletes.
-      BucketedUpsert.currentState(s, stateBase, nBuckets).get
+      BucketedUpsert.currentState(s, stateBase, nBuckets)
+        .getOrElse(snap.limit(0)) // empty corpus: nothing to reconcile
         .filter(!col("seen"))
         .select(col("doc_id"), lit("removed").as("status"))
         .write.mode("overwrite")
@@ -1688,7 +1721,8 @@ object StreamingQueries {
         .start()
       q.processAllAvailable()
       q.stop()
-      BucketedUpsert.currentState(s, stateBase, nBuckets).get
+      BucketedUpsert.currentState(s, stateBase, nBuckets)
+        .getOrElse(snap.limit(0)) // empty corpus: nothing to reconcile
         .filter(col("snap") && !col("seen"))
         .select(col("doc_id"), lit("removed").as("status"))
         .write.mode("overwrite")
@@ -2037,7 +2071,10 @@ object StreamingQueries {
       q.stop()
       // the maintained table IS the product; written beside the state
       // so the returned relation outlives the finally-block cleanup
-      BucketedUpsert.currentState(s, labBase, nBuckets).get
+      BucketedUpsert.currentState(s, labBase, nBuckets)
+        .getOrElse(emptyRelation(s, // empty corpus: no labels assigned
+          ("doc_id", org.apache.spark.sql.types.LongType),
+          ("lbl", org.apache.spark.sql.types.LongType)))
         .select(col("doc_id"), col("lbl").as("unit"))
         .withColumn("split", Clusters.splitCoin(col("unit"), 80))
         .write.mode("overwrite")
