@@ -88,7 +88,17 @@ object Bench {
       // FileSystem.getLocal to LocalFileSystem (zip/copyFromLocalFile).
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_AFS",
-          "org.apache.hadoop.fs.local.RawLocalFs"))
+          "graft.sources.GraftRawLocalFs"))
+      // Fork-free local FS for the FileSystem API too (r15): with no
+      // libhadoop in the image, stock local FS shell-execs a chmod —
+      // a fork+exec of this multi-GB JVM — for EVERY file/dir create
+      // (jstack: 10-22 of 32 executor threads inside forkAndExec
+      // during replay writes). graft.sources.NioLocalFs documents the
+      // finding; SPARK_GRAFT_LOCAL_FS=org.apache.hadoop.fs.LocalFileSystem
+      // restores stock behavior for A/B.
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.sources.GraftLocalFileSystem"))
       // Replays stop their queries and unload state stores explicitly;
       // a short maintenance interval is a second line of defense so a
       // terminated replay's providers never sit loaded for the default

@@ -39,11 +39,16 @@ object Verify {
       // per WARM replay; identical sources, different loader). The
       // harness loads no session artifacts, so isolation buys nothing.
       .config("spark.sql.artifact.isolation.enabled", "false")
-      // See Bench: raw local fs (no .crc sidecars) for the FileContext
-      // API only (RocksDBFileManager needs the FileSystem-API default).
+      // See Bench + graft.sources.NioLocalFs: fork-free local FS on
+      // both Hadoop APIs (no libhadoop => stock local FS shell-execs a
+      // chmod per file/dir create), FileSystem-API type still
+      // LocalFileSystem (RocksDBFileManager hard-casts to it).
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_AFS",
-          "org.apache.hadoop.fs.local.RawLocalFs"))
+          "graft.sources.GraftRawLocalFs"))
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.sources.GraftLocalFileSystem"))
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "15s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

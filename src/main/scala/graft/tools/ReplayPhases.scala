@@ -58,7 +58,11 @@ object ReplayPhases {
       .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
-        "org.apache.hadoop.fs.local.RawLocalFs")
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_AFS",
+          "graft.sources.GraftRawLocalFs"))
+      .config("spark.hadoop.fs.file.impl",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
+          "graft.sources.GraftLocalFileSystem"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()
