@@ -26,6 +26,16 @@ object Bench {
       // size reducers by bytes, not cluster parallelism: tiny shuffles
       // coalesce to a few tasks locally; at scale AQE keeps thousands
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // Let AQE size CACHED-plan output partitioning by bytes too: the
+      // persisted signature relations (Dedup.persistShared — x02/x74/
+      // x76/x77 and SimJoin.rankedOf) otherwise materialize at the
+      // session's static shuffle-partition count and every downstream
+      // consumer stage inherits that task count — measured 1.4-1.6x
+      // per-task overhead at sf0.1 (32 vs 8 partitions) with identical
+      // results; at scale the same byte-based rule keeps the cache
+      // wide. (r15, guide §2 right-sizing.)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -99,6 +109,11 @@ object Bench {
       .config("spark.hadoop.fs.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
           "graft.sources.GraftLocalFileSystem"))
+      // Shuffle/spill scratch on tmpfs (see TempDirs.sparkLocalDir):
+      // jstack'd replay benches spent most RUNNABLE executor samples in
+      // BypassMergeSortShuffleWriter file writes+concat against the
+      // default /tmp disk. SPARK_GRAFT_LOCAL_DIR overrides for A/B.
+      .config("spark.local.dir", TempDirs.sparkLocalDir())
       // Replays stop their queries and unload state stores explicitly;
       // a short maintenance interval is a second line of defense so a
       // terminated replay's providers never sit loaded for the default

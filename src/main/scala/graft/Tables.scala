@@ -130,16 +130,60 @@ object Tables {
     * fixed behavior. */
   def sizeScaledPartitions(df: DataFrame,
       bytesPerPartition: Long = 1L << 20): Int = {
-    val sc = df.sparkSession.sparkContext
-    val floor = sc.defaultParallelism
-    val bytes =
-      try {
-        val conf = sc.hadoopConfiguration
-        df.inputFiles.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(conf).getFileStatus(p).getLen
-        }.sum
-      } catch { case scala.util.control.NonFatal(_) => 0L }
-    math.min(1024L, math.max(floor.toLong, bytes / bytesPerPartition)).toInt
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val bytes = inputBytes(df)
+    // The parallelism floor only applies as far as the DATA can fill
+    // it: a pinned 32-way exchange under a sub-MB input is 32 task
+    // launches for a handful of near-empty sorts/aggregations (r14
+    // scaling table: x18's 8-core run beat its 32-core run ~2x on
+    // identical code). One floor "slot" per bytesPerPartition/16 of
+    // input (64 KB at the 1 MB default) reproduces the measured-good
+    // counts: sf0.1 (~0.6 MB) -> ~9, the 10x rehearsal (~6 MB) -> the
+    // full parallelism, exactly as before. Non-file inputs (bytes 0)
+    // keep the old fixed-parallelism behavior.
+    val floor =
+      if (bytes == 0L) parallelism
+      else math.min(parallelism,
+        math.max(2L, bytes / math.max(1L, bytesPerPartition / 16)))
+    math.min(1024L, math.max(floor, bytes / bytesPerPartition)).toInt
   }
+
+  /** As [[sizeScaledPartitions]] but with NO parallelism floor: purely
+    * `clamp(inputBytes / bytesPerPartition, 1, 1024)`. For exchanges a
+    * query PINS because AQE's byte-based coalescing under-parallelizes
+    * its CPU-heavy follow-up work (x14's per-key window): the count
+    * must track the DATA, not the machine — at bench scale a
+    * core-count floor put 32 near-empty tasks under a ~2 MB input
+    * (measured 1.9x the 8-partition wall), while at the 10x rehearsal
+    * the same bytes rule yields >= the core count. Partition count
+    * never changes a result. */
+  def bytesScaledPartitions(df: DataFrame, bytesPerPartition: Long): Int =
+    math.min(1024L, math.max(1L, inputBytes(df) / bytesPerPartition)).toInt
+
+  /** Total length of the file-backed inputs of `df`; 0 for non-file
+    * inputs or on any listing failure. Reads the ANALYZED plan, not
+    * `df.inputFiles`: the latter walks the optimized plan, where cache
+    * substitution (e.g. the bench's fixture cache) has already replaced
+    * the file relation with an InMemoryRelation and the file list comes
+    * back empty — which silently collapsed every byte-scaled partition
+    * count to its floor. */
+  private def inputBytes(df: DataFrame): Long =
+    try {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val files: Seq[String] = df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fr: org.apache.spark.sql.execution.FileRelation =>
+              fr.inputFiles.toSeq
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+      files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    } catch { case scala.util.control.NonFatal(t) =>
+      System.err.println(s"inputBytes fallback (0): ${t.getClass.getName}: ${t.getMessage}")
+      0L
+    }
 }

@@ -242,8 +242,27 @@ object AsOf {
   def x14Window(s: SparkSession, d: String): DataFrame = {
     val ss = Sessions.cachedCloneWithRuntimeConfs(s, "x14-window")
     ss.conf.set("spark.sql.adaptive.enabled", "false")
+    // With AQE pinned off, the window's one exchange would inherit the
+    // session's static (core-count) partition count — 32 near-empty
+    // sorts under a ~2 MB input at bench scale (r14 scaling table: the
+    // 8-core run beat the 32-core run 2x on this row). Size it from
+    // the input instead: ~256 KB of compressed events per partition
+    // reproduces the measured-good counts at BOTH scales (sf0.1 -> 8,
+    // the 10x rehearsal -> ~80 >= the core count that was measured
+    // good there). Partition count never changes the result. The count
+    // is memoized per (app, dir): the sizing itself reads the parquet
+    // footer + file listing (~0.2 s), which would otherwise erase the
+    // saving on every call.
+    val parts = x14PartsCache.computeIfAbsent(
+      s.sparkContext.applicationId + "::" + d,
+      _ => graft.Tables.bytesScaledPartitions(
+        graft.Tables.events(s, d), 256L << 10))
+    ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
     x14WindowPlan(ss, d)
   }
+
+  private val x14PartsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def x14WindowPlan(s: SparkSession, d: String): DataFrame = {
     val tagged = Tables.events(s, d).select(

@@ -137,17 +137,22 @@ object BucketedUpsert {
     * (e.g. [[Merge.merge]]). Idempotent per the contract above. */
   def applyBatch(s: SparkSession, stateBase: Path, numBuckets: Int,
       batchId: Long, reduced: DataFrame, keyCol: String,
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      merge: (DataFrame, DataFrame) => DataFrame,
+      knownTouched: Option[Seq[Int]] = None): Unit = {
     require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
     require(!reduced.columns.contains(BucketCol),
       s"input must not already carry a '$BucketCol' column")
     val (fs, key) = fsOf(s, stateBase)
     // Touched-bucket set: ≤ numBuckets small ints to the driver — the
     // one driver materialization, bounded by the bucket count, never by
-    // data volume.
-    val touched = reduced
+    // data volume. A caller that already collected the batch's bucket
+    // set for its own classification read (s19/s24 pair bucketState
+    // with applyBatch over the SAME keys) passes it in and saves the
+    // duplicate distinct-collect job per micro-batch; the set must be
+    // exactly bucketExpr over `reduced`'s keys.
+    val touched = knownTouched.map(_.distinct.sorted).getOrElse(reduced
       .select(bucketExpr(col(keyCol), numBuckets).as(BucketCol))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted)
     if (touched.isEmpty) return // empty batch: state unchanged, no version
     try {
       val vs = cachedListing(fs, stateBase, key)

@@ -492,14 +492,21 @@ object Dedup {
       }.reduce(_ + _)
       concat_ws("_", lit(t), bucket)
     }
-    // shuffle_hash so both sides shuffle identically on bk and
-    // ReuseExchange computes the 64-projection bucket assignment once
-    // (a broadcast join would leave two distinct subplans, doubling it)
-    val bands = capBandBuckets(
+    // The band relation (explode + the 64-projection bucket assignment,
+    // the expensive narrow map) is PERSISTED through the session
+    // signature registry and the self-join broadcasts one cached side:
+    // one band computation and ZERO join exchanges, versus the previous
+    // shuffle_hash form whose two sides each recomputed the projection
+    // and shuffled it (the r15 plan audit showed ReuseExchange not
+    // deduplicating the sides under AQE: 2 Exchanges + 2 Generate
+    // subtrees). The band relation is O(n·tables) rows of
+    // (id, short key) — the same registry/posture as x02's persisted
+    // signature relation; the broadcast side is the banded KEYS only,
+    // never vectors.
+    val bands = persistShared(capBandBuckets(
       e.select(col("vec_id"), explode(array(bandCols: _*)).as("bk")),
-      "vec_id", maxBandBucket)
-      .hint("shuffle_hash")
-    val cand = bands.alias("x")
+      "vec_id", maxBandBucket))
+    val cand = broadcast(bands).alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b")).distinct()

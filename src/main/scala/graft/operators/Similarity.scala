@@ -342,7 +342,15 @@ object Similarity {
   private def pqAdcCandidates(e: DataFrame, queryIds: Seq[Long],
       lloydIters: Int, perm: Option[Array[Int]] = None): DataFrame = {
     import graft.functions.{PqAdcScore, PqEncode}
-    val coarse = trainCentroids(e, lloydIters)
+    // The coarse quantizer and the PQ codebooks are INDEPENDENT models
+    // over the same corpus, but each trains through a ladder of
+    // sequential driver-collect jobs (seeds, then one aggregate per
+    // Lloyd pass). Overlap the two ladders as concurrent driver jobs
+    // (guide §2.6): the scheduler interleaves their small stages and
+    // the wall cost is max(coarse, pq) instead of the sum. Both models
+    // are pure functions of their input — results are unchanged.
+    val coarseF = scala.concurrent.Future(trainCentroids(e, lloydIters))(
+      scala.concurrent.ExecutionContext.global)
     val un0 = e.select(col("vec_id"), col("v"), col("nrm"),
       expr("transform(v, x -> x / nrm)").as("u"))
     // optional OPQ dimension permutation (x78): u reordered BEFORE
@@ -354,6 +362,8 @@ object Similarity {
         array(p.toSeq.map(d => element_at(col("u"), d + 1)): _*))
     }
     val pq = trainPq(un.select(col("vec_id"), col("u")), PqIters)
+    val coarse = scala.concurrent.Await.result(
+      coarseF, scala.concurrent.duration.Duration.Inf)
     val index = un.select(col("vec_id"),
       element_at(graft.functions.CentroidTopCids(
         col("v"), col("nrm"), coarse, NProbe), 1).as("cid"),

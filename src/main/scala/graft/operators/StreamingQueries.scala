@@ -1554,14 +1554,17 @@ object StreamingQueries {
             .write.mode("overwrite")
             .parquet(new java.io.File(outBase, s"b$vid").getAbsolutePath)
           // mark arrivals seen; keys with no snapshot row (added docs)
-          // never enter the state — they cannot become removals
+          // never enter the state — they cannot become removals.
+          // knownTouched: same key set as the classification read above
+          // — skips applyBatch's duplicate distinct-collect job.
           BucketedUpsert.applyBatch(s, stateBase, nBuckets, vid,
             arrived.select(col("doc_id")), "doc_id",
             (t, u) => t.join(
                 u.select(col("doc_id"), lit(true).as("sn")),
                 Seq("doc_id"), "left")
               .select(col("doc_id"), col("h"),
-                (col("seen") || coalesce(col("sn"), lit(false))).as("seen")))
+                (col("seen") || coalesce(col("sn"), lit(false))).as("seen")),
+            knownTouched = Some(touched))
         }
         .start()
       q.processAllAvailable()
@@ -1704,7 +1707,8 @@ object StreamingQueries {
                 .otherwise("changed").as("status"))
             .write.mode("overwrite")
             .parquet(new java.io.File(outBase, s"b$vid").getAbsolutePath)
-          // mark arrivals seen; INSERT first-seen new keys (snap=false)
+          // mark arrivals seen; INSERT first-seen new keys (snap=false).
+          // knownTouched: same key set as the classification read above.
           BucketedUpsert.applyBatch(s, stateBase, nBuckets, vid,
             arrived, "doc_id",
             (t, u) => t.join(
@@ -1716,7 +1720,8 @@ object StreamingQueries {
               .unionByName(u
                 .join(t.select("doc_id"), Seq("doc_id"), "left_anti")
                 .select(col("doc_id"), col("hb").as("h"),
-                  lit(true).as("seen"), lit(false).as("snap"))))
+                  lit(true).as("seen"), lit(false).as("snap"))),
+            knownTouched = Some(touched))
         }
         .start()
       q.processAllAvailable()

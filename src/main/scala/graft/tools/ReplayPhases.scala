@@ -63,6 +63,7 @@ object ReplayPhases {
       .config("spark.hadoop.fs.file.impl",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_FS",
           "graft.sources.GraftLocalFileSystem"))
+      .config("spark.local.dir", graft.TempDirs.sparkLocalDir())
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "1048576")
       .config("spark.ui.enabled", "false").getOrCreate()

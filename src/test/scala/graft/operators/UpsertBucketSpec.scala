@@ -157,6 +157,42 @@ class UpsertBucketSpec extends SparkSpec {
     } finally graft.TempDirs.deleteRecursively(root)
   }
 
+  test("knownTouched path is equivalent to the self-computed bucket set") {
+    // the r15 job shave: a caller that already collected its batch's
+    // bucket set passes it in; the resulting layout, GC and table must
+    // be identical to the self-computed path, including an unsorted /
+    // duplicated caller-side set
+    val a = java.nio.file.Files.createTempDirectory("graft_bk_").toFile
+    val b = java.nio.file.Files.createTempDirectory("graft_bk_").toFile
+    try {
+      val batches = Seq(
+        0L -> Seq(("a", 10L, "sent"), ("b", 5L, "sent"), ("c", 2L, "sent")),
+        1L -> Seq(("a", 20L, "delivered"), ("d", 1L, "sent")),
+        2L -> Seq(("b", 9L, "delivered")))
+      for ((id, rows) <- batches) {
+        apply(a, id, rows)
+        val touched = rows.map(r => bucketOf(r._1))
+        BucketedUpsert.applyBatch(spark, hp(b), B, id, df(rows),
+          "messageId", StreamingQueries.latestWinsMerge,
+          knownTouched = Some(touched.reverse ++ touched)) // unsorted+dups
+      }
+      assert(state(a) == state(b), "tables must match")
+      def layout(root: File): Set[String] = {
+        def walk(f: File): Seq[File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[File]).toSeq.flatMap(walk)
+          else Seq(f)
+        walk(root).map(f => root.toPath.relativize(f.toPath).getParent.toString)
+          .toSet
+      }
+      assert(layout(a) == layout(b),
+        "version/bucket leaf layout (incl. GC) must match")
+    } finally {
+      graft.TempDirs.deleteRecursively(a)
+      graft.TempDirs.deleteRecursively(b)
+    }
+  }
+
   test("empty batches write no version; state readable across versions") {
     val root = java.nio.file.Files.createTempDirectory("graft_bk_").toFile
     try {
